@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's feature set (its only dedup is unique (lat,lon)
+pairs, geoparser_app/khooshe.py:71-77) — these are the standard
+training-data-pipeline dedup family, all expressed Spark-native:
+
+  * exact          — hash groupBy (one shuffle, map-side combine)
+  * n-gram Jaccard — verified pairwise similarity on candidate subsets
+  * MinHash + LSH  — shingle → minhash signature → banded bucket join;
+                     only same-bucket pairs are verified (the scale
+                     path: candidate generation is O(n·bands), never
+                     O(n²))
+  * SimHash        — 64-bit fingerprint, banded for near-dup buckets
+
+Everything runs in whole-stage codegen (xxhash64 / transform /
+aggregate); zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoparser_spark.operators.geotag import normalize_text
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(normalize_text(F.col(text_col)), " ")
+
+
+def _ngrams_of(col_name: str, n: int) -> F.Column:
+    """Distinct word n-grams of a token-array column — pure SQL."""
+    return F.array_distinct(
+        F.expr(
+            f"""CASE WHEN size({col_name}) >= {n} THEN
+                  transform(sequence(0, size({col_name}) - {n}),
+                            i -> array_join(slice({col_name}, i + 1, {n}), ' '))
+                ELSE CAST(array() AS array<string>) END"""
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the
+    deterministic keeper (min id) and the duplicate count."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact pairwise n-gram Jaccard over (a small/filtered) docs set.
+    O(n²) verification — the correctness baseline the LSH variants are
+    judged against; callers pre-filter or use minhash_lsh_pairs at
+    scale."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col),
+    ).withColumn("toks", tokens_col(text_col)).select(
+        "id", _ngrams_of("toks", n).alias("gs")
+    ).where(F.size("gs") > 0)
+    a = grams.select(F.col("id").alias("id_a"), F.col("gs").alias("gs_a"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("gs").alias("gs_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("gs_a", "gs_b"))
+            / F.size(F.array_union("gs_a", "gs_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingles, sig: array<long>[num_hashes]) — minhash_i =
+    min over shingles of xxhash64(shingle, i).  All native."""
+    grams = docs.select(F.col(id_col).alias("id"), F.col(text_col)) \
+        .withColumn("toks", tokens_col(text_col)) \
+        .select("id", _ngrams_of("toks", n).alias("shingles")) \
+        .where(F.size("shingles") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return grams.withColumn("sig", sig)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                      bands: int = 8, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    num_hashes/bands rows per band; two docs collide if ANY band of
+    their signatures is identical; collisions are then verified with
+    exact shingle Jaccard.  The candidate join is an equi-join on
+    (band_idx, band_hash) — shuffle is proportional to docs, not
+    pairs."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows + r] for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", "shingles", F.explode(band_structs).alias("bd")) \
+        .select("id", "shingles", "bd.band_idx", "bd.band_hash")
+    l = banded.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("gs_a"),
+        "band_idx", "band_hash",
+    )
+    r = banded.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("gs_b"),
+        "band_idx", "band_hash",
+    )
+    cand = (
+        l.join(r, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "gs_a", "gs_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("gs_a", "gs_b"))
+            / F.size(F.array_union("gs_a", "gs_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per doc: each token votes ±1 on every
+    bit of its xxhash64; fingerprint bit j is 1 iff the vote sum > 0.
+    Returned as (id, simhash: string of '0'/'1') plus 16-bit band keys
+    for near-dup bucketing (Hamming-distance candidates)."""
+    toks = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
+    exploded = toks.select("id", F.explode(F.array_distinct("toks")).alias("t")) \
+        .withColumn("h", F.xxhash64("t"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = F.concat(*[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(bits)])
+    out = votes.select("id", fp.alias("simhash"))
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}", F.substring("simhash", band * 16 + 1, 16)
+        )
+    return out
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs whose SimHash Hamming distance <= max_hamming.
+    Candidates share at least one of four 16-bit bands (pigeonhole:
+    distance <= 3 guarantees a shared band); verified exactly."""
+    fp = simhash(docs, text_col, id_col)
+    # band index is part of the key (band0 == band1 of another doc is
+    # not a real collision)
+    banded = fp.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(4)])).alias("bidx", "bk"),
+    )
+    l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "bidx", "bk")
+    r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "bidx", "bk")
+    cand = (
+        l.join(r, ["bidx", "bk"]).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates(["id_a", "id_b"])
+    )
+    # Hamming distance between two '0'/'1' strings, natively:
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sh_a", ""), F.split("sh_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return cand.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

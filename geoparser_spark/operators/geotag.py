@@ -1,0 +1,273 @@
+"""Geotag stage: gazetteer-driven location extraction + resolution.
+
+Replaces the reference's per-document HTTP chain
+(Django → Tika GeoTopicParser → OpenNLP NER → lucene-geo-gazetteer,
+reference: geoparser_app/views.py:146,357-402, ~0.6 docs/sec) with a
+100% JVM-native Spark plan — zero Python anywhere in this stage:
+
+  1. ``build_surface_forms``  gazetteer → (surface, n_tokens, candidate)
+     rows, exploding name/asciiname/alternatenames.  Small (GeoNames is
+     ~12M rows / ~1.2 GB — broadcastable after projection & filtering).
+  2. ``candidate_mentions``   doc text → normalized token array → all
+     1..MAX_N-token n-grams with positions (pure SQL ``transform`` /
+     ``sequence`` / ``slice`` — whole-stage-codegen'd) → **broadcast
+     hash join** against surface forms.  Map-only: no shuffle touches
+     the 100 TB side.
+  3. longest-match-wins: an n-gram contained in a strictly longer match
+     at the same spot is dropped ("Pasadena Texas" would otherwise also
+     fire "Pasadena" + "Texas"; with no 2-gram surface both singles
+     survive — reference behavior per README.md:69-82).
+  4. ``resolve_mentions``     admin-hierarchy disambiguation scoring:
+     co-mentioned country (+3) / admin1 (+2), feature-code weight,
+     log10(population)/10 tiebreak; deterministic rank
+     (score DESC, geonameid ASC).  Replaces the reference's naive
+     Lucene top-hit (README.md:69-82 resolves "Texas" to a village in
+     Tabasco, MX — we pin that case both ways in tests).
+  5. ``select_primary``       most-frequent resolved entity per doc is
+     primary — GeoTopicParser's Geographic_NAME vs Optional_NAME{i}
+     contract (reference: README.md:98-115, views.py:98-111).
+
+Determinism discipline: every window/sort orders on explicit data
+columns incl. geonameid; the output locations array is array_sort'ed on
+(rank) — never implicit row order (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_NGRAM = 3
+
+# feature-code weights (deterministic class prior)
+_CLASS_WEIGHTS = [
+    ("PCLI", 5.0), ("ADM1", 4.0), ("PPLC", 3.5), ("PPLA", 3.0),
+    ("PPLA2", 2.5), ("PPL", 2.0),
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lower-case, strip everything but letters/digits, collapse runs.
+
+    Mirrors the reference's punctuation scrub
+    (geoparser_app/views.py:114-116) as a native expression."""
+    return F.trim(F.lower(F.regexp_replace(col, r"[^\p{L}\p{N}]+", " ")))
+
+
+def doc_texts(extracted: DataFrame) -> DataFrame:
+    """extracted(doc_id, spans) → (doc_id, text): concat of text spans
+    in span order.  Native: filter/transform/array_join."""
+    return extracted.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def build_surface_forms(gazetteer: DataFrame, max_tokens: int = MAX_NGRAM) -> DataFrame:
+    """Gazetteer → one row per (surface form, candidate place).
+
+    Surfaces = name + asciiname + each alternatename, normalized the
+    same way as document text.  Filtered to 1..max_tokens tokens so the
+    n-gram join is bounded."""
+    surfaces = gazetteer.select(
+        F.explode(
+            F.array_union(
+                F.array(F.col("name"), F.col("asciiname")),
+                F.split(F.coalesce(F.col("alternatenames"), F.lit("")), ","),
+            )
+        ).alias("raw_surface"),
+        "geonameid", "name", "latitude", "longitude",
+        "feature_class", "feature_code", "country_code", "admin1_code",
+        "population",
+    )
+    surfaces = surfaces.withColumn("surface", normalize_text("raw_surface"))
+    surfaces = surfaces.where(F.col("surface") != "")
+    surfaces = surfaces.withColumn("n_tokens", F.size(F.split("surface", " ")))
+    surfaces = surfaces.where(F.col("n_tokens") <= max_tokens)
+    return surfaces.drop("raw_surface").dropDuplicates(["surface", "geonameid"])
+
+
+def _ngrams_expr(max_n: int) -> Column:
+    """tokens array → array<struct<pos,n,gram>> of all 1..max_n grams.
+    Pure SQL transform/slice — stays inside whole-stage codegen."""
+    parts = []
+    for n in range(1, max_n + 1):
+        parts.append(
+            F.expr(
+                f"""CASE WHEN size(tokens) >= {n} THEN
+                      transform(sequence(0, size(tokens) - {n}),
+                                i -> struct(i AS pos, {n} AS n,
+                                            array_join(slice(tokens, i + 1, {n}), ' ') AS gram))
+                    ELSE CAST(array() AS array<struct<pos:INT,n:INT,gram:STRING>>) END"""
+            )
+        )
+    return F.flatten(F.array(*parts))
+
+
+def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
+                       max_n: int = MAX_NGRAM) -> DataFrame:
+    """(doc_id, text) × surfaces → candidate rows
+    (doc_id, pos, n, gram, <gazetteer candidate cols>).
+
+    The join is an explicit broadcast hash join on (gram, n): the big
+    side never shuffles.  Longest-match-wins is applied on the distinct
+    matched positions (tiny), then candidates are re-attached."""
+    grams = (
+        texts.withColumn("tokens", F.split(normalize_text(F.col("text")), " "))
+        .select("doc_id", F.explode(_ngrams_expr(max_n)).alias("g"))
+        .select("doc_id", "g.pos", "g.n", "g.gram")
+    )
+    matched = grams.join(
+        F.broadcast(surfaces),
+        (grams["gram"] == surfaces["surface"]) & (grams["n"] == surfaces["n_tokens"]),
+        "inner",
+    ).drop("surface", "n_tokens")
+
+    # longest-match-wins on distinct spans (doc_id, pos, n)
+    spans = matched.select("doc_id", "pos", "n").distinct()
+    longer = spans.alias("s2")
+    shadowed = (
+        spans.alias("s1")
+        .join(
+            longer,
+            (F.col("s1.doc_id") == F.col("s2.doc_id"))
+            & (F.col("s2.n") > F.col("s1.n"))
+            & (F.col("s2.pos") <= F.col("s1.pos"))
+            & (F.col("s2.pos") + F.col("s2.n") >= F.col("s1.pos") + F.col("s1.n")),
+            "left_semi",
+        )
+        .select("s1.doc_id", "s1.pos", "s1.n")
+    )
+    kept = spans.join(shadowed, ["doc_id", "pos", "n"], "left_anti")
+    return matched.join(kept, ["doc_id", "pos", "n"], "left_semi")
+
+
+def _class_weight() -> Column:
+    expr: Column = F.lit(1.0)
+    for code, w in reversed(_CLASS_WEIGHTS):
+        expr = F.when(F.col("feature_code") == code, F.lit(w)).otherwise(expr)
+    return expr
+
+
+def resolve_mentions(cands: DataFrame) -> DataFrame:
+    """Disambiguate each mention to exactly one gazetteer entry.
+
+    score = 3*country-co-mention + 2*admin1-co-mention
+            + class_weight(feature_code) + log10(population+1)/10
+    winner per (doc_id, pos, gram) by (score DESC, geonameid ASC)."""
+    # Both side tables derive from `cands` (self-join lineage) — rename
+    # every join column so Catalyst never sees ambiguous attributes.
+    doc_countries = (
+        cands.where(F.col("feature_code") == "PCLI")
+        .select(
+            F.col("doc_id").alias("doc_m"),
+            F.col("country_code").alias("cc_m"),
+        ).distinct()
+    )
+    doc_admin1 = (
+        cands.where(F.col("feature_code") == "ADM1")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("country_code").alias("cc_a"),
+            F.col("admin1_code").alias("a1_a"),
+        ).distinct()
+    )
+    scored = (
+        cands.join(
+            doc_countries,
+            (F.col("doc_id") == F.col("doc_m"))
+            & (F.col("country_code") == F.col("cc_m")),
+            "left",
+        )
+        .join(
+            doc_admin1,
+            (F.col("doc_id") == F.col("doc_a"))
+            & (F.col("country_code") == F.col("cc_a"))
+            & (F.col("admin1_code") == F.col("a1_a"))
+            & (F.col("feature_code") != "ADM1"),
+            "left",
+        )
+        .withColumn(
+            "score",
+            F.when(F.col("cc_m").isNotNull(), 3.0).otherwise(0.0)
+            + F.when(F.col("a1_a").isNotNull(), 2.0).otherwise(0.0)
+            + _class_weight()
+            + F.log10(F.col("population") + 1) / 10.0,
+        )
+        .drop("doc_m", "cc_m", "doc_a", "cc_a", "a1_a")
+    )
+    w = Window.partitionBy("doc_id", "pos", "gram").orderBy(
+        F.col("score").desc(), F.col("geonameid").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
+def select_primary(resolved: DataFrame) -> DataFrame:
+    """Most-frequent entity per doc is primary (deterministic tie-break
+    on (name, geonameid)) — GeoTopicParser's best-entity contract
+    (reference README.md:98-115; parser views.py:98-111)."""
+    per_entity = resolved.groupBy(
+        "doc_id", "geonameid", "name", "latitude", "longitude"
+    ).agg(F.count("*").alias("mention_count"), F.max("score").alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("mention_count").desc(), F.col("name").asc(), F.col("geonameid").asc()
+    )
+    return per_entity.withColumn("rank", F.row_number().over(w)).withColumn(
+        "is_primary", F.col("rank") == 1
+    )
+
+
+def geotag(extracted: DataFrame, gazetteer: DataFrame,
+           max_n: int = MAX_NGRAM) -> DataFrame:
+    """Full stage: extracted docs → geotagged(doc_id, locations).
+
+    locations is array_sort'ed on rank (frequency, name, geonameid) so
+    the array order is reproducible across shuffles/partitionings."""
+    texts = doc_texts(extracted)
+    surfaces = build_surface_forms(gazetteer, max_n)
+    cands = candidate_mentions(texts, surfaces, max_n)
+    primaries = select_primary(resolve_mentions(cands))
+    loc_struct = F.struct(
+        F.col("rank"),
+        F.col("name"), F.col("latitude"), F.col("longitude"),
+        F.col("geonameid"), F.col("is_primary"), F.col("score"),
+    )
+    return (
+        primaries.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(loc_struct)).alias("locs"))
+        .select(
+            "doc_id",
+            F.transform(
+                "locs",
+                lambda s: F.struct(
+                    s["name"].alias("name"),
+                    s["latitude"].alias("latitude"),
+                    s["longitude"].alias("longitude"),
+                    s["geonameid"].alias("geonameid"),
+                    s["is_primary"].alias("is_primary"),
+                    s["score"].alias("score"),
+                ),
+            ).alias("locations"),
+        )
+    )
+
+
+def points(geotagged: DataFrame) -> DataFrame:
+    """Flatten to one row per (doc, location) — the reference's 'points'
+    list (geoparser_app/solr.py:216-235) as real rows, not a
+    stringified blob."""
+    loc = F.explode("locations").alias("loc")
+    return geotagged.select("doc_id", loc).select(
+        "doc_id",
+        F.col("loc.name").alias("loc_name"),
+        F.col("loc.latitude").alias("latitude"),
+        F.col("loc.longitude").alias("longitude"),
+        F.col("loc.geonameid").alias("geonameid"),
+        F.col("loc.is_primary").alias("is_primary"),
+    )

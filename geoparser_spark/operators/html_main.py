@@ -1,0 +1,179 @@
+"""HTML main-content extraction: DOM text-density boilerplate strip.
+
+Replaces the reference's Tika-server text extraction hop
+(reference: geoparser_app/views.py:125 → Tika HTTP :8001,
+Docker/Dockerfile:33-36) with an in-process, deterministic DOM walk.
+Runs inside Arrow-batched ``mapInPandas`` stages — per-batch Python,
+never a per-row UDF (SURVEY.md §2.2 E1).
+
+Algorithm (deterministic, fixture-pinned):
+  1. Parse into an element tree (stdlib ``html.parser``; tolerant of
+     unclosed <p>/<li>, void elements, stray end tags).
+  2. Hard-drop boilerplate containers by tag (<nav>, <footer>, <script>,
+     ...) and by class/id token (``nav``, ``menu``, ``sidebar``, ...).
+  3. Walk remaining tree in document order, accumulating inline text
+     runs; each run is a candidate block attributed to its nearest
+     block-level ancestor.
+  4. Keep a block iff its normalized text is non-empty AND its link
+     density (chars inside <a> / total chars) is <= 0.5.  Link farms
+     ("related links", menus that survived step 2) fail this.
+  5. <img>/<video>/<audio> elements in kept containers emit media spans
+     (kind, media_ref) at their document-order position.
+
+Output: ordered list of (kind, text, media_ref) tuples; ``kind`` is
+'text' for content blocks or the media kind.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+DROP_TAGS = frozenset(
+    "script style noscript nav header footer aside form button iframe "
+    "svg select option template head title meta link".split()
+)
+BAD_CLASS_TOKENS = frozenset(
+    "nav navbar navigation menu footer header sidebar banner ad ads advert advertisement "
+    "promo related share social comment comments breadcrumb breadcrumbs "
+    "cookie popup widget masthead".split()
+)
+BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li pre blockquote div article section main body "
+    "html ul ol table tr td th figure figcaption dl dt dd".split()
+)
+VOID_TAGS = frozenset("img br hr input meta link source track wbr area base col embed".split())
+MEDIA_TAGS = {"img": "image", "video": "video", "audio": "audio"}
+# Tags whose open implies closing a same-tag ancestor (HTML5 omission rules,
+# the subset that matters for content docs).
+IMPLIED_CLOSE = {"p": {"p"}, "li": {"li"}, "tr": {"tr", "td", "th"}, "td": {"td", "th"}, "th": {"td", "th"}}
+
+_TOKEN_SPLIT = re.compile(r"[\s_\-]+")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "dropped")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # _Node | str
+        self.dropped = _is_dropped(tag, attrs)
+
+
+def _is_dropped(tag: str, attrs: dict[str, str]) -> bool:
+    if tag in DROP_TAGS:
+        return True
+    blob = f"{attrs.get('class', '')} {attrs.get('id', '')} {attrs.get('role', '')}".lower()
+    return any(tok in BAD_CLASS_TOKENS for tok in _TOKEN_SPLIT.split(blob) if tok)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        ad = {k: (v or "") for k, v in attrs}
+        closers = IMPLIED_CLOSE.get(tag)
+        if closers:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in closers:
+                    del self.stack[i:]
+                    break
+                if t not in ("a", "span", "b", "i", "em", "strong", "small", "u", "code"):
+                    break
+        node = _Node(tag, ad)
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        node = _Node(tag.lower(), {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _Emitter:
+    """Document-order walk producing (kind, text, media_ref) blocks."""
+
+    def __init__(self) -> None:
+        self.out: list[tuple[str, str | None, str | None]] = []
+        self._run: list[str] = []       # inline text chunks of current block
+        self._run_link_len = 0          # chars contributed under <a>
+
+    def _flush(self) -> None:
+        text = _norm("".join(self._run))
+        if text:
+            total = sum(len(_norm(c)) for c in self._run if _norm(c))
+            # link density on normalized lengths
+            if total == 0 or self._run_link_len / max(total, 1) <= 0.5:
+                self.out.append(("text", text, None))
+        self._run = []
+        self._run_link_len = 0
+
+    def walk(self, node: _Node, in_link: bool = False) -> None:
+        for child in node.children:
+            if isinstance(child, str):
+                self._run.append(child)
+                if in_link:
+                    self._run_link_len += len(_norm(child))
+                continue
+            if child.dropped:
+                continue
+            if child.tag in MEDIA_TAGS:
+                self._flush()
+                ref = child.attrs.get("src") or child.attrs.get("data-src") or ""
+                self.out.append((MEDIA_TAGS[child.tag], None, ref or None))
+                # a <video> may wrap <source>; already void-skipped
+                continue
+            if child.tag in BLOCK_TAGS:
+                self._flush()
+                self.walk(child, in_link=in_link)
+                self._flush()
+            else:
+                # inline element: accumulate into the current run
+                self.walk(child, in_link=in_link or child.tag == "a")
+
+    def finish(self) -> list[tuple[str, str | None, str | None]]:
+        self._flush()
+        return self.out
+
+
+def extract_html_blocks(html: str) -> list[tuple[str, str | None, str | None]]:
+    """Parse HTML and return ordered main-content blocks.
+
+    Returns [(kind, text, media_ref), ...] where kind is 'text' or a
+    media kind ('image'|'video'|'audio').
+    """
+    if not html:
+        return []
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # tolerate hopeless markup: fall back to tag-stripped text
+        stripped = _norm(re.sub(r"<[^>]*>", " ", html))
+        return [("text", stripped, None)] if stripped else []
+    emitter = _Emitter()
+    emitter.walk(builder.root)
+    return emitter.finish()

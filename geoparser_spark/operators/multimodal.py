@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+The sandbox has no image/audio codecs, so the decode kernels are
+deterministic STUBS (clearly marked) — but every Spark-side piece is
+real and tested: schemas, Arrow batch shapes, partitioning, the
+mapInPandas signatures a production decoder would drop into.
+
+Pattern: media rows carry (media_ref, media_bytes: binary, media_meta:
+struct).  Kernels run in ``mapInPandas`` so a real decoder (PIL/ffmpeg)
+processes whole Arrow batches, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
+    """DETERMINISTIC FAKE featurizer: sha256 bytes → unit-norm floats.
+    A real model replaces this one function; batch plumbing unchanged."""
+    h = hashlib.sha256(payload or b"").digest()
+    v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    v = v.astype(np.float64)
+    nrm = np.linalg.norm(v) or 1.0
+    return [float(x) for x in v / nrm]
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — NOT AVAILABLE in this container.
+
+    Raises NotImplementedError by design; wire PIL/turbojpeg here in a
+    deployment.  The surrounding batch plumbing is what this repo
+    ships."""
+    raise NotImplementedError("image codecs not present in sandbox; see module docstring")
+
+
+def extract_media_features(media: DataFrame, dim: int = 16,
+                           bytes_col: str = "media_bytes",
+                           ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
+    decode_ok).  Arrow-batched; a real featurizer swaps _stub_feature."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col],
+                    "feature": [
+                        _stub_feature(b if isinstance(b, (bytes, bytearray)) else b"", dim)
+                        for b in pdf[bytes_col]
+                    ],
+                    "decode_ok": [b is not None for b in pdf[bytes_col]],
+                }
+            )
+
+    return media.select(ref_col, bytes_col).mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per planned frame
+    (media_ref, frame_idx, ts_ms) from duration metadata — pure SQL.
+    The decode of each frame is the stubbed kernel above."""
+    from pyspark.sql import functions as F
+
+    n_frames = F.greatest(
+        (F.col("media_meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return media.select(
+        "media_ref",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms
+            )
+        ).alias("frame_idx", "ts_ms"),
+    )

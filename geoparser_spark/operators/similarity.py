@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — one codegen'd pass, orderBy+limit
+(TakeOrderedAndProject: no full sort materializes).  Scale paths:
+  * LSH (random-hyperplane sign buckets): candidates share a bucket
+    key; exact rerank inside buckets only.
+  * IVF (inverted file over k-means centroids): assign every vector to
+    its nearest centroid natively; probe only the closest nprobe lists.
+
+All distance math is native SQL (zip_with + aggregate) — zero Python
+in any hot path; numpy appears only to fit IVF centroids on a bounded
+sample at the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geoparser_spark.operators.tiles import kmeans_fit
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.dot(query, query))) or 1.0
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def brute_force_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k.  orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps + driver merge, no
+    global sort shuffle."""
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cosine_to_query(F.col(vec_col).cast("array<double>"), query).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-of-dot-product bucket key as a bit string — native."""
+    bits = [
+        F.when(
+            _dot(vec_col, F.array(*[F.lit(float(v)) for v in p])) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+             n_planes: int = 8, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN: rerank only vectors in the query's hyperplane bucket.
+    Recall < 1 by design; the bucket scan touches ~1/2^n_planes of the
+    data (partition-prunable if the table is written bucketed by the
+    key)."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    qkey = "".join("1" if float(np.dot(p, query)) >= 0 else "0" for p in planes)
+    return (
+        embeddings.withColumn("bucket", lsh_bucket_col(v, planes))
+        .where(F.col("bucket") == qkey)
+        .select(F.col(id_col), cosine_to_query(v, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_fit_centroids(embeddings: DataFrame, n_lists: int = 16,
+                      sample: int = 4096, vec_col: str = "embedding") -> np.ndarray:
+    """Fit IVF centroids on a deterministic bounded sample (same
+    deterministic k-means as the tile pyramid — kmeans_fit works on
+    arbitrary dim)."""
+    pdf = (
+        embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string")))
+        .limit(sample)
+        .toPandas()
+    )
+    pts = np.array(pdf["v"].tolist(), dtype=np.float64)
+    return kmeans_fit(pts, n_lists)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid list id per vector — a native expression over
+    centroid literals (no Python, no shuffle)."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return embeddings.withColumn(
+        "ivf_list", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], centroids: np.ndarray,
+             k: int = 10, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Probe the nprobe nearest inverted lists, exact rerank inside.
+    At scale the table is pre-partitioned by ivf_list so the probe is
+    partition pruning, not a scan."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        assigned.where(F.col("ivf_list").isin(probe))
+        .select(F.col(id_col), cosine_to_query(v, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                          vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, pairwise) — for
+    bounded/filtered subsets; at scale feed LSH buckets in first."""
+    v = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("nrm")
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,121 @@
+"""Text analysis for corpus curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All native column expressions (the oracle SQL in __spark_entry__ mirrors
+each formula in DuckDB) — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geoparser_spark.operators.geotag import normalize_text
+
+# tiny deterministic stopword sets (top function words)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "dans"],
+    "es": ["el", "la", "de", "que", "los", "es", "un", "una", "por", "con"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(normalize_text(F.col(text_col)), " ")
+
+
+def token_count(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish unit count (word pieces and
+    punctuation both count, the usual ~chars/4 proxy)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+        F.size(
+            F.split(F.col(text_col), r"\s+")
+        ).alias("n_whitespace_tokens"),
+        (F.length(text_col) / 4).cast("int").alias("n_bpe_est"),
+    )
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(_tokens(text_col), lambda t: F.array_contains(stops, t)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language ID with deterministic tie-break (first
+    language in en<de<es<fr alphabetical order wins ties; 'und' =
+    undetermined when no stopwords hit)."""
+    langs = sorted(STOPWORDS)
+    out = docs.select(F.col(id_col), F.col(text_col))
+    for lang in langs:
+        out = out.withColumn(f"hits_{lang}", stopword_hits(text_col, lang))
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    lang_expr = F.lit("und")
+    for lang in reversed(langs):
+        lang_expr = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(lang_expr)
+    return out.select(
+        F.col(id_col),
+        lang_expr.alias("lang_pred"),
+        best.alias("stopword_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + a composite score:
+    length, punctuation ratio, stopword ratio, mean word length.
+    Mirrors the usual curation heuristics (C4/Gopher-style rules)."""
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    mean_wlen = (F.length(normalize_text(F.col(text_col))) - (n_tokens - 1)) / n_tokens
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when(n_tokens >= 10, 1.0).otherwise(0.0)
+        + F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), 1.0).otherwise(0.0)
+        + F.when(stop_ratio > 0.02, 1.0).otherwise(0.0)
+        + F.when((mean_wlen > 2.5) & (mean_wlen < 12), 1.0).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", shingle: int = 8) -> DataFrame:
+    """Document fingerprints:
+      * md5 of the normalized text (exact-content identity), and
+      * min-shingle fingerprint: lexicographic min of md5 over 8-token
+        shingles (a deterministic rolling-window fingerprint; robust to
+        local edits, the winnowing idea with w=∞)."""
+    toks = normalize_text(F.col(text_col))
+    shingles = F.expr(
+        f"""CASE WHEN size(split({text_col}_norm, ' ')) >= {shingle} THEN
+              transform(sequence(0, size(split({text_col}_norm, ' ')) - {shingle}),
+                        i -> md5(array_join(slice(split({text_col}_norm, ' '), i + 1, {shingle}), ' ')))
+            ELSE array(md5({text_col}_norm)) END"""
+    )
+    return (
+        docs.withColumn(f"{text_col}_norm", toks)
+        .select(
+            F.col(id_col),
+            F.md5(F.col(f"{text_col}_norm")).alias("md5_fp"),
+            F.array_min(shingles).alias("min_shingle_fp"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Incremental extract+geotag via Structured Streaming.
+
+The reference's only incremental behavior is a polled driver loop with
+a resume offset and a periodic tile-regen thread
+(geoparser_app/views.py:322-348, 248-267).  The batch manifest
+(plans/runtime.py) replaces that; this module adds the true streaming
+seam for continuously-arriving corpora:
+
+  * file-source stream over the docs table directory,
+  * the SAME extract/geotag transformations (they are plain DataFrame
+    functions, so they compose with readStream unchanged),
+  * ``Trigger.AvailableNow`` for catch-up-then-stop semantics,
+  * ``foreachBatch`` so each micro-batch appends to the output table —
+    the streaming checkpoint gives exactly-once per micro-batch,
+    mirroring the reference's KHOOSHE_GEN_FREQ periodic materialization
+    (views.py:48,339-348) without the single-flight flag hack.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from geoparser_spark.operators.extract import extract
+from geoparser_spark.schemas import DOCS
+
+
+def stream_docs(spark: SparkSession, docs_dir: str,
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(DOCS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(docs_dir)
+
+
+def run_incremental_extract(
+    spark: SparkSession,
+    docs_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] = extract,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Process whatever has arrived, then stop (AvailableNow), writing
+    each micro-batch to the output table.  Restart-safe via the stream
+    checkpoint — the streaming twin of resumable_stage."""
+    stream = transform(stream_docs(spark, docs_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,177 @@
+"""Deterministic synthetic corpus of interleaved text + media documents.
+
+Shape per BASELINE.json ``input_hint``:
+    docs(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+
+The generator embeds KNOWN content (paragraphs, pdf lines, media refs)
+inside realistic boilerplate (nav/header/footer/link farms), so the
+golden ``expected_spans`` output is derived from the generator's own
+ground truth — NOT by running the extractor (no tautological tests).
+
+Determinism: a per-document PRNG seeded by (global_seed, doc_index), so
+generation is order-independent and can run distributed (spark.range →
+mapInPandas) at any partitioning and still produce identical documents.
+
+Skew fixture (FIXTURES.md §1): every ``mega_every``-th doc gets
+``mega_factor``× the median span count — the mega-document skew the
+salted repartition must defuse.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from geoparser_spark.operators.pdf_text import make_mini_pdf
+from geoparser_spark.schemas import DOCS, EXTRACTED
+from geoparser_spark.testing.gazetteer import gazetteer_rows
+
+import base64
+
+_WORDS = (
+    "ocean glacier research vessel survey expedition northern southern basin "
+    "climate sediment camera station coastal satellite measured reported team "
+    "harbor winter summer route traffic market festival museum river bridge "
+    "council report annual growth policy transit energy water district local"
+).split()
+
+_BOILER_LINKS = ["Home", "About", "Contact", "Privacy", "Terms", "Sitemap", "Login"]
+
+
+def _mention_names(seed: int) -> list[str]:
+    """Gazetteer surface forms to seed into content text (fixture pairs
+    first, per FIXTURES.md §1)."""
+    names = [r["name"] for r in gazetteer_rows(seed)]
+    fixtures = ["Pasadena Texas", "United States", "China"]
+    return fixtures + names
+
+
+def _sentence(rng: random.Random, mentions: list[str]) -> str:
+    n = rng.randint(6, 12)
+    words = [_WORDS[rng.randrange(len(_WORDS))] for _ in range(n)]
+    if rng.random() < 0.45:
+        words.insert(rng.randrange(len(words)), mentions[rng.randrange(len(mentions))])
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, mentions: list[str]) -> str:
+    return " ".join(_sentence(rng, mentions) for _ in range(rng.randint(1, 3)))
+
+
+def _html_span(rng: random.Random, doc_id: str, idx: int, mentions: list[str]):
+    """Build one HTML page; return (html, ground_truth_blocks)."""
+    truth: list[tuple[str, str | None, str | None]] = []
+    title = _sentence(rng, mentions).rstrip(".")
+    paras = [_paragraph(rng, mentions) for _ in range(rng.randint(1, 4))]
+    nav = "".join(f'<a href="/{w.lower()}">{w}</a>' for w in _BOILER_LINKS)
+    parts = [
+        "<html><head><title>ignored</title><script>var x=1;</script></head><body>",
+        f"<nav>{nav}</nav>",
+        f'<div class="sidebar"><a href="/a">Trending</a><a href="/b">Popular now</a></div>',
+        f'<div class="content"><h1>{title}</h1>',
+    ]
+    truth.append(("text", title, None))
+    for pi, p in enumerate(paras):
+        parts.append(f"<p>{p}</p>")
+        truth.append(("text", p, None))
+        if rng.random() < 0.3:
+            ref = f"img://{doc_id}/{idx}-{pi}"
+            parts.append(f'<img src="{ref}"/>')
+            truth.append(("image", None, ref))
+    # link farm without a bad class name — must die by link density
+    farm = "".join(f'<a href="/r{i}">{_WORDS[(i * 5 + idx) % len(_WORDS)]}</a> ' for i in range(6))
+    parts.append(f"<div>{farm}</div>")
+    parts.append(f'<footer>Copyright {1990 + idx % 30} example.org {nav}</footer>')
+    parts.append("</body></html>")
+    return "".join(parts), truth
+
+
+def _pdf_span(rng: random.Random, mentions: list[str]):
+    pages = [
+        [_sentence(rng, mentions) for _ in range(rng.randint(1, 3))]
+        for _ in range(rng.randint(1, 2))
+    ]
+    compress = rng.random() < 0.5
+    b64 = base64.b64encode(make_mini_pdf(pages, compress=compress)).decode("ascii")
+    truth = [("text", " ".join(" ".join(lines).split()), None) for lines in pages]
+    return b64, truth
+
+
+def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
+                 mega_factor: int = 100) -> tuple[dict, dict]:
+    """Return (doc_row, expected_row) for one document. Pure function of
+    (doc_index, seed, mega_every, mega_factor)."""
+    rng = random.Random(f"{seed}:{doc_index}")
+    mentions = _mention_names(seed)
+    doc_id = f"doc-{doc_index:08d}"
+    n_spans = rng.randint(1, 5)
+    if mega_every and doc_index % mega_every == mega_every - 1:
+        n_spans *= mega_factor  # mega-document
+    spans_in: list[dict] = []
+    truth: list[tuple[str, str | None, str | None]] = []
+    for i in range(n_spans):
+        kind = rng.choices(
+            ["html", "text", "pdf_bytes", "image", "video"],
+            weights=[4, 4, 2, 1, 1],
+        )[0]
+        if kind == "html":
+            html, t = _html_span(rng, doc_id, i, mentions)
+            spans_in.append({"kind": "html", "text": html, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "text":
+            txt = _paragraph(rng, mentions)
+            spans_in.append({"kind": "text", "text": txt, "media_ref": None, "offset": i})
+            truth.append(("text", txt, None))
+        elif kind == "pdf_bytes":
+            b64, t = _pdf_span(rng, mentions)
+            spans_in.append({"kind": "pdf_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        else:
+            ref = f"{kind[:3]}://{doc_id}/{i}"
+            spans_in.append({"kind": kind, "text": None, "media_ref": ref, "offset": i})
+            truth.append((kind, None, ref))
+    doc_row = {"doc_id": doc_id, "spans": spans_in}
+    expected_row = {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "order": o}
+            for o, (k, t, m) in enumerate(truth)
+        ],
+    }
+    return doc_row, expected_row
+
+
+def _gen_batches(which: str, seed: int, mega_every: int, mega_factor: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                generate_doc(int(i), seed, mega_every, mega_factor)[0 if which == "docs" else 1]
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "spans": [r["spans"] for r in rows],
+                }
+            )
+    return fn
+
+
+def build_docs(spark: SparkSession, n_docs: int, seed: int = 42,
+               mega_every: int = 1000, mega_factor: int = 100,
+               partitions: int | None = None) -> DataFrame:
+    """Distributed generation: spark.range(n) → mapInPandas. Scales to
+    any corpus size without driver materialization."""
+    rng_df = spark.range(n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(_gen_batches("docs", seed, mega_every, mega_factor), schema=DOCS)
+
+
+def build_expected(spark: SparkSession, n_docs: int, seed: int = 42,
+                   mega_every: int = 1000, mega_factor: int = 100,
+                   partitions: int | None = None) -> DataFrame:
+    rng_df = spark.range(n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(_gen_batches("expected", seed, mega_every, mega_factor), schema=EXTRACTED)

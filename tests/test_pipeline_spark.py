@@ -1,0 +1,201 @@
+"""End-to-end Spark-path tests: extraction equality, partitioning
+invariance, mega-doc splitting, geotag fixtures, resume.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoparser_spark.operators.extract import extract
+from geoparser_spark.operators.geotag import (
+    build_surface_forms,
+    candidate_mentions,
+    geotag,
+    resolve_mentions,
+    select_primary,
+)
+from geoparser_spark.plans.runtime import (
+    reassemble_chunks,
+    resumable_stage,
+    salted_repartition,
+    split_mega_docs,
+    with_part_id,
+)
+from geoparser_spark.testing.corpus import build_docs, build_expected
+
+N_DOCS = 120
+GEN = dict(seed=42, mega_every=40, mega_factor=20)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return build_docs(spark, N_DOCS, **GEN).cache()
+
+
+@pytest.fixture(scope="module")
+def expected(spark):
+    return build_expected(spark, N_DOCS, **GEN).cache()
+
+
+def _assert_span_equality(got, expected):
+    j = got.alias("g").join(expected.alias("e"), "doc_id", "full")
+    bad = j.where(
+        F.col("g.spans").isNull()
+        | F.col("e.spans").isNull()
+        | ~(F.col("g.spans") == F.col("e.spans"))
+    )
+    assert bad.count() == 0
+
+
+def test_extract_matches_golden(docs, expected):
+    _assert_span_equality(extract(docs), expected)
+
+
+def test_extract_invariant_under_repartition(docs, expected):
+    # span order is data, not row order: any partitioning gives the
+    # same per-doc sequence (SURVEY.md §4.2 determinism discipline)
+    _assert_span_equality(extract(salted_repartition(docs, 13)), expected)
+
+
+def test_split_mega_docs_roundtrip(docs, expected):
+    chunked = split_mega_docs(docs, max_spans=8)
+    # chunk spans keep their source offsets; extract per chunk then
+    # reassemble in chunk order
+    extracted_chunks = (
+        chunked.select("doc_id", "chunk_id", "spans")
+        .withColumnRenamed("doc_id", "doc_id")
+    )
+    from geoparser_spark.schemas import EXTRACTED
+    from geoparser_spark.operators.extract import _extract_batches
+    import pandas as pd
+
+    # run the extract kernel per chunk row, preserving chunk_id
+    def batches(it):
+        from geoparser_spark.operators.extract import extract_doc_spans
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_id": pdf["chunk_id"],
+                    "spans": [
+                        [
+                            {
+                                "kind": s["kind"],
+                                "text": s["text"],
+                                "media_ref": s["media_ref"],
+                                "order": s["order"],
+                            }
+                            for s in extract_doc_spans(spans)
+                        ]
+                        for spans in pdf["spans"]
+                    ],
+                }
+            )
+
+    schema = "doc_id string, chunk_id int, spans array<struct<kind:string,text:string,media_ref:string,order:int>>"
+    per_chunk = extracted_chunks.mapInPandas(batches, schema=schema)
+    _assert_span_equality(reassemble_chunks(per_chunk), expected)
+
+
+def test_resumable_stage_resumes(spark, docs, expected):
+    tmp = tempfile.mkdtemp(prefix="gp_resume_")
+    out_dir = f"{tmp}/out"
+    man_dir = f"{tmp}/manifest"
+    try:
+        n_parts = 8
+        # simulate a crashed first run: only partitions 0..3 completed
+        first_half = with_part_id(docs, n_parts=n_parts).where(F.col("part_id") < 4)
+        out1 = resumable_stage(
+            spark, first_half.drop("part_id"), extract, out_dir, man_dir,
+            run_id="r1", n_parts=n_parts,
+        )
+        done1 = spark.read.parquet(man_dir).where(F.col("status") == "done")
+        assert done1.select("partition_id").distinct().count() == 4
+
+        # resume over the full input: must process ONLY the remaining 4
+        out2 = resumable_stage(
+            spark, docs, extract, out_dir, man_dir, run_id="r2", n_parts=n_parts
+        )
+        man = spark.read.parquet(man_dir)
+        r2_parts = (
+            man.where(F.col("run_id") == "r2").select("partition_id").distinct()
+        )
+        assert r2_parts.count() == n_parts - 4
+        # final output identical to an uninterrupted run
+        _assert_span_equality(out2, expected)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ----------------------------------------------------------- geotag
+
+def test_geotag_fixtures(spark, gazetteer):
+    texts = spark.createDataFrame(
+        [
+            ("d1", "He moved from Pasadena Texas to the coast."),
+            ("d3", "Texas near Mexico border town."),
+        ],
+        ["doc_id", "text"],
+    )
+    surf = build_surface_forms(gazetteer)
+    res = resolve_mentions(candidate_mentions(texts, surf))
+    got = {
+        (r.doc_id, r.gram): r.geonameid
+        for r in res.select("doc_id", "gram", "geonameid").collect()
+    }
+    # alone: admin-hierarchy weight wins → US ADM1 Texas, US Pasadena
+    assert got[("d1", "texas")] == 4736286
+    assert got[("d1", "pasadena")] == 5381396
+    # with "Mexico" co-mentioned: the MX Texas (the reference's naive
+    # top-hit at 18.05333,-91.92139, README.md:69-82) wins
+    assert got[("d3", "texas")] == 3516809
+
+
+def test_geotag_primary_polar_geot(spark, gazetteer):
+    # polar.geot golden contract (reference README.md:98-115): most
+    # frequent entity is primary; China optional
+    texts = spark.createDataFrame(
+        [("p1", "United States team met China delegates in United States labs.")],
+        ["doc_id", "text"],
+    )
+    surf = build_surface_forms(gazetteer)
+    prim = select_primary(resolve_mentions(candidate_mentions(texts, surf)))
+    rows = {r.name: (r.is_primary, r.latitude, r.longitude) for r in prim.collect()}
+    assert rows["United States"] == (True, 39.76, -98.5)
+    assert rows["China"][0] is False
+
+
+def test_geotag_full_stage_and_ordering(spark, gazetteer):
+    ext = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "text", "text": "Pasadena Texas visit", "media_ref": None, "order": 0},
+                    {"kind": "image", "text": None, "media_ref": "i://1", "order": 1},
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,order:int>>",
+    )
+    out = geotag(ext, gazetteer).collect()
+    assert len(out) == 1
+    locs = out[0].locations
+    assert [l.name for l in locs] == ["Pasadena", "Texas"]
+    assert [l.is_primary for l in locs] == [True, False]
+
+
+def test_geotag_multiword_and_alternatenames(spark, gazetteer):
+    texts = spark.createDataFrame(
+        [("m1", "Reports from USA confirm the findings.")],
+        ["doc_id", "text"],
+    )
+    surf = build_surface_forms(gazetteer)
+    res = resolve_mentions(candidate_mentions(texts, surf))
+    rows = res.collect()
+    assert len(rows) == 1 and rows[0].geonameid == 6252001  # USA → United States
