@@ -233,6 +233,18 @@ def _geotag_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- relational (Q1-12)
 
+def _q2_nonempty_filter(spark, sf_dir):
+    """Q2 — the reference's q=-points:"[]" filter (solr.py:323,392):
+    keep only docs that produced >= 1 gazetteer mention."""
+    return _geotag_candidates(spark, sf_dir).select("doc_id").distinct()
+
+
+def _q5_projection(spark, sf_dir):
+    """Q5 — fl=... field-list projection; column pruning reaches the
+    parquet scan (ReadSchema shows exactly these two columns)."""
+    return _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+
 def _q1_point_lookup(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
@@ -300,6 +312,155 @@ def _q12_topn(spark, sf_dir):
         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .select("doc_id", "n_chars")
         .limit(10)
+    )
+
+
+def _events_windowed_agg(spark, sf_dir):
+    """Tumbling 1-hour event-time window agg (streaming-compatible
+    shape; SURVEY.md §2.5 — the batch twin of a watermark+window)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _events_sessionize(spark, sf_dir):
+    """Session assignment: a new session starts after a >30 min gap per
+    user (lag + cumulative sum over an event-time window)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)
+    gap = epoch - F.lag(epoch, 1).over(w)
+    with_new = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = with_new.withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _tile_extents(spark, sf_dir):
+    """Q9/Q10 — deterministic k-means tile pyramid over points derived
+    from events; returns the extent manifest (dict.csv replacement).
+    Rows-only check: k-means is not SQL-expressible; determinism is
+    pinned by tests/test_operators_spark.py."""
+    from geoparser_spark.operators.tiles import build_tile_pyramid
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select(
+            (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
+            (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
+            F.col("event_type").alias("info"),
+        )
+    )
+    _, extents = build_tile_pyramid(pts, k=8, leaf_max=10, max_levels=3)
+    return extents.select(
+        "level", "cluster_path",
+        F.round("min_lat", 6).alias("min_lat"), F.round("max_lat", 6).alias("max_lat"),
+        F.round("min_lon", 6).alias("min_lon"), F.round("max_lon", 6).alias("max_lon"),
+    )
+
+
+def _viewport_tiles(spark, sf_dir):
+    """Q11 — tiles whose extent intersects a viewport (range predicates
+    over the extent manifest).  Rows-only (depends on k-means tiles)."""
+    from geoparser_spark.operators.tiles import build_tile_pyramid, viewport_tiles
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select(
+            (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
+            (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
+            F.col("event_type").alias("info"),
+        )
+    )
+    tiles, extents = build_tile_pyramid(pts, k=8, leaf_max=10, max_levels=3)
+    vt = viewport_tiles(tiles, extents, 0.0, 45.0, 0.0, 90.0)
+    return vt.select(
+        "level", "cluster_path",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "label",
+    )
+
+
+def _mm_frame_plan(spark, sf_dir):
+    """Multimodal: video frame-sampling plan from duration metadata —
+    pure SQL, one row per planned frame."""
+    from geoparser_spark.operators.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("vid://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(640).alias("width"), F.lit(480).alias("height"),
+            F.pmod(F.col("n_chars") * 173, F.lit(10_000)).cast("int").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+def _mm_media_features(spark, sf_dir):
+    """Multimodal: Arrow-batched feature extraction over binary media
+    columns (deterministic stub featurizer — see operators/multimodal).
+    Rows-only: sha256→float plumbing is not SQL-expressible."""
+    from geoparser_spark.operators.multimodal import extract_media_features
+
+    media = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode("text", "UTF-8").alias("media_bytes"),
+    )
+    out = extract_media_features(media, dim=16)
+    return out.select(
+        "media_ref", "decode_ok",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 16), 6).alias("f15"),
+    )
+
+
+def _tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local-supplier revenue: 6-way join; small dims
+    broadcast, big fact joins shuffle on their keys."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, (orders["o_custkey"] == cust["c_custkey"])
+              & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def _tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
     )
 
 
@@ -410,15 +571,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotag_primary": _geotag_primary,
         "geotag_full_pipeline": _geotag_full,
         "q1_point_lookup": _q1_point_lookup,
+        "q2_nonempty_filter": _q2_nonempty_filter,
         "q3_keyword_search": _q3_keyword_search,
         "q4_semi_join": _q4_semi_join,
+        "q5_projection": _q5_projection,
         "q6_count": _q6_count,
         "q7_dedup_pairs": _q7_dedup,
         "q8_facet_counts": _q8_facet,
+        "q9_tile_extents": _tile_extents,
         "q10_extent_agg": _q10_extent,
+        "q11_viewport_tiles": _viewport_tiles,
         "q12_topn": _q12_topn,
+        "events_windowed_agg": _events_windowed_agg,
+        "events_sessionize": _events_sessionize,
+        "multimodal_frame_plan": _mm_frame_plan,
+        "multimodal_media_features": _mm_media_features,
         "tpch_q1_pricing": _tpch_q1,
         "tpch_q3_shipping": _tpch_q3,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q6_forecast": _tpch_q6,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -459,6 +630,60 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_extract_spans": _FLAGSHIP_SQL,
         "geotag_candidates": _geotag_candidates_sql(),
         "q1_point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+        "q2_nonempty_filter": f"""
+            WITH cand AS ({_geotag_candidates_sql()})
+            SELECT DISTINCT doc_id FROM cand""",
+        "q5_projection": "SELECT doc_id, n_chars FROM documents",
+        "events_windowed_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_id""",
+        "multimodal_frame_plan": """
+            WITH m AS (
+              SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     CAST((n_chars * 173) % 10000 AS INT) AS duration_ms
+              FROM documents
+            )
+            SELECT media_ref, CAST(i AS INT) AS frame_idx,
+                   CAST(i * 1000 AS INT) AS ts_ms
+            FROM (SELECT media_ref,
+                          unnest(range(0, greatest(CAST(floor(duration_ms / 1000) AS INT), 1))) AS i
+                  FROM m)""",
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name""",
+        "tpch_q6_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
         "q3_keyword_search": "SELECT doc_id FROM documents WHERE contains(lower(text), 'merge')",
         "q4_semi_join": """
             SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows

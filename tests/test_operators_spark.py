@@ -1,0 +1,375 @@
+"""Operator-family tests: tiles, dedup, similarity, text analysis,
+multimodal plumbing, serving ops, geonames source, JSON round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geoparser_spark.operators import dedup as D
+from geoparser_spark.operators import serve
+from geoparser_spark.operators import similarity as S
+from geoparser_spark.operators import text_quality as TQ
+from geoparser_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+)
+from geoparser_spark.operators.tiles import (
+    build_tile_pyramid,
+    dedup_points,
+    kmeans_fit,
+    viewport_tiles,
+    write_tiles,
+)
+from geoparser_spark.sources.geonames import read_geonames_tsv
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="gp_ops_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------------- tiles
+
+def _points_df(spark, n=400, seed=7):
+    rng = np.random.RandomState(seed)
+    # two well-separated geographic blobs + a tiny outlier cluster
+    blob1 = rng.normal([40.0, -100.0], 1.0, size=(n // 2, 2))
+    blob2 = rng.normal([-20.0, 130.0], 1.0, size=(n // 2, 2))
+    outl = np.array([[70.0, 10.0], [70.1, 10.1], [70.2, 10.2]])
+    pts = np.vstack([blob1, blob2, outl])
+    rows = [
+        Row(latitude=float(a), longitude=float(b), info=f"p{i}")
+        for i, (a, b) in enumerate(pts)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_kmeans_fit_deterministic():
+    pts = np.random.RandomState(0).normal(size=(200, 2))
+    c1 = kmeans_fit(pts, 5)
+    c2 = kmeans_fit(pts.copy(), 5)
+    assert np.array_equal(c1, c2)
+
+
+def test_tile_pyramid_shape_and_determinism(spark):
+    pts = _points_df(spark)
+    tiles1, extents1 = build_tile_pyramid(pts, k=4, leaf_max=10, max_levels=4)
+    t1 = sorted(tiles1.collect())
+    e1 = sorted(extents1.collect())
+    tiles2, extents2 = build_tile_pyramid(pts.repartition(7), k=4, leaf_max=10, max_levels=4)
+    assert sorted(tiles2.collect()) == t1
+    assert sorted(extents2.collect()) == e1
+    # level-1 centroid rows exist and their labels sum to the point count
+    lvl1 = [r for r in t1 if r.level == 1 and not r.is_leaf]
+    assert lvl1, "expected non-leaf centroid tiles at level 1"
+    n_unique = pts.dropDuplicates(["latitude", "longitude"]).count()
+    assert sum(r.label for r in lvl1) == n_unique
+    # every leaf point is a real input point
+    leaves = [r for r in t1 if r.is_leaf]
+    src = {(r.latitude, r.longitude) for r in pts.collect()}
+    assert all((r.latitude, r.longitude) in src for r in leaves)
+
+
+def test_extents_bound_their_points(spark):
+    pts = _points_df(spark, n=100)
+    tiles, extents = build_tile_pyramid(pts, k=4, leaf_max=10, max_levels=3)
+    for r in extents.collect():
+        assert r.min_lat <= r.max_lat and r.min_lon <= r.max_lon
+
+
+def test_viewport_filter(spark):
+    pts = _points_df(spark)
+    tiles, extents = build_tile_pyramid(pts, k=4, leaf_max=10, max_levels=3)
+    # viewport around blob1 only (lat 40, lon -100)
+    vt = viewport_tiles(tiles, extents, 30, 50, -110, -90)
+    got = vt.collect()
+    assert got, "viewport over a blob must return tiles"
+    # no returned cluster may lie entirely in the other hemisphere
+    ext = {(r.level, r.cluster_path): r for r in extents.collect()}
+    for r in got:
+        e = ext[(r.level, r.cluster_path)]
+        assert e.max_lon >= -110 and e.min_lon <= -90
+
+
+def test_tile_sink_partitioned_by_level(spark, tmpdir):
+    pts = _points_df(spark, n=60)
+    tiles, _ = build_tile_pyramid(pts, k=3, leaf_max=10, max_levels=3)
+    out = os.path.join(tmpdir, "tiles")
+    write_tiles(tiles, out)
+    assert any(p.startswith("level=") for p in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == tiles.count()
+    # partition pruning: a level filter must prune the file listing
+    plan = back.where(F.col("level") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(level" in plan
+
+
+def test_dedup_points(spark):
+    df = spark.createDataFrame(
+        [Row(latitude=1.0, longitude=2.0), Row(latitude=1.0, longitude=2.0),
+         Row(latitude=3.0, longitude=4.0)]
+    )
+    assert dedup_points(df).count() == 2
+
+
+# ------------------------------------------------------------- dedup
+
+_DOCS = [
+    ("a", "the quick brown fox jumps over the lazy dog near the river bank"),
+    ("b", "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of a
+    ("c", "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    ("d", "completely unrelated sentence about glacier survey expeditions in winter"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in _DOCS])
+
+
+def test_exact_dedup(spark):
+    out = {r.keeper_id: r.dup_count for r in D.exact_dedup(_docs_df(spark)).collect()}
+    assert out["a"] == 2 and out["c"] == 1 and out["d"] == 1
+
+
+def test_ngram_jaccard_known_values(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs_df(spark), n=3, threshold=0.0).collect()
+    }
+    assert pairs[("a", "b")] == pytest.approx(1.0)
+    # a vs c: 13 tokens -> 11 distinct trigrams each; only the final
+    # trigram differs -> |∩|=10, |∪|=12
+    assert pairs[("a", "c")] == pytest.approx(10 / 12)
+    assert pairs.get(("a", "d"), 0.0) == pytest.approx(0.0)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(_docs_df(spark), threshold=0.5).collect()
+    }
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert ("a", "c") in got  # high-sim pair must survive banding
+    assert all("d" not in k for k in got)
+    # LSH verified-jaccard must equal the exact pairwise jaccard
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs_df(spark), threshold=0.5).collect()
+    }
+    for k, v in got.items():
+        assert exact[k] == pytest.approx(v)
+
+
+def test_simhash_near_dup_pairs(spark):
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_dup_pairs(_docs_df(spark), max_hamming=10).collect()
+    }
+    assert got[("a", "b")] == 0       # identical text -> identical fingerprint
+    assert ("a", "d") not in got      # unrelated text stays far
+
+
+def test_simhash_deterministic(spark):
+    df = _docs_df(spark)
+    s1 = {r.id: r.simhash for r in D.simhash(df).collect()}
+    s2 = {r.id: r.simhash for r in D.simhash(df.repartition(5)).collect()}
+    assert s1 == s2
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in s1.values())
+
+
+# -------------------------------------------------------- similarity
+
+def _emb_df(spark, n=50, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n, dim))
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    ), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    q = [1.0] + [0.0] * 7
+    got = S.brute_force_topk(df, q, k=5).collect()
+    cos = vecs @ np.array(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = sorted(range(len(cos)), key=lambda i: (-cos[i], i))[:5]
+    assert [r.vec_id for r in got] == want
+    for r, i in zip(got, want):
+        assert r.cosine == pytest.approx(cos[i])
+
+
+def test_ivf_topk_subset_of_probed_lists(spark):
+    df, vecs = _emb_df(spark)
+    q = [1.0] + [0.0] * 7
+    cents = S.ivf_fit_centroids(df, n_lists=4, sample=50)
+    got = S.ivf_topk(df, q, cents, k=5, nprobe=4)  # nprobe=all -> exact
+    exact = S.brute_force_topk(df, q, k=5)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in exact.collect()]
+
+
+def test_lsh_topk_is_bucket_restricted_exact(spark):
+    df, vecs = _emb_df(spark)
+    q = [1.0] + [0.0] * 7
+    got = S.lsh_topk(df, q, k=5, n_planes=2)
+    ids = [r.vec_id for r in got.collect()]
+    # every returned id must rank correctly among returned ones (exact
+    # rerank inside the bucket)
+    cos = vecs @ np.array(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    assert ids == sorted(ids, key=lambda i: (-cos[i], i))
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[2.0, 0.0]),   # same direction as 0
+        Row(vec_id=2, embedding=[0.0, 1.0]),   # orthogonal
+    ]
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in S.cosine_near_dup_pairs(spark.createDataFrame(rows), 0.9).collect()}
+    assert got == {(0, 1): pytest.approx(1.0)}
+
+
+# ------------------------------------------------------ text analysis
+
+def test_token_count_values(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! Twelve chars.")])
+    r = TQ.token_count(df).collect()[0]
+    assert r.n_tokens == 4
+    assert r.n_whitespace_tokens == 4
+    assert r.n_bpe_est == len("Hello, world! Twelve chars.") // 4
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat and it was happy in the sun"),
+            Row(doc_id=2, text="der hund ist nicht mit der katze und das haus"),
+            Row(doc_id=3, text="zzz qqq xxx"),
+        ]
+    )
+    got = {r.doc_id: r.lang_pred for r in TQ.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_components(spark):
+    text = "The research team measured the river and reported annual growth for the district."
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    r = TQ.quality_score(df).collect()[0]
+    assert r.n_chars == len(text)
+    assert r.n_tokens == 13
+    assert r.quality_score == pytest.approx(4.0)  # passes all four gates
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            Row(doc_id=2, text="alpha  beta GAMMA delta epsilon zeta eta theta iota kappa"),
+            Row(doc_id=3, text="different words entirely here now okay fine yes sure good"),
+        ]
+    )
+    got = {r.doc_id: r for r in TQ.fingerprint(df).collect()}
+    # normalization makes 1 and 2 identical
+    assert got[1].md5_fp == got[2].md5_fp
+    assert got[1].min_shingle_fp == got[2].min_shingle_fp
+    assert got[1].md5_fp != got[3].md5_fp
+
+
+# --------------------------------------------------------- multimodal
+
+def test_media_features_deterministic_and_shaped(spark):
+    rows = [
+        Row(media_ref="m1", media_bytes=b"\x01\x02\x03"),
+        Row(media_ref="m2", media_bytes=b"\x01\x02\x03"),
+        Row(media_ref="m3", media_bytes=None),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.media_ref: r for r in extract_media_features(df, dim=16).collect()}
+    assert len(got["m1"].feature) == 16
+    assert got["m1"].feature == got["m2"].feature  # same bytes -> same feature
+    assert got["m3"].decode_ok is False
+    n = math.sqrt(sum(x * x for x in got["m1"].feature))
+    assert n == pytest.approx(1.0, abs=1e-5)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [
+            Row(media_ref="v1", media_meta=Row(mime="video/mp4", width=10, height=10, duration_ms=3500)),
+            Row(media_ref="v2", media_meta=Row(mime="video/mp4", width=10, height=10, duration_ms=500)),
+        ]
+    )
+    got = frame_sample_plan(df, every_ms=1000).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.media_ref, []).append((r.frame_idx, r.ts_ms))
+    assert sorted(per["v1"]) == [(0, 0), (1, 1000), (2, 2000)]
+    assert sorted(per["v2"]) == [(0, 0)]  # at least one frame
+
+
+# ------------------------------------------------------- serving ops
+
+def test_serve_search_points(spark):
+    texts = spark.createDataFrame(
+        [Row(doc_id="d1", text="glacier survey report"),
+         Row(doc_id="d2", text="market festival news")]
+    )
+    pts = spark.createDataFrame(
+        [Row(doc_id="d1", loc_name="X", latitude=1.0, longitude=2.0),
+         Row(doc_id="d2", loc_name="Y", latitude=3.0, longitude=4.0)]
+    )
+    got = serve.search_points(texts, pts, "GLACIER").collect()
+    assert [r.doc_id for r in got] == ["d1"]
+
+
+def test_serve_non_empty_locations(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id="a", locations=[Row(name="x")]), Row(doc_id="b", locations=[])]
+    )
+    assert [r.doc_id for r in serve.non_empty_locations(df).collect()] == ["a"]
+
+
+# ------------------------------------------------- geonames TSV source
+
+def test_read_geonames_tsv(spark, tmpdir):
+    line = (
+        "5381396\tPasadena\tPasadena\tPasadena city\t34.14778\t-118.14452\tP\tPPL\tUS\t\t"
+        "CA\t037\t\t\t141371\t263\t262\tAmerica/Los_Angeles\t2011-05-14\n"
+    )
+    path = os.path.join(tmpdir, "mini.tsv")
+    with open(path, "w") as f:
+        f.write(line)
+    df = read_geonames_tsv(spark, path)
+    r = df.collect()[0]
+    assert r.geonameid == 5381396
+    assert r.name == "Pasadena"
+    assert r.latitude == pytest.approx(34.14778)
+    assert r.country_code == "US"
+    assert r.admin1_code == "CA"
+    assert r.population == 141371
+
+
+# ----------------------------------------- S9 JSON export/import round-trip
+
+def test_json_round_trip_preserves_spans(spark, tmpdir):
+    from geoparser_spark.testing.corpus import build_docs
+
+    docs = build_docs(spark, 20, seed=42)
+    out = os.path.join(tmpdir, "docs_json")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    assert back.count() == 20
+    j = docs.alias("a").join(back.alias("b"), "doc_id")
+    diff = j.where(~(F.col("a.spans") == F.col("b.spans"))).count()
+    assert diff == 0
