@@ -129,23 +129,39 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
         "inner",
     ).drop("surface", "n_tokens")
 
-    # longest-match-wins on distinct spans (doc_id, pos, n)
-    spans = matched.select("doc_id", "pos", "n").distinct()
-    longer = spans.alias("s2")
-    shadowed = (
-        spans.alias("s1")
-        .join(
-            longer,
-            (F.col("s1.doc_id") == F.col("s2.doc_id"))
-            & (F.col("s2.n") > F.col("s1.n"))
-            & (F.col("s2.pos") <= F.col("s1.pos"))
-            & (F.col("s2.pos") + F.col("s2.n") >= F.col("s1.pos") + F.col("s1.n")),
-            "left_semi",
-        )
-        .select("s1.doc_id", "s1.pos", "s1.n")
+    # Longest-match-wins: a span is dropped iff a strictly longer match
+    # in the same doc contains it.  Implementation notes, both learned
+    # the hard way at bench scale:
+    #   * NOT a self-join on `matched` — that recomputes the
+    #     gram-explode + broadcast-join subtree once per branch.
+    #   * NOT a per-row window (`array_distinct(collect_list).over(w)`)
+    #     — WindowExec materializes the doc's span array PER ROW, which
+    #     is O(m²) work/row → O(m³) per mega-document; with AQE
+    #     coalescing the tiny shuffle to ~2 tasks this serialized the
+    #     whole stage (measured: 229 s CPU on 2 cores for 20k docs).
+    # Instead: ONE groupBy per doc, shadow filter computed once per doc
+    # on the collected array, explode back.  O(m²) per doc total.
+    # `spans` MUST be an aggregate output (collect_set), not a derived
+    # projection: Catalyst's projection collapse would inline a derived
+    # array_distinct(...) into the exists() lambda below and re-evaluate
+    # it per array ELEMENT — O(m³) per doc (measured: 430 s CPU at 20k
+    # docs).  Aggregate attributes are materialized once per group.
+    other_cols = [c for c in matched.columns if c != "doc_id"]
+    per_doc = matched.groupBy("doc_id").agg(
+        F.collect_list(F.struct(*[F.col(c) for c in other_cols])).alias("ms"),
+        F.collect_set(F.struct(F.col("pos"), F.col("n"))).alias("spans"),
     )
-    kept = spans.join(shadowed, ["doc_id", "pos", "n"], "left_anti")
-    return matched.join(kept, ["doc_id", "pos", "n"], "left_semi")
+    kept_ms = F.filter(
+        "ms",
+        lambda m: ~F.exists(
+            F.col("spans"),
+            lambda s: (s["n"] > m["n"])
+            & (s["pos"] <= m["pos"])
+            & (s["pos"] + s["n"] >= m["pos"] + m["n"]),
+        ),
+    )
+    out = per_doc.select("doc_id", F.explode(kept_ms).alias("m"))
+    return out.select("doc_id", *[F.col(f"m.{c}").alias(c) for c in other_cols])
 
 
 def _class_weight() -> Column:
@@ -161,46 +177,33 @@ def resolve_mentions(cands: DataFrame) -> DataFrame:
     score = 3*country-co-mention + 2*admin1-co-mention
             + class_weight(feature_code) + log10(population+1)/10
     winner per (doc_id, pos, gram) by (score DESC, geonameid ASC)."""
-    # Both side tables derive from `cands` (self-join lineage) — rename
-    # every join column so Catalyst never sees ambiguous attributes.
-    doc_countries = (
-        cands.where(F.col("feature_code") == "PCLI")
-        .select(
-            F.col("doc_id").alias("doc_m"),
-            F.col("country_code").alias("cc_m"),
-        ).distinct()
-    )
-    doc_admin1 = (
-        cands.where(F.col("feature_code") == "ADM1")
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("country_code").alias("cc_a"),
-            F.col("admin1_code").alias("a1_a"),
-        ).distinct()
-    )
+    # Per-doc co-mention sets via a window collect_set — NOT self-joins
+    # (joining `cands` against projections of itself would recompute the
+    # candidate-generation subtree once per branch).
+    doc_w = Window.partitionBy("doc_id")
+    cc_set = F.collect_set(
+        F.when(F.col("feature_code") == "PCLI", F.col("country_code"))
+    ).over(doc_w)
+    a1_set = F.collect_set(
+        F.when(
+            F.col("feature_code") == "ADM1",
+            F.concat_ws("|", "country_code", "admin1_code"),
+        )
+    ).over(doc_w)
     scored = (
-        cands.join(
-            doc_countries,
-            (F.col("doc_id") == F.col("doc_m"))
-            & (F.col("country_code") == F.col("cc_m")),
-            "left",
-        )
-        .join(
-            doc_admin1,
-            (F.col("doc_id") == F.col("doc_a"))
-            & (F.col("country_code") == F.col("cc_a"))
-            & (F.col("admin1_code") == F.col("a1_a"))
-            & (F.col("feature_code") != "ADM1"),
-            "left",
-        )
+        cands.withColumn("_cc", cc_set).withColumn("_a1", a1_set)
         .withColumn(
             "score",
-            F.when(F.col("cc_m").isNotNull(), 3.0).otherwise(0.0)
-            + F.when(F.col("a1_a").isNotNull(), 2.0).otherwise(0.0)
+            F.when(F.array_contains(F.col("_cc"), F.col("country_code")), 3.0).otherwise(0.0)
+            + F.when(
+                (F.col("feature_code") != "ADM1")
+                & F.array_contains(F.col("_a1"), F.concat_ws("|", "country_code", "admin1_code")),
+                2.0,
+            ).otherwise(0.0)
             + _class_weight()
             + F.log10(F.col("population") + 1) / 10.0,
         )
-        .drop("doc_m", "cc_m", "doc_a", "cc_a", "a1_a")
+        .drop("_cc", "_a1")
     )
     w = Window.partitionBy("doc_id", "pos", "gram").orderBy(
         F.col("score").desc(), F.col("geonameid").asc()
