@@ -70,22 +70,150 @@ def extract_doc_spans(spans: list[dict]) -> list[dict]:
     return out
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "spans": [
-                    [
-                        (s["kind"], s["text"], s["media_ref"], s["order"])
-                        for s in extract_doc_spans(spans)
-                    ]
-                    for spans in pdf["spans"]
-                ],
-            }
+def _extract_batches(passthrough: tuple[str, ...]):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["spans"] = [
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["order"])
+                    for s in extract_doc_spans(spans)
+                ]
+                for spans in pdf["spans"]
+            ]
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def extract_doc_spans_cols(kinds, texts, refs, offs, lo: int, hi: int) -> list[tuple]:
+    """Flat-column variant of :func:`extract_doc_spans` for the Arrow
+    path: operates on parallel lists sliced [lo, hi) — no per-span dict
+    allocation.  Returns output span tuples (kind, text, media_ref,
+    order)."""
+    idx = sorted(range(lo, hi), key=lambda i: offs[i] if offs[i] is not None else 0)
+    out: list[tuple] = []
+    for i in idx:
+        kind = kinds[i] or ""
+        text = texts[i]
+        media_ref = refs[i]
+        if kind == "html" and text:
+            for k, t, m in extract_html_blocks(text):
+                out.append((k, t, m))
+        elif kind == "pdf_bytes" and text:
+            for block in extract_pdf_b64_text_blocks(text):
+                out.append(("text", block, None))
+        elif kind == "text" and text:
+            t = _norm_text(text)
+            if t:
+                out.append(("text", t, None))
+        elif media_ref is not None and (kind in MEDIA_KINDS or not text):
+            out.append((kind, None, media_ref))
+        elif text:
+            t = _norm_text(text)
+            if t:
+                out.append(("text", t, None))
+    return [(k, t, m, i) for i, (k, t, m) in enumerate(out)]
+
+
+def _extract_arrow_batches(passthrough: tuple[str, ...]):
+    """mapInArrow kernel: decode the spans ListArray via its flat child
+    columns (one C-loop to_pylist per column — no per-span Python dicts
+    on either side of the boundary)."""
+    import pyarrow as pa
+
+    out_span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("order", pa.int32()),
+            ]
         )
+    )
+
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            spans = rb.column(rb.schema.get_field_index("spans"))
+            if isinstance(spans, pa.ChunkedArray):  # defensive; RBs are flat
+                spans = spans.combine_chunks()
+            lst = spans
+            # element offsets into the flattened struct children; null
+            # list slots may surface as None — carry the previous offset
+            raw = lst.offsets.to_pylist()
+            offsets: list[int] = []
+            prev = 0
+            for o in raw:
+                if o is None:
+                    o = prev
+                offsets.append(o)
+                prev = o
+            structs = lst.values
+            kinds = structs.field("kind").to_pylist()
+            texts = structs.field("text").to_pylist()
+            refs = structs.field("media_ref").to_pylist()
+            offs = structs.field("offset").to_pylist()
+            if lst.null_count:
+                valid = lst.is_valid().to_pylist()
+            else:
+                valid = None
+            results = [
+                extract_doc_spans_cols(kinds, texts, refs, offs,
+                                       offsets[i], offsets[i + 1])
+                if valid is None or valid[i]
+                else []
+                for i in range(len(lst))
+            ]
+            arrays = [rb.column(rb.schema.get_field_index("doc_id"))]
+            names = ["doc_id"]
+            for c in passthrough:
+                arrays.append(rb.column(rb.schema.get_field_index(c)))
+                names.append(c)
+            arrays.append(pa.array(results, type=out_span_type))
+            names.append("spans")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return kernel
 
 
-def extract(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, spans[SPAN_IN]) → extracted(doc_id, spans[SPAN_OUT])."""
-    return docs.select("doc_id", "spans").mapInPandas(_extract_batches, schema=EXTRACTED)
+def extract(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """docs(doc_id, spans[SPAN_IN]) → extracted(doc_id, spans[SPAN_OUT]).
+
+    ``passthrough`` columns (e.g. chunk_id from
+    plans.runtime.split_mega_docs) ride along unchanged.  Uses
+    ``mapInArrow`` so the only per-span Python cost is the parse itself,
+    not pandas/dict marshalling."""
+    from pyspark.sql import types as T
+
+    fields = [EXTRACTED["doc_id"]]
+    fields += [docs.schema[c] for c in passthrough]
+    fields.append(EXTRACTED["spans"])
+    schema = T.StructType(fields)
+    cols = ["doc_id", *passthrough, "spans"]
+    return docs.select(*cols).mapInArrow(
+        _extract_arrow_batches(tuple(passthrough)), schema=schema
+    )
+
+
+def extract_with_skew_split(docs: DataFrame, num_partitions: int,
+                            max_spans: int = 64, seed: int = 42) -> DataFrame:
+    """Skew-proof extract: mega-documents (the 0.1%-of-docs 100-1000x
+    span-count fixture) are split into <= max_spans chunks BEFORE the
+    salted repartition, so no single task inherits a whole mega-doc;
+    chunks are extracted independently and reassembled in chunk order.
+    This is the composition job.py / bench use (SURVEY.md §7 skew note).
+    """
+    from pyspark.sql import functions as F
+
+    from geoparser_spark.plans.runtime import reassemble_chunks, split_mega_docs
+
+    chunks = split_mega_docs(docs, max_spans)
+    salt = F.pmod(
+        F.xxhash64(F.col("doc_id"), F.col("chunk_id"), F.lit(seed)),
+        F.lit(num_partitions),
+    )
+    chunks = chunks.repartition(num_partitions, salt)
+    return reassemble_chunks(extract(chunks, passthrough=("chunk_id",)))

@@ -45,7 +45,7 @@ spark.stop()
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     tmp = tempfile.mkdtemp(prefix="gp_scale_")
     docs_path = os.path.join(tmp, "docs")
 
