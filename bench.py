@@ -35,9 +35,8 @@ def run_pipeline(spark, n_docs: int, gaz, mega_every: int = 1000) -> tuple[float
     """Extract+geotag end-to-end; returns (wall_sec, docs_out).
     Corpus generation happens first and is NOT in the timed window
     (generation is test scaffolding, not the engine)."""
-    from geoparser_spark.operators.extract import extract
+    from geoparser_spark.operators.extract import extract_with_skew_split
     from geoparser_spark.operators.geotag import geotag
-    from geoparser_spark.plans.runtime import salted_repartition
     from geoparser_spark.testing.corpus import build_docs
 
     par = spark.sparkContext.defaultParallelism
@@ -46,7 +45,7 @@ def run_pipeline(spark, n_docs: int, gaz, mega_every: int = 1000) -> tuple[float
     docs = docs.persist()
     docs.count()  # materialize corpus outside the timed window
     t0 = time.monotonic()
-    tagged = geotag(extract(salted_repartition(docs, par * 2)), gaz)
+    tagged = geotag(extract_with_skew_split(docs, par * 4), gaz)
     n = tagged.count()
     wall = time.monotonic() - t0
     docs.unpersist()

@@ -17,10 +17,10 @@ import os
 import sys
 import time
 
-from geoparser_spark.operators.extract import extract
+from geoparser_spark.operators.extract import extract_with_skew_split
 from geoparser_spark.operators.geotag import geotag, points
 from geoparser_spark.operators.tiles import build_tile_pyramid, write_tiles
-from geoparser_spark.plans.runtime import resumable_stage, salted_repartition
+from geoparser_spark.plans.runtime import resumable_stage
 from geoparser_spark.session import get_spark
 from geoparser_spark.sources.geonames import read_geonames_tsv
 
@@ -42,11 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.monotonic()
 
     docs = spark.read.parquet(args.input)
-    n_part = args.partitions or spark.sparkContext.defaultParallelism * 2
-    docs = salted_repartition(docs, n_part)
+    n_part = args.partitions or spark.sparkContext.defaultParallelism * 4
 
     extracted = resumable_stage(
-        spark, docs, extract,
+        spark, docs, lambda df: extract_with_skew_split(df, n_part),
         output_dir=os.path.join(args.output, "extracted"),
         manifest_dir=os.path.join(args.output, "manifest"),
         run_id=args.run_id, n_parts=args.n_logical_parts,

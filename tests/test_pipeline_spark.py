@@ -62,44 +62,17 @@ def test_extract_invariant_under_repartition(docs, expected):
 
 
 def test_split_mega_docs_roundtrip(docs, expected):
+    # chunk spans keep their source offsets; extract per chunk
+    # (chunk_id as a passthrough column) then reassemble in chunk order
     chunked = split_mega_docs(docs, max_spans=8)
-    # chunk spans keep their source offsets; extract per chunk then
-    # reassemble in chunk order
-    extracted_chunks = (
-        chunked.select("doc_id", "chunk_id", "spans")
-        .withColumnRenamed("doc_id", "doc_id")
-    )
-    from geoparser_spark.schemas import EXTRACTED
-    from geoparser_spark.operators.extract import _extract_batches
-    import pandas as pd
-
-    # run the extract kernel per chunk row, preserving chunk_id
-    def batches(it):
-        from geoparser_spark.operators.extract import extract_doc_spans
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "chunk_id": pdf["chunk_id"],
-                    "spans": [
-                        [
-                            {
-                                "kind": s["kind"],
-                                "text": s["text"],
-                                "media_ref": s["media_ref"],
-                                "order": s["order"],
-                            }
-                            for s in extract_doc_spans(spans)
-                        ]
-                        for spans in pdf["spans"]
-                    ],
-                }
-            )
-
-    schema = "doc_id string, chunk_id int, spans array<struct<kind:string,text:string,media_ref:string,order:int>>"
-    per_chunk = extracted_chunks.mapInPandas(batches, schema=schema)
+    per_chunk = extract(chunked, passthrough=("chunk_id",))
     _assert_span_equality(reassemble_chunks(per_chunk), expected)
+
+
+def test_extract_with_skew_split_matches_golden(docs, expected):
+    from geoparser_spark.operators.extract import extract_with_skew_split
+
+    _assert_span_equality(extract_with_skew_split(docs, 16, max_spans=8), expected)
 
 
 def test_resumable_stage_resumes(spark, docs, expected):
