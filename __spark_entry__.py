@@ -153,6 +153,24 @@ def _surfaces_values_sql() -> str:
     return ",\n".join(rows)
 
 
+def _gazetteer_values_sql() -> str:
+    """Full gazetteer attribute rows as a SQL VALUES list (one row per
+    geonameid), for the disambiguation-scoring oracle."""
+    rows = []
+    seen = set()
+    for r in gazetteer_rows():
+        if r["geonameid"] in seen:
+            continue
+        seen.add(r["geonameid"])
+        nm = r["name"].replace("'", "''")
+        rows.append(
+            f"({r['geonameid']}, '{nm}', {r['latitude']}, {r['longitude']}, "
+            f"'{r['feature_code']}', '{r['country_code']}', '{r['admin1_code']}', "
+            f"{r['population']})"
+        )
+    return ",\n".join(rows)
+
+
 def _geotag_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts = _augmented_texts(_t(spark, sf_dir, "documents"))
     surf = build_surface_forms(gazetteer_df(spark))
@@ -201,9 +219,62 @@ FROM matched m JOIN kept k USING (doc_id, pos, n)
 """
 
 
+def _geotag_primary_sql() -> str:
+    """Full disambiguation-scoring + primary-selection oracle: mirrors
+    resolve_mentions (co-mention boosts, feature-class weights,
+    log10-population tiebreak, deterministic row_number) and
+    select_primary in DuckDB SQL."""
+    return f"""
+WITH cand AS ({_geotag_candidates_sql()}),
+gz(geonameid, name, latitude, longitude, feature_code, country_code,
+   admin1_code, population) AS (VALUES {_gazetteer_values_sql()}),
+candf AS (
+  SELECT c.doc_id, c.pos, c.n, c.gram, c.geonameid,
+         g.name, g.feature_code, g.country_code, g.admin1_code, g.population
+  FROM cand c JOIN gz g USING (geonameid)
+),
+cc AS (SELECT DISTINCT doc_id, country_code FROM candf WHERE feature_code = 'PCLI'),
+a1 AS (SELECT DISTINCT doc_id, country_code, admin1_code FROM candf
+       WHERE feature_code = 'ADM1'),
+scored AS (
+  SELECT c.*,
+    (CASE WHEN EXISTS (SELECT 1 FROM cc
+            WHERE cc.doc_id = c.doc_id AND cc.country_code = c.country_code)
+          THEN 3.0 ELSE 0.0 END)
+  + (CASE WHEN c.feature_code <> 'ADM1' AND EXISTS (SELECT 1 FROM a1
+            WHERE a1.doc_id = c.doc_id AND a1.country_code = c.country_code
+              AND a1.admin1_code = c.admin1_code)
+          THEN 2.0 ELSE 0.0 END)
+  + (CASE c.feature_code WHEN 'PCLI' THEN 5.0 WHEN 'ADM1' THEN 4.0
+       WHEN 'PPLC' THEN 3.5 WHEN 'PPLA' THEN 3.0 WHEN 'PPLA2' THEN 2.5
+       WHEN 'PPL' THEN 2.0 ELSE 1.0 END)
+  + log10(c.population + 1) / 10 AS score
+  FROM candf c
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, pos, gram
+                               ORDER BY score DESC, geonameid ASC) AS rn
+  FROM scored
+),
+res AS (SELECT * FROM win WHERE rn = 1),
+pe AS (
+  SELECT doc_id, geonameid, name, count(*) AS mention_count, max(score) AS score
+  FROM res GROUP BY doc_id, geonameid, name
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY mention_count DESC, name ASC, geonameid ASC) AS rnk
+  FROM pe
+)
+SELECT doc_id, geonameid, name, mention_count, (rnk = 1) AS is_primary,
+       round(score, 6) AS score
+FROM ranked
+"""
+
+
 def _geotag_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resolved + primary selection (rows-only check: window scoring is
-    pinned by unit fixtures in tests/)."""
+    """Resolved + primary selection, value-checked against the full
+    scoring oracle in :func:`_geotag_primary_sql`."""
     texts = _augmented_texts(_t(spark, sf_dir, "documents"))
     surf = build_surface_forms(gazetteer_df(spark))
     prim = select_primary(resolve_mentions(candidate_mentions(texts, surf)))
@@ -211,6 +282,25 @@ def _geotag_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "geonameid", "name", "mention_count",
         F.col("is_primary"), F.round("score", 6).alias("score"),
     )
+
+
+def _geotag_full_sql() -> str:
+    """Oracle for the end-to-end extract→geotag pipeline: the extracted
+    text of the wrapped doc equals the whitespace-collapsed augmented
+    text, so the location list equals the primary-oracle ranking joined
+    back to gazetteer coordinates."""
+    return f"""
+WITH pr AS ({_geotag_primary_sql()}),
+gz(geonameid, glat, glon) AS (
+  SELECT geonameid, CAST(latitude AS DOUBLE), CAST(longitude AS DOUBLE)
+  FROM (VALUES {_gazetteer_values_sql()})
+       t(geonameid, name, latitude, longitude, feature_code, country_code,
+         admin1_code, population)
+)
+SELECT pr.doc_id, pr.name, gz.glat AS latitude, gz.glon AS longitude,
+       pr.geonameid, pr.is_primary
+FROM pr JOIN gz USING (geonameid)
+"""
 
 
 def _geotag_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +611,16 @@ def _dedup_simhash(spark, sf_dir):
     return D.simhash(docs).select("id", "simhash")
 
 
+def _dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (banded candidates, exact Hamming verify).
+    Rows-only: xxhash64 has no DuckDB twin; determinism pinned in
+    tests/test_operators_spark.py."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return D.simhash_near_dup_pairs(docs, max_hamming=16).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def _dedup_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     out = S.cosine_near_dup_pairs(emb, threshold=0.3)
@@ -594,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_cosine,
         "sim_topk_bruteforce": _sim_topk,
         "ann_ivf_topk": _ann_ivf,
@@ -629,6 +730,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_extract_spans": _FLAGSHIP_SQL,
         "geotag_candidates": _geotag_candidates_sql(),
+        "geotag_primary": _geotag_primary_sql(),
+        "geotag_full_pipeline": _geotag_full_sql(),
         "q1_point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
         "q2_nonempty_filter": f"""
             WITH cand AS ({_geotag_candidates_sql()})

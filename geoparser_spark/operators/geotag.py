@@ -93,21 +93,22 @@ def build_surface_forms(gazetteer: DataFrame, max_tokens: int = MAX_NGRAM) -> Da
     return surfaces.drop("raw_surface").dropDuplicates(["surface", "geonameid"])
 
 
-def _ngrams_expr(max_n: int) -> Column:
-    """tokens array → array<struct<pos,n,gram>> of all 1..max_n grams.
-    Pure SQL transform/slice — stays inside whole-stage codegen."""
-    parts = []
-    for n in range(1, max_n + 1):
-        parts.append(
-            F.expr(
-                f"""CASE WHEN size(tokens) >= {n} THEN
-                      transform(sequence(0, size(tokens) - {n}),
-                                i -> struct(i AS pos, {n} AS n,
-                                            array_join(slice(tokens, i + 1, {n}), ' ') AS gram))
-                    ELSE CAST(array() AS array<struct<pos:INT,n:INT,gram:STRING>>) END"""
-            )
-        )
-    return F.flatten(F.array(*parts))
+def _token_ctx_expr(max_n: int) -> Column:
+    """tokens array → array<struct<pos, t0, t1, t2>>: each position with
+    its next max_n-1 tokens (NULL past the end).  One generator pass,
+    no string concatenation — n-gram verification happens against the
+    pre-split surface tokens inside the join condition instead."""
+    nxt = ", ".join(
+        f"IF(i + {k} < size(tokens), tokens[i + {k}], CAST(NULL AS STRING)) AS t{k}"
+        for k in range(1, max_n)
+    )
+    return F.expr(
+        f"""CASE WHEN size(tokens) > 0 THEN
+              transform(sequence(0, size(tokens) - 1),
+                        i -> struct(i AS pos, tokens[i] AS t0, {nxt}))
+            ELSE CAST(array() AS
+                 array<struct<pos:INT,t0:STRING,{",".join(f"t{k}:STRING" for k in range(1, max_n))}>>) END"""
+    )
 
 
 def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
@@ -115,19 +116,43 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
     """(doc_id, text) × surfaces → candidate rows
     (doc_id, pos, n, gram, <gazetteer candidate cols>).
 
-    The join is an explicit broadcast hash join on (gram, n): the big
-    side never shuffles.  Longest-match-wins is applied on the distinct
-    matched positions (tiny), then candidates are re-attached."""
-    grams = (
-        texts.withColumn("tokens", F.split(normalize_text(F.col("text")), " "))
-        .select("doc_id", F.explode(_ngrams_expr(max_n)).alias("g"))
-        .select("doc_id", "g.pos", "g.n", "g.gram")
+    One token-context row per text position (NOT one row per 1..max_n
+    n-gram — that tripled the explode and concatenated gram strings for
+    every position; at 500k docs the n-gram variant burned ~3 ms/doc of
+    JVM CPU in this stage).  The broadcast hash join keys on the FIRST
+    token; the rest of the n-gram equality rides in the join condition
+    against the pre-split surface tokens, so non-matching positions
+    never allocate a gram string.  Map-only: the corpus side never
+    shuffles.  Longest-match-wins then drops spans contained in a
+    strictly longer match."""
+    if max_n != 3:
+        raise ValueError("candidate_mentions is compiled for max_n == 3")
+    stoks = F.split(F.col("surface"), " ")
+    surf = surfaces.select(
+        "*",
+        stoks.getItem(0).alias("s0"),
+        F.when(F.col("n_tokens") >= 2, stoks.getItem(1)).alias("s1"),
+        F.when(F.col("n_tokens") >= 3, stoks.getItem(2)).alias("s2"),
     )
-    matched = grams.join(
-        F.broadcast(surfaces),
-        (grams["gram"] == surfaces["surface"]) & (grams["n"] == surfaces["n_tokens"]),
-        "inner",
-    ).drop("surface", "n_tokens")
+    toks = (
+        texts.withColumn("tokens", F.split(normalize_text(F.col("text")), " "))
+        .select("doc_id", F.explode(_token_ctx_expr(max_n)).alias("g"))
+        .select("doc_id", "g.pos", "g.t0", "g.t1", "g.t2")
+    )
+    cond = (toks["t0"] == surf["s0"]) & (
+        (surf["n_tokens"] == 1)
+        | ((surf["n_tokens"] == 2) & (toks["t1"] == surf["s1"]))
+        | ((surf["n_tokens"] == 3) & (toks["t1"] == surf["s1"]) & (toks["t2"] == surf["s2"]))
+    )
+    matched = (
+        toks.join(F.broadcast(surf), cond, "inner")
+        .select(
+            "doc_id", "pos",
+            F.col("n_tokens").alias("n"),
+            F.col("surface").alias("gram"),
+            *[c for c in surfaces.columns if c not in ("surface", "n_tokens")],
+        )
+    )
 
     # Longest-match-wins: a span is dropped iff a strictly longer match
     # in the same doc contains it.  Implementation notes, both learned

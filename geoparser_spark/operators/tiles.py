@@ -214,6 +214,31 @@ def write_tiles(tiles: DataFrame, path: str) -> None:
     tiles.write.mode("overwrite").partitionBy("level").parquet(path)
 
 
+def write_tiles_csv(tiles: DataFrame, extents: DataFrame, path: str) -> None:
+    """S8 compatibility sink: khooshe's on-disk contract — a CSV tree
+    with header ``latitude,longitude,label,info`` per tile folder
+    (khooshe.py:110-121) plus a dict.csv-equivalent extent manifest
+    (khooshe.py:83-94) — so existing khooshe-ol.js map clients can read
+    the rebuild's output unchanged."""
+    (
+        tiles.select("level", "cluster_path", "latitude", "longitude",
+                     "label", "info")
+        .write.mode("overwrite")
+        .partitionBy("level", "cluster_path")
+        .option("header", True)
+        .csv(f"{path}/tiles")
+    )
+    (
+        extents.select(
+            "level", "cluster_path",
+            F.col("min_lat"), F.col("min_lon"), F.col("max_lat"), F.col("max_lon"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(f"{path}/dict")
+    )
+
+
 def viewport_tiles(tiles: DataFrame, extents: DataFrame,
                    min_lat: float, max_lat: float,
                    min_lon: float, max_lon: float) -> DataFrame:

@@ -373,3 +373,30 @@ def test_json_round_trip_preserves_spans(spark, tmpdir):
     j = docs.alias("a").join(back.alias("b"), "doc_id")
     diff = j.where(~(F.col("a.spans") == F.col("b.spans"))).count()
     assert diff == 0
+
+
+def test_write_tiles_csv_khooshe_contract(spark, tmpdir):
+    from geoparser_spark.operators.tiles import write_tiles_csv
+
+    pts = _points_df(spark, n=60)
+    tiles, extents = build_tile_pyramid(pts, k=3, leaf_max=10, max_levels=3)
+    out = os.path.join(tmpdir, "khooshe")
+    write_tiles_csv(tiles, extents, out)
+    back = spark.read.option("header", True).csv(os.path.join(out, "tiles"))
+    assert back.count() == tiles.count()
+    assert {"latitude", "longitude", "label", "info"} <= set(back.columns)
+    dback = spark.read.option("header", True).csv(os.path.join(out, "dict"))
+    assert dback.count() == extents.count()
+
+
+def test_catalog_parquet_fallback(spark, tmpdir):
+    from geoparser_spark.sources import catalog as C
+
+    assert not C.is_catalog_ref(os.path.join(tmpdir, "t"))
+    assert C.is_catalog_ref("iceberg.db.docs")
+    df = spark.range(10).withColumnRenamed("id", "v")
+    ref = os.path.join(tmpdir, "cat_tbl")
+    C.write_table(df, ref)
+    assert C.read_table(spark, ref).count() == 10
+    C.write_table(df, ref, mode="append")
+    assert C.read_table(spark, ref).count() == 20

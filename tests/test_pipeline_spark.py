@@ -172,3 +172,21 @@ def test_geotag_multiword_and_alternatenames(spark, gazetteer):
     res = resolve_mentions(candidate_mentions(texts, surf))
     rows = res.collect()
     assert len(rows) == 1 and rows[0].geonameid == 6252001  # USA → United States
+
+
+def test_extract_arrow_edge_cases(spark):
+    # null spans cell, empty spans array, doc with only media
+    from geoparser_spark.schemas import DOCS
+
+    rows = [
+        ("d-null", None),
+        ("d-empty", []),
+        ("d-media", [("image", None, "img://x", 0)]),
+        ("d-text", [("text", "  hello   world ", None, 0)]),
+    ]
+    docs = spark.createDataFrame(rows, DOCS)
+    got = {r["doc_id"]: r["spans"] for r in extract(docs).collect()}
+    assert got["d-null"] == []
+    assert got["d-empty"] == []
+    assert [tuple(s) for s in got["d-media"]] == [("image", None, "img://x", 0)]
+    assert [tuple(s) for s in got["d-text"]] == [("text", "hello world", None, 0)]
