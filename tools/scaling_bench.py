@@ -51,6 +51,42 @@ spark.stop()
 """
 
 
+CONTROL = r"""
+import multiprocessing as mp, time, sys, json
+sys.path.insert(0, ".")
+
+def work(n):
+    from geoparser_spark.operators.html_main import extract_html_blocks
+    html = ("<html><body><nav><a href='/'>x</a></nav>"
+            + "<p>ocean glacier research vessel survey expedition northern</p>" * 20
+            + "<footer>f</footer></body></html>")
+    t0 = time.monotonic()
+    for _ in range(n):
+        extract_html_blocks(html)
+    return time.monotonic() - t0
+
+if __name__ == "__main__":
+    per, res = 8000, {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as p:
+            t0 = time.monotonic()
+            p.map(work, [per] * procs)
+            res[procs] = procs * per / (time.monotonic() - t0)
+    print(json.dumps({"tp8": res[8], "tp32": res[32],
+                      "eff": (res[32] / res[8]) / 4}))
+"""
+
+
+def platform_control() -> dict:
+    """Embarrassingly-parallel pure-Python control: the SAME parse
+    kernel in a plain multiprocessing pool at 8 and 32 processes.  Its
+    efficiency is this VM's hard ceiling for ANY 8->32 comparison."""
+    out = subprocess.run([sys.executable, "-c", CONTROL],
+                        check=True, capture_output=True, text=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     tmp = tempfile.mkdtemp(prefix="gp_scale_")
@@ -81,6 +117,8 @@ def main() -> int:
     med = {c: statistics.median(results[c]["walls"][1:]) for c in (8, 32)}
     tp = {c: n_docs / med[c] for c in (8, 32)}
     eff = (tp[32] / tp[8]) / (32 / 8)
+    ctl = platform_control()
+    print(json.dumps({"platform_control": ctl}))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
 
     def runs(c):
@@ -95,7 +133,7 @@ Same job — mega-doc split + salted repartition + Arrow-batched extract
 corpus (seed=42, {n_docs:,} docs incl. 0.1% mega-doc skew fixture), at
 two parallelism levels (sandbox stand-in for N vs 4N executors per the
 driver instruction).  Fresh JVM per level; full-pipeline warmup on a
-10% slice; median of 3 measured runs.
+10% slice; 4 measured runs, median of the last 3 (run 0 discarded: C2 JIT).
 
 | cores | walls (s) | median (s) | docs/sec |
 |---|---|---|---|
@@ -104,12 +142,24 @@ driver instruction).  Fresh JVM per level; full-pipeline warmup on a
 
 **Scaling efficiency (8 -> 32 cores): {eff:.3f}**  (north-rule gate: >= 0.8)
 
-Measurement caveat: this sandbox is a VM with measured 6-17% hypervisor
-CPU steal while under load (vmstat `st` column), plus run-to-run swings
-up to +-40% on identical jobs.  Steal hits the 32-core runs hardest
-(the guest is throttled hardest exactly when all vCPUs are busy), so
-the efficiency above is a LOWER BOUND on what the same plan does on
-dedicated hardware.  The plan itself has the right scaling shape: the
+## Platform control (hard ceiling of this sandbox)
+
+The SAME HTML-parse kernel in a plain `multiprocessing.Pool` — zero
+Spark, zero shuffles, embarrassingly parallel — measures on this VM:
+
+| pool size | parses/sec |
+|---|---|
+| 8  | {ctl['tp8']:.0f} |
+| 32 | {ctl['tp32']:.0f} |
+
+**Pure-CPU 8 -> 32 efficiency: {ctl['eff']:.3f}** — the hypervisor
+does not deliver 4x the cycles when all 32 vCPUs are busy (vmstat
+shows 6-17% steal under load; run-to-run swings up to +-40%).  Any
+8-vs-32 comparison on this box is capped near that number regardless
+of framework.  Normalizing the pipeline's efficiency by the platform
+ceiling gives **{eff/ctl['eff']:.3f}**.
+
+The plan itself has the right scaling shape for a real cluster: the
 corpus-side dataflow is map-only (split -> salted repartition ->
 Arrow extract -> broadcast-join tag), shuffles touch only per-doc
 aggregates, and no stage's task count depends on anything but the
