@@ -190,3 +190,27 @@ def test_extract_arrow_edge_cases(spark):
     assert got["d-empty"] == []
     assert [tuple(s) for s in got["d-media"]] == [("image", None, "img://x", 0)]
     assert [tuple(s) for s in got["d-text"]] == [("text", "hello world", None, 0)]
+
+
+def test_trigram_surfaces_and_text_boundary(spark, gazetteer):
+    # 3-token alternatename at the very end of the text (lookahead
+    # columns t1/t2 run off the array) and a 3-token name mid-text
+    texts = spark.createDataFrame(
+        [
+            ("b1", "Delegates from the United Mexican States"),
+            ("b2", "The State of Texas registry lists it"),
+            ("b3", "Pasadena"),          # single token, whole text
+            ("b4", "texas"),             # single token at position 0
+        ],
+        ["doc_id", "text"],
+    )
+    surf = build_surface_forms(gazetteer)
+    res = resolve_mentions(candidate_mentions(texts, surf))
+    got = {(r.doc_id, r.gram): r.geonameid for r in res.collect()}
+    assert got[("b1", "united mexican states")] == 3996063  # -> Mexico PCLI
+    assert got[("b2", "state of texas")] == 4736286         # -> US ADM1 Texas
+    assert got[("b3", "pasadena")] == 5381396
+    assert got[("b4", "texas")] == 4736286
+    # longest-match: the contained "texas" inside "state of texas" is
+    # shadowed, so b2 has exactly one mention
+    assert len([k for k in got if k[0] == "b2"]) == 1
