@@ -8,11 +8,15 @@ reference: geoparser_app/views.py:146,357-402, ~0.6 docs/sec) with a
   1. ``build_surface_forms``  gazetteer → (surface, n_tokens, candidate)
      rows, exploding name/asciiname/alternatenames.  Small (GeoNames is
      ~12M rows / ~1.2 GB — broadcastable after projection & filtering).
-  2. ``candidate_mentions``   doc text → normalized token array → all
-     1..MAX_N-token n-grams with positions (pure SQL ``transform`` /
-     ``sequence`` / ``slice`` — whole-stage-codegen'd) → **broadcast
-     hash join** against surface forms.  Map-only: no shuffle touches
-     the 100 TB side.
+  2. ``candidate_mentions``   doc text → normalized token array → ONE
+     token-context row per position (token + next two tokens, pure SQL
+     ``transform``/``sequence`` — whole-stage-codegen'd) → **broadcast
+     hash join** keyed on the first surface token, with the full
+     n-gram equality folded into the join condition against the
+     pre-split surface tokens.  Map-only: no shuffle touches the
+     100 TB side, and non-matching positions never allocate a gram
+     string (a per-n-gram explode was 3x the rows and ~3 ms/doc of
+     JVM CPU at bench scale).
   3. longest-match-wins: an n-gram contained in a strictly longer match
      at the same spot is dropped ("Pasadena Texas" would otherwise also
      fire "Pasadena" + "Texas"; with no 2-gram surface both singles
