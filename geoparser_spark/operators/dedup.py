@@ -79,20 +79,37 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingles, sig: array<long>[num_hashes]) — minhash_i =
-    min over shingles of xxhash64(shingle, i).  All native."""
-    grams = docs.select(F.col(id_col).alias("id"), F.col(text_col)) \
-        .withColumn("toks", tokens_col(text_col)) \
-        .select("id", _ngrams_of("toks", n).alias("shingles")) \
-        .where(F.size("shingles") > 0)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    min over shingles of xxhash64(shingle, i).  All native.
+
+    The whole computation is ONE nested higher-order expression: the
+    token array and the shingle array are bound as lambda VARIABLES
+    (evaluated once per row).  Leaving them as derived columns lets
+    Catalyst's projection collapse inline the tokenize+shingle
+    expression into each of the num_hashes array_min legs — a
+    num_hashes-fold recompute of the text normalization (measured 6.6s
+    -> 1s on the bench query)."""
+    norm_sql = (
+        f"split(trim(lower(regexp_replace({text_col},"
+        f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' '))), ' ')"
     )
-    return grams.withColumn("sig", sig)
+    grams_sql = f"""CASE WHEN size(toks) >= {n} THEN
+          array_distinct(transform(sequence(0, size(toks) - {n}),
+                    i -> array_join(slice(toks, i + 1, {n}), ' ')))
+        ELSE CAST(array() AS array<string>) END"""
+    mins = ", ".join(
+        f"array_min(transform(sh, s -> xxhash64(s, {i}L)))"
+        for i in range(num_hashes)
+    )
+    packed = F.expr(
+        f"""transform(array({norm_sql}), toks ->
+              transform(array({grams_sql}), sh ->
+                struct(sh AS shingles, array({mins}) AS sig))[0])[0]"""
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), packed.alias("p"))
+        .select("id", "p.shingles", "p.sig")
+        .where(F.size("shingles") > 0)
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
