@@ -79,6 +79,63 @@ def extract_media_features(media: DataFrame, dim: int = 16,
     return media.select(ref_col, bytes_col).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_bytes", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def _stub_resize(payload: bytes, w: int, h: int) -> bytes:
+    """DETERMINISTIC FAKE resize: tags the payload with the target box
+    and truncates proportionally.  A real implementation swaps in
+    PIL/turbojpeg here; the batch plumbing (schema, Arrow batches,
+    partitioning) is what this repo ships and tests."""
+    header = f"RSZ:{w}x{h}:".encode()
+    keep = max(1, min(len(payload), (len(payload) * w * h) // (w * h + 1) or 1))
+    return header + (payload or b"")[:keep]
+
+
+def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256,
+                  bytes_col: str = "media_bytes",
+                  ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes, media_meta) → resized rows with
+    box-fitted dimensions (aspect preserved, never upscaled) — the
+    decode/re-encode is the clearly-marked stub above; dimension math
+    and Arrow batch plumbing are real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, outs, flags = [], [], [], []
+            for b, meta in zip(pdf[bytes_col], pdf["media_meta"]):
+                w0 = (meta or {}).get("width") or max_w
+                h0 = (meta or {}).get("height") or max_h
+                scale = min(max_w / max(w0, 1), max_h / max(h0, 1), 1.0)
+                w1, h1 = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
+                payload = b if isinstance(b, (bytes, bytearray)) else b""
+                outs.append(_stub_resize(bytes(payload), w1, h1))
+                ws.append(w1)
+                hs.append(h1)
+                flags.append(scale < 1.0)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col],
+                    "media_bytes": outs,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "resized": flags,
+                }
+            )
+
+    return media.select(ref_col, bytes_col, "media_meta").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame
     (media_ref, frame_idx, ts_ms) from duration metadata — pure SQL.

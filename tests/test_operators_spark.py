@@ -400,3 +400,22 @@ def test_catalog_parquet_fallback(spark, tmpdir):
     assert C.read_table(spark, ref).count() == 10
     C.write_table(df, ref, mode="append")
     assert C.read_table(spark, ref).count() == 20
+
+
+def test_resize_images_box_fit(spark):
+    from geoparser_spark.operators.multimodal import resize_images
+
+    schema = ("media_ref string, media_bytes binary, "
+              "media_meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    rows = [
+        ("big", b"x" * 100, ("image/png", 1024, 512, None)),
+        ("small", b"y" * 10, ("image/png", 100, 50, None)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r.media_ref: r for r in resize_images(df, 256, 256).collect()}
+    # aspect preserved, fits in the box, never upscaled
+    assert (got["big"].width, got["big"].height) == (256, 128)
+    assert got["big"].resized is True
+    assert (got["small"].width, got["small"].height) == (100, 50)
+    assert got["small"].resized is False
+    assert got["big"].media_bytes.startswith(b"RSZ:256x128:")

@@ -48,3 +48,40 @@ def test_incremental_catchup_then_resume(spark, dirs):
     out2 = spark.read.parquet(dirs["out"])
     assert out2.count() == 70
     assert out2.select("doc_id").distinct().count() == 70
+
+
+def _latest_per_key(spark, out):
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("key").orderBy(F.col("batch_id").desc(), F.col("n_events").desc())
+    latest = (
+        spark.read.parquet(out)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+    )
+    return {r.key: (r.n_events, r.sum_value) for r in latest.collect()}
+
+
+def test_stateful_running_counts_across_restarts(spark, dirs):
+    from pyspark.sql import Row, functions as F
+    from geoparser_spark.streaming.stateful import run_stateful_counts
+
+    ev, out, ckpt = dirs["docs"], dirs["out"], dirs["ckpt"]
+    spark.createDataFrame(
+        [Row(key="a", value=1.0), Row(key="a", value=2.0), Row(key="b", value=5.0)]
+    ).write.mode("append").parquet(ev)
+    q = run_stateful_counts(spark, ev, out, ckpt)
+    q.awaitTermination(120)
+    got = _latest_per_key(spark, out)
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    # restart with new data: state must carry the previous totals
+    spark.createDataFrame(
+        [Row(key="a", value=10.0), Row(key="c", value=7.0)]
+    ).write.mode("append").parquet(ev)
+    q2 = run_stateful_counts(spark, ev, out, ckpt)
+    q2.awaitTermination(120)
+    got = _latest_per_key(spark, out)
+    assert got["a"] == (3, 13.0)   # cumulative across the restart
+    assert got["c"] == (1, 7.0)
+    assert got["b"] == (1, 5.0)    # untouched key keeps its state row
