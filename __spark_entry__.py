@@ -554,6 +554,45 @@ def _tpch_q6(spark, sf_dir):
     )
 
 
+def _tpch_q10(spark, sf_dir):
+    """TPC-H Q10-style returned-item report: 3 fact joins + broadcast
+    dim + top-20 (TakeOrderedAndProject, no global sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _tpch_q14(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: conditional aggregate over
+    a fact × broadcast-dim join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev), 4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
 def _tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -690,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q6_forecast": _tpch_q6,
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q14_promo_share": _tpch_q14,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -787,6 +828,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+        "tpch_q14_promo_share": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1996-02-01'""",
         "q3_keyword_search": "SELECT doc_id FROM documents WHERE contains(lower(text), 'merge')",
         "q4_semi_join": """
             SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows

@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels:
+robustness (never crash), determinism, and structural invariants that
+golden fixtures can't sweep broadly.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import given, settings, strategies as st
+
+from geoparser_spark.operators.extract import extract_doc_spans
+from geoparser_spark.operators.html_main import extract_html_blocks
+from geoparser_spark.operators.pdf_text import extract_pdf_b64_text_blocks
+
+_SETTINGS = dict(max_examples=80, deadline=None)
+
+# text that may contain markup-ish noise
+_noise_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+_tagish = st.sampled_from(
+    ["<p>", "</p>", "<div class='nav'>", "</div>", "<img src='x'>", "<a href='/'>",
+     "</a>", "<script>", "</script>", "<br/>", "&amp;", "&lt;", "<!-- c -->",
+     "<ul><li>", "<P CLASS=MENU>", "<"]
+)
+_html = st.lists(st.one_of(_noise_text, _tagish), max_size=30).map("".join)
+
+
+@given(_html)
+@settings(**_SETTINGS)
+def test_html_extract_total_and_deterministic(html):
+    out1 = extract_html_blocks(html)
+    out2 = extract_html_blocks(html)
+    assert out1 == out2
+    for kind, text, ref in out1:
+        if kind == "text":
+            assert text is not None and text == " ".join(text.split())
+        else:
+            assert text is None and ref
+
+
+@given(st.binary(max_size=300))
+@settings(**_SETTINGS)
+def test_pdf_extract_never_crashes_on_garbage(raw):
+    b64 = base64.b64encode(raw).decode()
+    out = extract_pdf_b64_text_blocks(b64)
+    assert isinstance(out, list)
+    assert all(isinstance(b, str) for b in out)
+
+
+_span = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["html", "text", "pdf_bytes", "image", "video", "weird"]),
+        "text": st.one_of(st.none(), _noise_text),
+        "media_ref": st.one_of(st.none(), st.text(max_size=20)),
+        "offset": st.integers(min_value=0, max_value=10_000),
+    }
+)
+
+
+@given(st.lists(_span, max_size=12), st.randoms())
+@settings(**_SETTINGS)
+def test_doc_spans_dense_order_and_offset_invariance(spans, rnd):
+    out = extract_doc_spans(spans)
+    assert [s["order"] for s in out] == list(range(len(out)))
+    # input list order is irrelevant when offsets are distinct —
+    # the offset column is the ordering authority (SURVEY.md §4.2)
+    offsets = [s["offset"] for s in spans]
+    if len(set(offsets)) == len(offsets):
+        shuffled = list(spans)
+        rnd.shuffle(shuffled)
+        assert extract_doc_spans(shuffled) == out
