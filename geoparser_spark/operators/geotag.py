@@ -102,16 +102,16 @@ def _token_ctx_expr(max_n: int) -> Column:
     its next max_n-1 tokens (NULL past the end).  One generator pass,
     no string concatenation — n-gram verification happens against the
     pre-split surface tokens inside the join condition instead."""
-    nxt = ", ".join(
+    fields = ["i AS pos", "tokens[i] AS t0"] + [
         f"IF(i + {k} < size(tokens), tokens[i + {k}], CAST(NULL AS STRING)) AS t{k}"
         for k in range(1, max_n)
-    )
+    ]
+    typ = ",".join(["pos:INT", "t0:STRING"] + [f"t{k}:STRING" for k in range(1, max_n)])
     return F.expr(
         f"""CASE WHEN size(tokens) > 0 THEN
               transform(sequence(0, size(tokens) - 1),
-                        i -> struct(i AS pos, tokens[i] AS t0, {nxt}))
-            ELSE CAST(array() AS
-                 array<struct<pos:INT,t0:STRING,{",".join(f"t{k}:STRING" for k in range(1, max_n))}>>) END"""
+                        i -> struct({", ".join(fields)}))
+            ELSE CAST(array() AS array<struct<{typ}>>) END"""
     )
 
 
@@ -129,25 +129,27 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
     never allocate a gram string.  Map-only: the corpus side never
     shuffles.  Longest-match-wins then drops spans contained in a
     strictly longer match."""
-    if max_n != 3:
-        raise ValueError("candidate_mentions is compiled for max_n == 3")
     stoks = F.split(F.col("surface"), " ")
     surf = surfaces.select(
         "*",
         stoks.getItem(0).alias("s0"),
-        F.when(F.col("n_tokens") >= 2, stoks.getItem(1)).alias("s1"),
-        F.when(F.col("n_tokens") >= 3, stoks.getItem(2)).alias("s2"),
+        *[
+            F.when(F.col("n_tokens") >= k + 1, stoks.getItem(k)).alias(f"s{k}")
+            for k in range(1, max_n)
+        ],
     )
     toks = (
         texts.withColumn("tokens", F.split(normalize_text(F.col("text")), " "))
         .select("doc_id", F.explode(_token_ctx_expr(max_n)).alias("g"))
-        .select("doc_id", "g.pos", "g.t0", "g.t1", "g.t2")
+        .select("doc_id", "g.pos", *[f"g.t{k}" for k in range(max_n)])
     )
-    cond = (toks["t0"] == surf["s0"]) & (
-        (surf["n_tokens"] == 1)
-        | ((surf["n_tokens"] == 2) & (toks["t1"] == surf["s1"]))
-        | ((surf["n_tokens"] == 3) & (toks["t1"] == surf["s1"]) & (toks["t2"] == surf["s2"]))
-    )
+    n_match = surf["n_tokens"] == 1
+    for n in range(2, max_n + 1):
+        clause = surf["n_tokens"] == n
+        for k in range(1, n):
+            clause = clause & (toks[f"t{k}"] == surf[f"s{k}"])
+        n_match = n_match | clause
+    cond = (toks["t0"] == surf["s0"]) & n_match
     matched = (
         toks.join(F.broadcast(surf), cond, "inner")
         .select(
