@@ -53,9 +53,7 @@ def _docs_from_documents(documents: DataFrame) -> DataFrame:
     span = lambda k, t, m, o: F.struct(  # noqa: E731
         k.alias("kind"), t.alias("text"), m.alias("media_ref"), o.alias("offset")
     )
-    return F.broadcast(  # tiny at test scale; hint elided at real scale
-        documents
-    ).select(
+    return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array(
             span(F.lit("html"), html, F.lit(None).cast("string"), F.lit(0)),
@@ -431,9 +429,17 @@ def _events_sessionize(spark, sf_dir):
         "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
     sess = with_new.withColumn("session_id", F.sum("new_sess").over(w))
+    # Sum as decimal: double partial-agg order differs between Spark and
+    # DuckDB in low-order bits, and the driver's exact-bits hash catches
+    # ties at the round(_, 4) boundary.  Decimal sums are exact, so the
+    # rounded double is bit-identical on both sides.
     return (
         sess.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double").alias("sum_value"),
+        )
     )
 
 
@@ -580,10 +586,12 @@ def _tpch_q14(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
     )
+    # no broadcast hint: part is O(sf) — at sf100 a forced broadcast is
+    # an OOM; AQE picks broadcast when the side is genuinely small.
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
@@ -610,12 +618,14 @@ def _tpch_q1(spark, sf_dir):
 
 
 def _tpch_q3(spark, sf_dir):
+    # customer filtered only by segment is still O(sf) — no forced
+    # broadcast; AQE decides at runtime from actual size.
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -797,7 +807,7 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id""",
         "multimodal_frame_plan": """
             WITH m AS (

