@@ -518,10 +518,13 @@ def _mm_media_features(spark, sf_dir):
         F.encode("text", "UTF-8").alias("media_bytes"),
     )
     out = extract_media_features(media, dim=16)
+    # cast the float32 elements to double BEFORE rounding so the value
+    # is exactly the f32 the Arrow column holds (round-on-float would
+    # re-round in f32 space, which the oracle can't mirror portably)
     return out.select(
         "media_ref", "decode_ok",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 16), 6).alias("f15"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 16).cast("double"), 6).alias("f15"),
     )
 
 
@@ -650,8 +653,26 @@ def _dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _dedup_minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    out = D.minhash_lsh_pairs(docs, threshold=0.01)
+    """MinHash+LSH over the %5 subset UNION planted near-duplicates
+    (each doc copied under doc_id+1e6 with a short appended suffix, so
+    shingle Jaccard ≈ 0.95-0.99): the banded join must provably recover
+    every planted pair.  Verified value-exact against a pure-Python LSH
+    replica (testing/pyoracle_queries.minhash_lsh_pairs_sql)."""
+    from geoparser_spark.testing.pyoracle_queries import (
+        PLANT_ID_OFFSET,
+        PLANT_SUFFIX,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") % 5 == 0
+    )
+    copies = docs.select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+    )
+    out = D.minhash_lsh_pairs(
+        docs.unionByName(copies), num_hashes=32, bands=16, threshold=0.5
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -662,8 +683,8 @@ def _dedup_simhash(spark, sf_dir):
 
 def _dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (banded candidates, exact Hamming verify).
-    Rows-only: xxhash64 has no DuckDB twin; determinism pinned in
-    tests/test_operators_spark.py."""
+    Value-checked against the pure-Python xxhash64 replica
+    (testing/pyoracle_queries.simhash_pairs_sql)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     return D.simhash_near_dup_pairs(docs, max_hamming=16).select(
         "id_a", "id_b", "hamming"
@@ -778,7 +799,7 @@ def oracle_sql() -> dict[str, str]:
     lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN h_{l} = {best} THEN '{l}'" for l in sorted(_STOPS)
     ) + " ELSE 'und' END"
-    return {
+    out = {
         "pipeline_extract_spans": _FLAGSHIP_SQL,
         "geotag_candidates": _geotag_candidates_sql(),
         "geotag_primary": _geotag_primary_sql(),
@@ -982,3 +1003,34 @@ def oracle_sql() -> dict[str, str]:
                    ELSE md5(norm) END AS min_shingle_fp
             FROM s""",
     }
+    # ---- pure-Python oracle builders (primitives DuckDB lacks:
+    # Spark xxhash64, deterministic k-means, the sha256 stub
+    # featurizer).  Computed independently from the parquet tables and
+    # emitted as VALUES — see geoparser_spark/testing/pyoracle*.py.
+    from geoparser_spark.testing import pyoracle_queries as PQ
+
+    out.update(
+        {
+            "dedup_minhash_lsh": PQ.minhash_lsh_pairs_sql(
+                modulus=5, n=3, num_hashes=32, bands=16, threshold=0.5
+            ),
+            "dedup_simhash": PQ.simhash_sql(modulus=10),
+            "dedup_simhash_pairs": PQ.simhash_pairs_sql(
+                modulus=5, max_hamming=16
+            ),
+            "multimodal_media_features": PQ.media_features_sql(
+                modulus=10, dim=16
+            ),
+            "ann_ivf_topk": PQ.ivf_topk_sql(
+                _QUERY_VEC, n_lists=8, sample=512, k=10, nprobe=2
+            ),
+            "ann_lsh_topk": PQ.lsh_topk_sql(_QUERY_VEC, k=10, n_planes=4),
+            "q9_tile_extents": PQ.tile_extents_sql(
+                k=8, leaf_max=10, max_levels=3
+            ),
+            "q11_viewport_tiles": PQ.viewport_tiles_sql(
+                0.0, 45.0, 0.0, 90.0, k=8, leaf_max=10, max_levels=3
+            ),
+        }
+    )
+    return out

@@ -92,13 +92,20 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 
 
 def ivf_fit_centroids(embeddings: DataFrame, n_lists: int = 16,
-                      sample: int = 4096, vec_col: str = "embedding") -> np.ndarray:
+                      sample: int = 4096, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> np.ndarray:
     """Fit IVF centroids on a deterministic bounded sample (same
     deterministic k-means as the tile pyramid — kmeans_fit works on
-    arbitrary dim)."""
+    arbitrary dim).  The sample is keyed on xxhash64 of the row id
+    (tie-broken by the id itself): id hashing is cheap, fully
+    reproducible, and independently recomputable — the previous
+    string-cast-of-the-vector key depended on Java's double formatting."""
     pdf = (
-        embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("string")))
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample)
         .toPandas()
     )

@@ -85,7 +85,14 @@ def assign_native(df: DataFrame, centroids: np.ndarray,
 
 def _split_group(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
     """Grouped-map kernel: fit k-means inside one cluster and extend
-    cluster_path with the local assignment."""
+    cluster_path with the local assignment.
+
+    Rows are canonicalized to (latitude, longitude) order first: the
+    shuffle delivers group rows in nondeterministic fetch order, and
+    numpy's pairwise summation inside the Lloyd means is order-
+    sensitive at the last-bit level — sorting makes the fit (and thus
+    the whole pyramid) bit-reproducible across runs."""
+    pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
     pts = pdf[["latitude", "longitude"]].to_numpy(dtype=np.float64)
     cents = kmeans_fit(pts, k)
     d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -144,9 +151,15 @@ def build_tile_pyramid(
         if level == 0:
             # one global cluster: fit on a deterministic sample, assign
             # natively — full data never reaches the driver.
+            # tie-break the hash key on the coordinates themselves:
+            # pmod collisions at the limit boundary would otherwise make
+            # the sample (and the whole pyramid) run-dependent.
             sample = (
                 active.select("latitude", "longitude")
-                .orderBy(F.pmod(F.xxhash64("latitude", "longitude"), F.lit(100003)))
+                .orderBy(
+                    F.pmod(F.xxhash64("latitude", "longitude"), F.lit(100003)),
+                    "latitude", "longitude",
+                )
                 .limit(k * _SAMPLE_PER_K)
                 .toPandas()
                 .to_numpy(dtype=np.float64)
@@ -163,9 +176,15 @@ def build_tile_pyramid(
             )
         nxt = nxt.persist()
         # ---- centroid tiles + extents for the new child clusters
+        # centroid display coordinates average through decimal: a double
+        # sum's value depends on partial-aggregation merge order, so the
+        # low-order bits (and a round() at the boundary) would differ
+        # run to run; decimal sums are exact and order-free.
         agg = nxt.groupBy("cluster_path").agg(
-            F.avg("latitude").alias("latitude"),
-            F.avg("longitude").alias("longitude"),
+            F.avg(F.col("latitude").cast("decimal(24,16)"))
+            .cast("double").alias("latitude"),
+            F.avg(F.col("longitude").cast("decimal(24,16)"))
+            .cast("double").alias("longitude"),
             F.count("*").alias("label"),
             F.min("info").alias("info"),
             F.min("latitude").alias("min_lat"),

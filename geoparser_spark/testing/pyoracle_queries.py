@@ -1,0 +1,355 @@
+"""Pure-Python oracle builders for the queries whose primitives DuckDB
+lacks (Spark xxhash64, deterministic k-means, the sha256 stub
+featurizer).  Each builder reads the parquet tables straight from the
+scale-factor dir (pyoracle.oracle_sf_dir), recomputes the expected
+result with an independent implementation, and returns a SQL VALUES
+statement the harness runs like any other oracle.
+
+These are replicas of the QUERY ENTRY semantics in __spark_entry__ —
+any drift between an entry's parameters and the replica here shows up
+as a red correctness row, which is the point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+import numpy as np
+
+from geoparser_spark.testing.pyoracle import (
+    distinct_keep_order,
+    read_table,
+    shingles,
+    spark_round,
+    spark_xxhash64,
+    tokens,
+    values_sql,
+)
+
+_M64 = (1 << 64) - 1
+
+# ------------------------------------------------------------- dedup family
+
+PLANT_SUFFIX = " planted near duplicate suffix"
+PLANT_ID_OFFSET = 1_000_000
+
+
+def _docs_with_planted(modulus: int) -> list[tuple[int, str]]:
+    rows = read_table("documents", "doc_id, text", f"doc_id % {modulus} = 0")
+    base = [(int(i), t) for i, t in rows]
+    return base + [(i + PLANT_ID_OFFSET, t + PLANT_SUFFIX) for i, t in base]
+
+
+def minhash_lsh_pairs_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
+                          bands: int = 16, threshold: float = 0.5) -> str:
+    """Expected output of dedup.minhash_lsh_pairs over the planted
+    corpus: full replica — shingling, per-seed min xxhash64, banded
+    bucket join, exact Jaccard verify."""
+    docs = _docs_with_planted(modulus)
+    rows_per_band = num_hashes // bands
+    sigs: dict[int, tuple[set, list[int]]] = {}
+    for i, t in docs:
+        sh = shingles(tokens(t), n)
+        if not sh:
+            continue
+        sig = [min(spark_xxhash64(s, k) for s in sh) for k in range(num_hashes)]
+        sigs[i] = (set(sh), sig)
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, (_, sig) in sigs.items():
+        for b in range(bands):
+            bh = spark_xxhash64(*sig[b * rows_per_band:(b + 1) * rows_per_band])
+            buckets[(b, bh)].append(i)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        for a in ids:
+            for c in ids:
+                if a < c:
+                    cands.add((a, c))
+    out = []
+    for a, c in sorted(cands):
+        sa, _ = sigs[a]
+        sc, _ = sigs[c]
+        j = len(sa & sc) / len(sa | sc)
+        if j >= threshold:
+            out.append((a, c, spark_round(j, 6)))
+    return values_sql(out, ["id_a", "id_b", "jaccard"])
+
+
+def _simhash_fp(text: str) -> str:
+    toks = distinct_keep_order(tokens(text))
+    hs = [spark_xxhash64(t) & _M64 for t in toks]
+    m = len(hs)
+    return "".join(
+        "1" if 2 * sum((h >> j) & 1 for h in hs) > m else "0"
+        for j in range(64)
+    )
+
+
+def simhash_sql(modulus: int = 10) -> str:
+    rows = read_table("documents", "doc_id, text", f"doc_id % {modulus} = 0")
+    out = [(int(i), _simhash_fp(t)) for i, t in rows]
+    return values_sql(out, ["id", "simhash"])
+
+
+def simhash_pairs_sql(modulus: int = 5, max_hamming: int = 16) -> str:
+    rows = read_table("documents", "doc_id, text", f"doc_id % {modulus} = 0")
+    fps = {int(i): _simhash_fp(t) for i, t in rows}
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    for i, fp in fps.items():
+        for b in range(4):
+            buckets[(b, fp[b * 16:(b + 1) * 16])].append(i)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        for a in ids:
+            for c in ids:
+                if a < c:
+                    cands.add((a, c))
+    out = []
+    for a, c in sorted(cands):
+        ham = sum(x != y for x, y in zip(fps[a], fps[c]))
+        if ham <= max_hamming:
+            out.append((a, c, ham))
+    return values_sql(out, ["id_a", "id_b", "hamming"])
+
+
+# --------------------------------------------------------- media features
+
+def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
+    """Replica of operators.multimodal._stub_feature over
+    encode(text, UTF-8) payloads: sha256 → tiled uint32 → unit-norm;
+    f0/f15 go through the float32 element type before rounding, exactly
+    as the Arrow FloatType column does."""
+    rows = read_table("documents", "doc_id, text", f"doc_id % {modulus} = 0")
+    out = []
+    for i, t in rows:
+        payload = t.encode("utf-8")
+        h = hashlib.sha256(payload or b"").digest()
+        v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4],
+                          dtype=np.uint32).astype(np.float64)
+        nrm = np.linalg.norm(v) or 1.0
+        feats = v / nrm
+        out.append((
+            f"img://{int(i)}",
+            True,
+            spark_round(float(np.float32(feats[0])), 6),
+            spark_round(float(np.float32(feats[dim - 1])), 6),
+        ))
+    return values_sql(out, ["media_ref", "decode_ok", "f0", "f15"])
+
+
+# ------------------------------------------------------------------- ANN
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """aggregate(zip_with(a, b, x*y), 0.0, acc+x) — sequential fold,
+    bit-identical to the Spark expression."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _fold_norm(a: list[float]) -> float:
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def ivf_topk_sql(query: list[float], n_lists: int = 8, sample: int = 512,
+                 k: int = 10, nprobe: int = 2) -> str:
+    """Replica of similarity.ivf_fit_centroids + ivf_topk: id-hash
+    sample order, deterministic k-means fit (same Lloyd as the tile
+    pyramid), first-min list assignment, nprobe probe, cosine rerank."""
+    from geoparser_spark.operators.tiles import kmeans_fit
+
+    rows = read_table("embeddings", "vec_id, embedding")
+    vecs = [(int(i), [float(x) for x in v]) for i, v in rows]
+    sampled = sorted(vecs, key=lambda r: (spark_xxhash64(r[0]), r[0]))[:sample]
+    pts = np.array([v for _, v in sampled], dtype=np.float64)
+    cents = kmeans_fit(pts, n_lists)
+    q = np.asarray(query, dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = {int(i) for i in np.argsort(d, kind="stable")[:nprobe]}
+    qn = float(np.sqrt(np.dot(query, query))) or 1.0
+    cent_lists = [[float(x) for x in c] for c in cents]
+    hits = []
+    for i, v in vecs:
+        # mirror aggregate's sequential fold per centroid
+        dists = []
+        for c in cent_lists:
+            acc = 0.0
+            for a, b in zip(v, c):
+                acc = acc + (a - b) * (a - b)
+            dists.append(acc)
+        lst = dists.index(min(dists))
+        if lst in probe:
+            cos = _fold_dot(v, query) / (_fold_norm(v) * qn)
+            hits.append((i, cos))
+    hits.sort(key=lambda r: (-r[1], r[0]))
+    out = [(i, spark_round(c, 6)) for i, c in hits[:k]]
+    return values_sql(out, ["vec_id", "cosine"])
+
+
+def lsh_topk_sql(query: list[float], k: int = 10, n_planes: int = 4,
+                 seed: int = 42) -> str:
+    """SQL oracle for similarity.lsh_topk: the hyperplanes are
+    deterministic literals, so the bucket filter and cosine rerank are
+    plain DuckDB expressions over the embeddings table."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, len(query)))
+    qbits = ["1" if float(np.dot(p, query)) >= 0 else "0" for p in planes]
+    qlist = "[" + ", ".join(repr(float(x)) for x in query) + "]"
+    conds = []
+    for p, bit in zip(planes, qbits):
+        plist = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        op = ">=" if bit == "1" else "<"
+        conds.append(f"list_dot_product(v, {plist}) {op} 0")
+    qn = float(np.sqrt(np.dot(query, query))) or 1.0
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), hit AS (
+          SELECT vec_id,
+                 list_dot_product(v, {qlist})
+                   / (sqrt(list_dot_product(v, v)) * {qn!r}) AS cos_raw
+          FROM b
+          WHERE {" AND ".join(conds)}
+        )
+        SELECT vec_id, round(cos_raw, 6) AS cosine
+        FROM hit ORDER BY cos_raw DESC, vec_id ASC LIMIT {k}"""
+
+
+# ------------------------------------------------------------------ tiles
+
+def _pmod_d(x: float, m: float) -> float:
+    r = math.fmod(x, m)
+    return r + m if r < 0 else r
+
+
+def _dec_avg(vals: list[float]) -> float:
+    """Replica of avg(cast(x as decimal(24,16))) cast back to double:
+    quantize each value at 16 dp HALF_UP (BigDecimal.valueOf semantics
+    — shortest decimal repr), exact sum, divide at scale 20 HALF_UP."""
+    with localcontext() as ctx:
+        ctx.prec = 60
+        q16 = Decimal(1).scaleb(-16)
+        s = sum(
+            (Decimal(repr(v)).quantize(q16, rounding=ROUND_HALF_UP) for v in vals),
+            Decimal(0),
+        )
+        avg = (s / len(vals)).quantize(Decimal(1).scaleb(-20), rounding=ROUND_HALF_UP)
+        return float(avg)
+
+
+def _event_points() -> list[tuple[float, float]]:
+    rows = read_table("events", "event_id, value", "event_id % 20 = 0")
+    pts = {}
+    for _, value in rows:
+        lat = _pmod_d(value * 37, 180.0) - 90
+        lon = _pmod_d(value * 91, 360.0) - 180
+        pts[(lat, lon)] = True
+    return list(pts)
+
+
+def tile_pyramid_replica(k: int = 8, leaf_max: int = 10, max_levels: int = 3):
+    """Replica of operators.tiles.build_tile_pyramid over the event-
+    derived point set: deterministic sample order, same Lloyd k-means,
+    first-min assignment, decimal centroid averages.  Returns
+    (tiles_rows, extents_rows) with unrounded doubles."""
+    from geoparser_spark.operators.tiles import kmeans_fit
+
+    points = _event_points()
+    state = [("0", lat, lon) for lat, lon in points]
+    tiles: list[tuple] = []
+    extents: list[tuple] = []
+    for level in range(max_levels):
+        groups: dict[str, list[tuple[float, float]]] = defaultdict(list)
+        for p, lat, lon in state:
+            groups[p].append((lat, lon))
+        leaf_paths = {p for p, mem in groups.items() if len(mem) <= leaf_max}
+        for p in leaf_paths:
+            for lat, lon in groups[p]:
+                tiles.append((level, p, lat, lon, 1, True))
+        active = {p: mem for p, mem in groups.items() if p not in leaf_paths}
+        if not active:
+            break
+        nxt: list[tuple[str, float, float]] = []
+        if level == 0:
+            allpts = [pt for mem in active.values() for pt in mem]
+            keyed = sorted(
+                allpts,
+                key=lambda pt: (
+                    spark_xxhash64(pt[0], pt[1]) % 100003, pt[0], pt[1]
+                ),
+            )
+            sample = np.array(keyed[:k * 200], dtype=np.float64)
+            cents = kmeans_fit(sample, k)
+            cent_pairs = [(float(c[0]), float(c[1])) for c in cents]
+            for lat, lon in active["0"]:
+                dists = [
+                    (lat - la) * (lat - la) + (lon - lo) * (lon - lo)
+                    for la, lo in cent_pairs
+                ]
+                c = dists.index(min(dists))
+                nxt.append((f"0/{c}", lat, lon))
+        else:
+            for p, mem in active.items():
+                mem_sorted = sorted(mem)
+                pts = np.array(mem_sorted, dtype=np.float64)
+                cents = kmeans_fit(pts, k)
+                d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                nxt.extend(
+                    (f"{p}/{a}", lat, lon)
+                    for (lat, lon), a in zip(mem_sorted, assign)
+                )
+        child: dict[str, list[tuple[float, float]]] = defaultdict(list)
+        for p, lat, lon in nxt:
+            child[p].append((lat, lon))
+        for p, mem in child.items():
+            lats = [lat for lat, _ in mem]
+            lons = [lon for _, lon in mem]
+            tiles.append(
+                (level + 1, p, _dec_avg(lats), _dec_avg(lons), len(mem), False)
+            )
+            extents.append(
+                (level + 1, p, min(lats), max(lats), min(lons), max(lons))
+            )
+        state = nxt
+    return tiles, extents
+
+
+def tile_extents_sql(k: int = 8, leaf_max: int = 10, max_levels: int = 3) -> str:
+    _, extents = tile_pyramid_replica(k, leaf_max, max_levels)
+    out = [
+        (lvl, p, spark_round(a, 6), spark_round(b, 6),
+         spark_round(c, 6), spark_round(d, 6))
+        for lvl, p, a, b, c, d in extents
+    ]
+    return values_sql(
+        out, ["level", "cluster_path", "min_lat", "max_lat", "min_lon", "max_lon"]
+    )
+
+
+def viewport_tiles_sql(min_lat: float, max_lat: float,
+                       min_lon: float, max_lon: float,
+                       k: int = 8, leaf_max: int = 10,
+                       max_levels: int = 3) -> str:
+    tiles, extents = tile_pyramid_replica(k, leaf_max, max_levels)
+    hit = {
+        (lvl, p)
+        for lvl, p, mn_la, mx_la, mn_lo, mx_lo in extents
+        if mn_la <= max_lat and mx_la >= min_lat
+        and mn_lo <= max_lon and mx_lo >= min_lon
+    }
+    out = [
+        (lvl, p, spark_round(lat, 6), spark_round(lon, 6), label)
+        for lvl, p, lat, lon, label, _leaf in tiles
+        if (lvl, p) in hit
+    ]
+    return values_sql(
+        out, ["level", "cluster_path", "latitude", "longitude", "label"]
+    )

@@ -7,6 +7,7 @@ values.  Usage: python tools/check_oracles.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -41,6 +42,9 @@ def rows_to_set(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # pure-Python oracle builders (testing/pyoracle_queries) read the
+    # tables from this dir; keep them on the same SF as the Spark side.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
