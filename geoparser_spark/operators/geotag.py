@@ -215,11 +215,17 @@ def resolve_mentions(cands: DataFrame) -> DataFrame:
     cc_set = F.collect_set(
         F.when(F.col("feature_code") == "PCLI", F.col("country_code"))
     ).over(doc_w)
+    # NULL-strict ADM1 key: concat_ws silently drops NULL components, so
+    # a candidate and an ADM1 row both with NULL admin1_code would
+    # collapse to the bare country code and spuriously match — SQL
+    # equality (the oracle's a1.admin1_code = c.admin1_code) is never
+    # true on NULL, and neither is this key.
+    a1_key = F.when(
+        F.col("country_code").isNotNull() & F.col("admin1_code").isNotNull(),
+        F.concat_ws("|", "country_code", "admin1_code"),
+    )
     a1_set = F.collect_set(
-        F.when(
-            F.col("feature_code") == "ADM1",
-            F.concat_ws("|", "country_code", "admin1_code"),
-        )
+        F.when(F.col("feature_code") == "ADM1", a1_key)
     ).over(doc_w)
     scored = (
         cands.withColumn("_cc", cc_set).withColumn("_a1", a1_set)
@@ -228,7 +234,7 @@ def resolve_mentions(cands: DataFrame) -> DataFrame:
             F.when(F.array_contains(F.col("_cc"), F.col("country_code")), 3.0).otherwise(0.0)
             + F.when(
                 (F.col("feature_code") != "ADM1")
-                & F.array_contains(F.col("_a1"), F.concat_ws("|", "country_code", "admin1_code")),
+                & F.array_contains(F.col("_a1"), a1_key),
                 2.0,
             ).otherwise(0.0)
             + _class_weight()

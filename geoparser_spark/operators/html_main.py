@@ -170,7 +170,11 @@ _TOKEN = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"                 # doctype / declarations
     r"|<\?[^>]*>"                # processing instructions
-    r"|</?[a-zA-Z][^>]*>?"       # tags (tolerate unterminated at EOF)
+    # tags, quote-aware: a '>' inside a quoted attribute value does NOT
+    # end the tag (matches HTMLParser).  A tag with an unbalanced quote
+    # matches without the trailing '>', which the lexer loop treats as
+    # a reject → HTMLParser fallback for the document.
+    r"|</?[a-zA-Z](?:\"[^\"]*\"|'[^']*'|[^>\"'])*>?"
     r"|[^<]+",                   # text runs
     re.S,
 )
@@ -212,6 +216,11 @@ def _fast_tree(html: str) -> _Node:
         if nm is None:  # stray '<' — treat as text
             stack[-1].children.append(tok)
             continue
+        if not tok.endswith(">") and pos < n:
+            # tag body with an unbalanced quote (the only way a tag
+            # token stops before '>' mid-document): hand the whole
+            # document to the HTMLParser path rather than guess.
+            raise ValueError("quote-imbalanced tag")
         tag = nm.group(1).lower()
         if tok[1] == "/":
             for i in range(len(stack) - 1, 0, -1):

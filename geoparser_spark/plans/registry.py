@@ -18,6 +18,8 @@ rebuild reads tables, not remote authenticated indexes.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -31,6 +33,13 @@ REGISTRY_SCHEMA = T.StructType(
         T.StructField("n_points", T.LongType(), True),
         T.StructField("idx_size", T.LongType(), True),
         T.StructField("updated_seq", T.LongType(), True),
+        # op_id breaks updated_seq ties deterministically: _next_seq is
+        # read-then-append, so two concurrent writers can mint the same
+        # seq — without a total order the latest-wins resolution would
+        # flip nondeterministically between reads.  (On the Iceberg
+        # backend register/delete become MERGE/DELETE and the snapshot
+        # log provides the total order instead.)
+        T.StructField("op_id", T.StringType(), True),
     ]
 )
 
@@ -44,7 +53,7 @@ def read_registry(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("domain", "index_path").orderBy(
-        F.col("updated_seq").desc()
+        F.col("updated_seq").desc(), F.col("op_id").desc()
     )
     return (
         raw.withColumn("_rn", F.row_number().over(w))
@@ -76,7 +85,8 @@ def register_index(
     solr_admin.py:50-101).  Append-only with a monotone sequence; the
     read side resolves latest-wins."""
     seq = _next_seq(spark, path)
-    row = [(domain, index_path, core_name, idx_fields or [], n_points, idx_size, seq)]
+    row = [(domain, index_path, core_name, idx_fields or [], n_points, idx_size,
+            seq, str(uuid.uuid4()))]
     spark.createDataFrame(row, REGISTRY_SCHEMA).write.mode("append").parquet(path)
 
 
@@ -95,7 +105,9 @@ def list_domain(spark: SparkSession, path: str, domain: str) -> DataFrame:
 
 def delete_index(spark: SparkSession, path: str, domain: str, index_path: str) -> None:
     """Remove a registration (solr_admin.py:210-253) by appending a
-    tombstone (core_name NULL) — no read-modify-write race."""
+    tombstone (core_name NULL).  Concurrent appends never lose rows;
+    same-seq collisions (the _next_seq read-then-append window) resolve
+    deterministically via the op_id tie-break."""
     seq = _next_seq(spark, path)
-    row = [(domain, index_path, None, None, None, None, seq)]
+    row = [(domain, index_path, None, None, None, None, seq, str(uuid.uuid4()))]
     spark.createDataFrame(row, REGISTRY_SCHEMA).write.mode("append").parquet(path)

@@ -53,20 +53,34 @@ def split_mega_docs(docs: DataFrame, max_spans: int = 64) -> DataFrame:
     fixture) into chunk rows of <= max_spans spans each, so no single
     task inherits an entire mega-doc.  Pure SQL: sequence + slice.
 
+    Spans are sorted by ``offset`` BEFORE chunking: the extract kernel
+    sorts only within its chunk, so chunk concatenation equals the
+    global offset order only if the split respected it — array order is
+    untrusted data (SURVEY.md §4.2), and a doc whose spans arrive
+    offset-shuffled would otherwise reassemble wrong.  (For spans with
+    EQUAL offsets the relative order is unspecified, matching the
+    stable-sort caveat documented on extract_doc_spans.)
+
     Output: (doc_id, chunk_id, n_chunks, spans).  Reassemble with
     :func:`reassemble_chunks` after a per-chunk stage."""
-    n_chunks = F.ceil(F.size("spans") / F.lit(max_spans)).cast("int")
-    return docs.select(
+    # the offset-sorted array is bound as lambda variable `sp` so the
+    # sort runs once per doc, not once per chunk slice (Catalyst
+    # projection collapse would inline a derived column into every leg)
+    chunks_expr = F.expr(
+        f"""transform(array(
+              array_sort(spans, (l, r) ->
+                CASE WHEN coalesce(l.offset, 0) < coalesce(r.offset, 0) THEN -1
+                     WHEN coalesce(l.offset, 0) > coalesce(r.offset, 0) THEN 1
+                     ELSE 0 END)), sp ->
+              transform(
+                sequence(0, CAST(greatest(ceil(size(sp) / {max_spans}), 1) AS INT) - 1),
+                c -> slice(sp, c * {max_spans} + 1, {max_spans})))[0]"""
+    )
+    return docs.select("doc_id", chunks_expr.alias("_chunks")).select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
-                lambda c: F.slice(
-                    "spans", c * F.lit(max_spans) + 1, F.lit(max_spans)
-                ),
-            )
-        ).alias("chunk_id", "spans"),
-    ).withColumn("n_chunks", F.greatest(n_chunks, F.lit(1)))
+        F.posexplode("_chunks").alias("chunk_id", "spans"),
+        F.size("_chunks").alias("n_chunks"),
+    )
 
 
 def reassemble_chunks(extracted_chunks: DataFrame) -> DataFrame:

@@ -9,19 +9,35 @@ tests stay hermetic on Parquet paths, and a deployment only has to set
 ``spark.sql.catalog.<name>`` configs for the same code to address
 Iceberg tables.
 
-Resolution rule: a table ref containing '.' and no '/' is a catalog
-table (``catalog.db.table``) — read/written via the session catalog
-(Iceberg if the catalog is an Iceberg one); anything else is a Parquet
-directory path.
+Resolution rule: an explicit ``table:`` / ``catalog:`` prefix always
+names a catalog table; otherwise a ref containing '.' and no '/' is a
+catalog table (``catalog.db.table``) UNLESS it ends in a known data-file
+extension — a dotted relative path like ``out.parquet`` is a file path,
+not a table in namespace ``out``.  Anything else is a Parquet directory
+path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+_FILE_EXTS = (".parquet", ".pq", ".orc", ".csv", ".tsv", ".json", ".txt", ".avro")
+_CATALOG_PREFIXES = ("table:", "catalog:")
+
+
+def strip_catalog_prefix(ref: str) -> str:
+    for p in _CATALOG_PREFIXES:
+        if ref.startswith(p):
+            return ref[len(p):]
+    return ref
+
 
 def is_catalog_ref(ref: str) -> bool:
-    return "/" not in ref and "." in ref
+    if ref.startswith(_CATALOG_PREFIXES):
+        return True
+    if "/" in ref or "." not in ref:
+        return False
+    return not ref.lower().endswith(_FILE_EXTS)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -35,7 +51,7 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     if is_catalog_ref(ref):
-        return spark.read.table(ref)
+        return spark.read.table(strip_catalog_prefix(ref))
     return spark.read.parquet(ref)
 
 
@@ -46,7 +62,7 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
     append — snapshot commits on Iceberg); parquet paths use the
     classic writer with dynamic partition overwrite."""
     if is_catalog_ref(ref):
-        w = df.writeTo(ref)
+        w = df.writeTo(strip_catalog_prefix(ref))
         if partition_by:
             from pyspark.sql import functions as F
 

@@ -394,6 +394,16 @@ def test_catalog_parquet_fallback(spark, tmpdir):
 
     assert not C.is_catalog_ref(os.path.join(tmpdir, "t"))
     assert C.is_catalog_ref("iceberg.db.docs")
+    # dotted relative paths with data-file extensions are file paths,
+    # not catalog tables (regression: 'out.parquet' routed to
+    # spark.read.table)
+    for p in ("out.parquet", "data.pq", "Events.CSV", "x.json", "t.orc"):
+        assert not C.is_catalog_ref(p), p
+    # explicit prefix always wins, and is stripped before use
+    assert C.is_catalog_ref("table:weird.name.parquet")
+    assert C.strip_catalog_prefix("table:db.t") == "db.t"
+    assert C.strip_catalog_prefix("catalog:c.db.t") == "c.db.t"
+    assert C.strip_catalog_prefix("/plain/path") == "/plain/path"
     df = spark.range(10).withColumnRenamed("id", "v")
     ref = os.path.join(tmpdir, "cat_tbl")
     C.write_table(df, ref)

@@ -75,6 +75,18 @@ def test_extract_with_skew_split_matches_golden(docs, expected):
     _assert_span_equality(extract_with_skew_split(docs, 16, max_spans=8), expected)
 
 
+def test_skew_split_handles_offset_shuffled_arrays(docs, expected):
+    """Array order is untrusted data: a doc whose spans arrive in
+    reversed array order must still reassemble in global offset order
+    (regression: split_mega_docs used to chunk in raw array order, so
+    only offset-pre-sorted inputs survived the split path)."""
+    from geoparser_spark.operators.extract import extract_with_skew_split
+
+    shuffled = docs.select("doc_id", F.reverse("spans").alias("spans"))
+    _assert_span_equality(extract(shuffled), expected)  # plain path
+    _assert_span_equality(extract_with_skew_split(shuffled, 16, max_spans=8), expected)
+
+
 def test_resumable_stage_resumes(spark, docs, expected):
     tmp = tempfile.mkdtemp(prefix="gp_resume_")
     out_dir = f"{tmp}/out"

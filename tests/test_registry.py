@@ -52,3 +52,31 @@ def test_register_get_update_delete(spark, reg_dir):
 
 def test_empty_registry(spark, reg_dir):
     assert R.read_registry(spark, reg_dir).count() == 0
+
+
+def test_same_seq_collision_resolves_deterministically(spark, reg_dir):
+    """Two writers that raced _next_seq and minted the SAME updated_seq
+    (a register and a delete) must resolve the same way on every read:
+    op_id breaks the tie totally."""
+    rows = [
+        ("example.org", "/idx", "core_live", ["id"], 1, 1, 7,
+         "aaaaaaaa-0000-0000-0000-000000000000"),
+        ("example.org", "/idx", None, None, None, None, 7,
+         "ffffffff-0000-0000-0000-000000000000"),
+    ]
+    spark.createDataFrame(rows, R.REGISTRY_SCHEMA).write.mode("append").parquet(reg_dir)
+    # highest (updated_seq, op_id) is the tombstone -> row hidden
+    results = {R.read_registry(spark, reg_dir).count() for _ in range(5)}
+    assert results == {0}
+
+    # flip the op_ids: now the live row wins, again on every read
+    rows2 = [
+        ("example.org", "/idx2", "core_live", ["id"], 1, 1, 9,
+         "ffffffff-0000-0000-0000-000000000001"),
+        ("example.org", "/idx2", None, None, None, None, 9,
+         "aaaaaaaa-0000-0000-0000-000000000001"),
+    ]
+    spark.createDataFrame(rows2, R.REGISTRY_SCHEMA).write.mode("append").parquet(reg_dir)
+    for _ in range(5):
+        got = R.get_index(spark, reg_dir, "example.org", "/idx2").collect()
+        assert len(got) == 1 and got[0].core_name == "core_live"
