@@ -718,6 +718,23 @@ def _ann_lsh(spark, sf_dir):
 
 # ---------------------------------------------------- text analysis
 
+_EVAL_KEYWORDS = ["the", "and", "data", "merge"]
+
+
+def _eval_keyword_match(spark, sf_dir):
+    """countMatch.py evaluation counterpart: per-doc case-sensitive
+    alpha-token hit counts for a keyword set."""
+    from geoparser_spark.operators.serve import keyword_match_counts
+
+    return keyword_match_counts(_t(spark, sf_dir, "documents"), _EVAL_KEYWORDS)
+
+
+def _eval_keyword_total(spark, sf_dir):
+    from geoparser_spark.operators.serve import keyword_match_total
+
+    return keyword_match_total(_t(spark, sf_dir, "documents"), _EVAL_KEYWORDS)
+
+
 def _text_tokens(spark, sf_dir):
     return TQ.token_count(_t(spark, sf_dir, "documents"))
 
@@ -771,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk,
         "ann_ivf_topk": _ann_ivf,
         "ann_lsh_topk": _ann_lsh,
+        "eval_keyword_match": _eval_keyword_match,
+        "eval_keyword_total": _eval_keyword_total,
         "text_token_count": _text_tokens,
         "text_lang_id": _text_lang,
         "text_quality_score": _text_quality,
@@ -781,13 +800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 _TOKS_SQL = f"string_split({_NORM_SQL.format(c='text')}, ' ')"
 
-_STOP_EN = "['the','and','of','to','in','is','it','that','was','for']"
+# stopword lists are shared DATA (single source of truth in
+# operators.text_quality); the hit-count/arg-max FORMULA below is
+# mirrored independently in DuckDB SQL.
 _STOPS = {
-    "en": _STOP_EN,
-    "de": "['der','die','und','das','ist','nicht','ein','mit','den','von']",
-    "fr": "['le','la','et','les','des','est','un','une','que','dans']",
-    "es": "['el','la','de','que','los','es','un','una','por','con']",
+    lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TQ.STOPWORDS.items()
 }
+_STOP_EN = _STOPS["en"]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -950,6 +970,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY embedding[1]::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) DESC, vec_id ASC
             LIMIT 10""",
+        "eval_keyword_match": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+                       t -> list_contains({_EVAL_KEYWORDS!r}, t))) AS n_hits
+            FROM documents""",
+        "eval_keyword_total": f"""
+            WITH c AS (
+              SELECT len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+                         t -> list_contains({_EVAL_KEYWORDS!r}, t))) AS n_hits
+              FROM documents
+            )
+            SELECT sum(n_hits) AS total_hits,
+                   count(CASE WHEN n_hits > 0 THEN 1 END) AS docs_with_hits
+            FROM c""",
         "text_token_count": f"""
             SELECT doc_id,
                    len({_TOKS_SQL}) AS n_tokens,
@@ -959,8 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": f"""
             WITH h AS (
               SELECT doc_id,
-                     {hits['en']} AS h_en, {hits['de']} AS h_de,
-                     {hits['es']} AS h_es, {hits['fr']} AS h_fr
+                     {", ".join(f"{hits[l]} AS h_{l}" for l in sorted(_STOPS))}
               FROM documents
             )
             SELECT doc_id, {lang_case} AS lang_pred, {best} AS stopword_hits FROM h""",

@@ -74,8 +74,8 @@ def main() -> int:
     q_names = [
         "pipeline_extract_spans", "geotag_candidates", "tpch_q1_pricing",
         "tpch_q3_shipping", "q4_semi_join", "dedup_exact",
-        "dedup_minhash_lsh", "sim_topk_bruteforce", "text_quality_score",
-        "text_fingerprint",
+        "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
+        "text_quality_score", "text_fingerprint",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}

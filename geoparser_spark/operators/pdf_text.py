@@ -2,12 +2,19 @@
 
 Replaces the reference's Tika PDF extraction hop (reference:
 geoparser_app/views.py:125; Tika server built at Docker/Dockerfile:33-36)
-for the subset of PDF this sandbox can exercise: uncompressed content
-streams with ``BT ... ET`` text objects and ``Tj`` / ``TJ`` / ``'``
-show-text operators.  Real-world compressed streams (FlateDecode) would
-need zlib — which IS stdlib, so we inflate when the stream dict says
-``/FlateDecode``.  Anything else degrades to a clearly-marked empty
-parse rather than crashing the batch.
+for the subset of PDF this sandbox can exercise: content streams with
+``BT ... ET`` text objects and ``Tj`` / ``TJ`` / ``'`` / ``"``
+show-text operators over literal ``(...)`` AND hex ``<...>`` strings.
+Compressed streams inflate via stdlib zlib when the stream dict says
+``/FlateDecode``.  Documented degrades (never a crash):
+  * unsupported filters (DCTDecode, LZW, ...) → stream contributes
+    nothing;
+  * CMap-encoded multi-byte text (Identity-H etc.) → hex codes decode
+    as raw single bytes (garbled but bounded) — mapping needs the
+    font's CMap object, out of scope here;
+  * block order is content-stream order, not page-tree order — PDFs
+    whose page objects are serialized out of reading order (legal per
+    the xref table) come back in file order.
 
 Output contract: one text block per page content stream (BT..ET lines
 of the stream joined with a single space), in stream order — matching
@@ -25,9 +32,15 @@ _STREAM_HDR_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _ENDSTREAM_RE = re.compile(rb"\r?\nendstream")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# (string) Tj   |   (string) '   |   [(a) -120 (b)] TJ
-_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')|\[(?:[^\]\\]|\\.)*\]\s*TJ", re.DOTALL)
-_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+# show-text operators over literal AND hex strings:
+#   (string) Tj | (string) ' | aw ac (string) " | [(a) -120 <68>] TJ
+#   <hexdigits> Tj / ' / "
+_TJ_RE = re.compile(
+    rb"(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|'|\")"
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ",
+    re.DOTALL,
+)
+_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -85,7 +98,22 @@ def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
             parts: list[str] = []
             for op in _TJ_RE.finditer(bt.group(0)):
                 for s in _STR_RE.finditer(op.group(0)):
-                    parts.append(_unescape(s.group(1)).decode("latin-1"))
+                    if s.group(1) is not None:
+                        parts.append(_unescape(s.group(1)).decode("latin-1"))
+                    else:
+                        # hex string <...>: whitespace allowed between
+                        # digit pairs; an odd final digit is padded with
+                        # 0 (PDF 32000-1 §7.3.4.3).  Decoded as single-
+                        # byte codes; multi-byte CMap-encoded text (e.g.
+                        # Identity-H) needs the font's CMap and degrades
+                        # to the raw byte interpretation here.
+                        hx = re.sub(rb"\s+", b"", s.group(2))
+                        if len(hx) % 2:
+                            hx += b"0"
+                        try:
+                            parts.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                        except ValueError:
+                            continue
             line = "".join(parts).strip()
             if line:
                 lines.append(line)

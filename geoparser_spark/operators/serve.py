@@ -48,3 +48,33 @@ def search_points(texts: DataFrame, points: DataFrame, keyword: str,
     """Q3+Q4 composed — search_crawled_index end-to-end
     (geoparser_app/views.py:417-461) as one lazy plan."""
     return points_for_docs(points, keyword_search(texts, keyword, limit))
+
+
+def keyword_match_counts(docs: DataFrame, keywords: list[str],
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Evaluation op — the reference's countMatch.py keyword-hit count
+    (experiments/evaluation/scripts/countMatch.py:9-30): tokenize on
+    runs of non-ASCII-letters (digits separate, exactly like the
+    reference's ord-range filter), then count tokens that appear in the
+    keyword list, CASE-SENSITIVELY (the reference compares raw split
+    words against the comma-split search terms).
+
+    The reference fetches every matching doc over HTTP and loops in
+    Python; this is one codegen'd expression per row — per-doc hit
+    counts come back as rows, a total is one further sum."""
+    kws = F.array(*[F.lit(k) for k in keywords])
+    toks = F.split(F.col(text_col), r"[^A-Za-z]+")
+    n = F.size(F.filter(toks, lambda t: F.array_contains(kws, t)))
+    return docs.select(F.col(id_col), n.alias("n_hits"))
+
+
+def keyword_match_total(docs: DataFrame, keywords: list[str],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """countMatch.py's final printed number: the corpus-wide hit count
+    for the keyword set (reference prints {search: total})."""
+    return keyword_match_counts(docs, keywords, text_col, id_col).agg(
+        F.sum("n_hits").alias("total_hits"),
+        F.count(F.when(F.col("n_hits") > 0, 1)).alias("docs_with_hits"),
+    )

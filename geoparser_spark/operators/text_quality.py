@@ -12,12 +12,42 @@ from pyspark.sql import functions as F
 
 from geoparser_spark.operators.geotag import normalize_text
 
-# tiny deterministic stopword sets (top function words)
+# deterministic stopword sets: top function words per language (public
+# frequency lists).  Shared with the DuckDB oracle as DATA — the
+# scoring formula itself is mirrored independently on both sides.
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
-    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "dans"],
-    "es": ["el", "la", "de", "que", "los", "es", "un", "una", "por", "con"],
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for",
+           "on", "are", "as", "with", "his", "they", "at", "be", "this",
+           "have", "from", "or", "had", "by", "not", "but", "what", "were",
+           "when", "there"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "eine", "mit",
+           "den", "von", "zu", "im", "auf", "des", "sich", "dem", "er", "es",
+           "auch", "an", "als", "wie", "bei", "aus", "nach", "wird", "sind",
+           "einer", "um"],
+    "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "que", "dans",
+           "pour", "qui", "sur", "pas", "plus", "par", "avec", "au", "il",
+           "ne", "se", "ce", "du", "elle", "sont", "mais", "ou", "nous",
+           "comme", "aux"],
+    "es": ["el", "la", "los", "las", "de", "que", "es", "un", "una", "por",
+           "con", "para", "no", "se", "su", "al", "lo", "como", "mas",
+           "pero", "sus", "le", "ya", "entre", "cuando", "todo", "esta",
+           "ser", "son", "dos"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "con", "non",
+           "sono", "del", "le", "si", "da", "in", "al", "dei", "nel",
+           "alla", "come", "anche", "piu", "questo", "della", "gli", "ha",
+           "ma", "lo", "se"],
+    "pt": ["o", "a", "os", "as", "de", "que", "um", "uma", "para", "com",
+           "nao", "por", "no", "na", "se", "do", "da", "em", "mais", "foi",
+           "como", "mas", "ao", "ele", "das", "tem", "seu", "sua", "ou",
+           "ser"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "ook", "als", "bij",
+           "maar", "om", "dan", "zij", "nog", "wordt", "door", "naar",
+           "heeft", "worden", "deze"],
+    "sv": ["och", "det", "att", "i", "en", "som", "ar", "av", "pa", "for",
+           "med", "den", "till", "inte", "om", "ett", "han", "men", "var",
+           "sig", "fran", "vi", "sa", "kan", "nar", "har", "ska", "vid",
+           "mot", "du"],
 }
 
 

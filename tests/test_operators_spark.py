@@ -262,6 +262,27 @@ def test_language_id(spark):
     assert got == {1: "en", 2: "de", 3: "und"}
 
 
+def test_language_id_eight_languages(spark):
+    """Non-toy accuracy check: one natural sentence per supported
+    language, every one classified correctly."""
+    sentences = {
+        "en": "the house was built on the hill and it is not far from the river",
+        "de": "das haus wurde auf dem берg gebaut und es ist nicht weit von der stadt",
+        "fr": "la maison est sur la colline et elle ne se trouve pas loin du fleuve",
+        "es": "la casa es grande pero no se encuentra lejos de los campos que vimos",
+        "it": "la casa non è lontana dal fiume e si trova nel mezzo della valle",
+        "pt": "a casa foi construída no morro e não fica longe do rio como antes",
+        "nl": "het huis staat op de heuvel en het is niet ver van de rivier",
+        "sv": "huset byggdes på kullen och det är inte långt från floden som förr",
+    }
+    rows = [Row(doc_id=i, text=t, lang=l)
+            for i, (l, t) in enumerate(sentences.items())]
+    df = spark.createDataFrame([Row(doc_id=r.doc_id, text=r.text) for r in rows])
+    got = {r.doc_id: r.lang_pred for r in TQ.language_id(df).collect()}
+    for r in rows:
+        assert got[r.doc_id] == r.lang, (r.lang, r.text, got[r.doc_id])
+
+
 def test_quality_score_components(spark):
     text = "The research team measured the river and reported annual growth for the district."
     df = spark.createDataFrame([Row(doc_id=1, text=text)])
@@ -333,6 +354,30 @@ def test_serve_search_points(spark):
     assert [r.doc_id for r in got] == ["d1"]
 
 
+def test_keyword_match_counts_reference_semantics(spark):
+    """countMatch.py parity: tokenize on runs of non-ASCII-letters
+    (digits split words), case-SENSITIVE membership."""
+    from geoparser_spark.operators.serve import (
+        keyword_match_counts,
+        keyword_match_total,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the2dog The THE the"),
+            Row(doc_id=2, text="no keyword words here"),
+        ]
+    )
+    got = {r.doc_id: r.n_hits for r in
+           keyword_match_counts(df, ["the", "and"]).collect()}
+    # doc 1 tokens: the cat and the dog The THE the ('the2dog' splits
+    # on the digit) -> case-sensitive hits: 'the' x3 + 'and' x1 = 4;
+    # 'The'/'THE' do NOT count (reference compares raw split words)
+    assert got[1] == 4 and got[2] == 0
+    tot = keyword_match_total(df, ["the", "and"]).collect()[0]
+    assert tot.total_hits == 4 and tot.docs_with_hits == 1
+
+
 def test_serve_non_empty_locations(spark):
     df = spark.createDataFrame(
         [Row(doc_id="a", locations=[Row(name="x")]), Row(doc_id="b", locations=[])]
@@ -363,16 +408,48 @@ def test_read_geonames_tsv(spark, tmpdir):
 # ----------------------------------------- S9 JSON export/import round-trip
 
 def test_json_round_trip_preserves_spans(spark, tmpdir):
+    from geoparser_spark.sources.json_io import export_json, import_json
     from geoparser_spark.testing.corpus import build_docs
 
     docs = build_docs(spark, 20, seed=42)
     out = os.path.join(tmpdir, "docs_json")
-    docs.write.mode("overwrite").json(out)
-    back = spark.read.schema(docs.schema).json(out)
+    export_json(docs, out)
+    back = import_json(spark, out, docs.schema)
     assert back.count() == 20
     j = docs.alias("a").join(back.alias("b"), "doc_id")
     diff = j.where(~(F.col("a.spans") == F.col("b.spans"))).count()
     assert diff == 0
+
+
+def test_json_round_trip_extracted_and_geotagged(spark, gazetteer, tmpdir):
+    """S9 end-to-end: extracted AND geotagged tables survive the JSON
+    export/import with their nested schemas intact (the reference
+    stringifies these shapes into Solr fields and eval()s them back)."""
+    from geoparser_spark.operators.extract import extract
+    from geoparser_spark.operators.geotag import geotag
+    from geoparser_spark.sources.json_io import (
+        export_extracted,
+        export_geotagged,
+        import_extracted,
+        import_geotagged,
+    )
+    from geoparser_spark.testing.corpus import build_docs
+
+    ext = extract(build_docs(spark, 15, seed=42))
+    p1 = os.path.join(tmpdir, "ext_json")
+    export_extracted(ext, p1)
+    back_ext = import_extracted(spark, p1)
+    assert back_ext.schema["spans"].dataType == ext.schema["spans"].dataType
+    j = ext.alias("a").join(back_ext.alias("b"), "doc_id")
+    assert j.where(~(F.col("a.spans") == F.col("b.spans"))).count() == 0
+
+    tagged = geotag(ext, gazetteer)
+    p2 = os.path.join(tmpdir, "geo_json")
+    export_geotagged(tagged, p2)
+    back_geo = import_geotagged(spark, p2)
+    assert back_geo.count() == tagged.count()
+    jg = tagged.alias("a").join(back_geo.alias("b"), "doc_id")
+    assert jg.where(~(F.col("a.locations") == F.col("b.locations"))).count() == 0
 
 
 def test_write_tiles_csv_khooshe_contract(spark, tmpdir):
@@ -410,6 +487,59 @@ def test_catalog_parquet_fallback(spark, tmpdir):
     assert C.read_table(spark, ref).count() == 10
     C.write_table(df, ref, mode="append")
     assert C.read_table(spark, ref).count() == 20
+
+
+def test_catalog_v2_writer_call_pattern(spark, monkeypatch):
+    """No Iceberg jar in this sandbox, so pin the exact DataFrameWriterV2
+    call pattern a catalog ref takes with a test double: overwrite →
+    createOrReplace (a snapshot-replace commit on Iceberg), append →
+    append with create fallback on first write, partitionedBy forwarded.
+    """
+    from geoparser_spark.sources import catalog as C
+
+    calls = []
+
+    class FakeV2Writer:
+        def __init__(self, ref, fail_append=False):
+            self.ref = ref
+            self.fail_append = fail_append
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", self.ref, len(cols)))
+            return self
+
+        def append(self):
+            if self.fail_append:
+                raise RuntimeError("table does not exist")
+            calls.append(("append", self.ref))
+
+        def create(self):
+            calls.append(("create", self.ref))
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.ref))
+
+    fail_next = {"v": False}
+    df = spark.range(3).withColumnRenamed("id", "part_id")
+    # patch the CONCRETE class (pyspark.sql.classic overrides the
+    # pyspark.sql.DataFrame base methods)
+    monkeypatch.setattr(
+        type(df), "writeTo",
+        lambda self, ref: FakeV2Writer(ref, fail_next["v"]),
+        raising=True,
+    )
+
+    C.write_table(df, "table:cat.db.t", mode="overwrite", partition_by=["part_id"])
+    assert ("partitionedBy", "cat.db.t", 1) in calls
+    assert ("createOrReplace", "cat.db.t") in calls
+
+    C.write_table(df, "cat.db.t2", mode="append")
+    assert ("append", "cat.db.t2") in calls
+
+    # first-ever append: table absent -> create()
+    fail_next["v"] = True
+    C.write_table(df, "cat.db.t3", mode="append")
+    assert ("create", "cat.db.t3") in calls
 
 
 def test_resize_images_box_fit(spark):

@@ -43,6 +43,55 @@ def test_tj_array_operator():
     assert extract_pdf_text_blocks(raw) == ["Hello"]
 
 
+def _stream(body: bytes) -> bytes:
+    return b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
+
+
+def test_hex_string_tj():
+    # <48656C6C6F> = "Hello"; whitespace between digit pairs is legal
+    assert extract_pdf_text_blocks(_stream(b"BT <48656C 6C6F> Tj ET")) == ["Hello"]
+
+
+def test_hex_string_odd_digit_padded():
+    # odd final digit pads with 0: <48 65 6C 6C 6F 2> -> "Hello " (0x20)
+    assert extract_pdf_text_blocks(_stream(b"BT <48656C6C6F2> Tj ET")) == ["Hello"]
+
+
+def test_hex_in_tj_array():
+    body = b"BT [(He) -20 <6C6C> 5 (o)] TJ ET"
+    assert extract_pdf_text_blocks(_stream(body)) == ["Hello"]
+
+
+def test_quote_operators():
+    # ' moves to next line and shows; " sets spacing then shows
+    body = b"BT (one) Tj (two) ' 2 1 (three) \" ET"
+    assert extract_pdf_text_blocks(_stream(body)) == ["onetwothree"]
+
+
+def test_hex_quote_operator():
+    assert extract_pdf_text_blocks(_stream(b"BT <414243> ' ET")) == ["ABC"]
+
+
+def test_unsupported_filter_degrades_empty():
+    body = b"\xff\xd8\xff\xe0 jpeg-ish bytes BT (never) Tj ET"
+    raw = (
+        b"<< /Length %d /Filter /DCTDecode >>\nstream\n%s\nendstream"
+        % (len(body), body)
+    )
+    # DCTDecode is not FlateDecode: raw body scanned, finds the BT..ET
+    # (documented: unknown filters are treated as opaque pass-through,
+    # real image streams virtually never contain BT..ET sequences)
+    out = extract_pdf_text_blocks(raw)
+    assert out == ["never"] or out == []
+
+
+def test_multibyte_hex_degrades_to_raw_bytes():
+    # Identity-H style 2-byte codes: no CMap -> raw byte interpretation
+    # (documented degrade; must not crash, must stay bounded)
+    out = extract_pdf_text_blocks(_stream(b"BT <00480065> Tj ET"))
+    assert out == ["\x00H\x00e".strip()] or out == ["H e"] or isinstance(out, list)
+
+
 def test_garbage_is_empty_not_crash():
     assert extract_pdf_text_blocks(b"\x00\x01 not a pdf") == []
     assert extract_pdf_b64_text_blocks("!!!not-base64!!!") == []

@@ -79,6 +79,22 @@ def test_semi_join_broadcasts_small_side(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_simhash_signatures_have_zero_exchanges(spark):
+    """The SimHash signature stage is one higher-order expression per
+    doc — no explode, no groupBy: its physical plan must contain NO
+    exchange of any kind (the old formulation shuffled the corpus at
+    token grain into a 64-column aggregate)."""
+    from geoparser_spark.operators.dedup import simhash
+
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words here number "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(simhash(docs))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan  # no explode
+
+
 def test_topk_uses_take_ordered(spark):
     from geoparser_spark.operators.similarity import brute_force_topk
 

@@ -104,14 +104,31 @@ def main() -> int:
     subprocess.run([sys.executable, "-c", gen], check=True)
 
     results = {}
+    steal = {}
     for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, "-c", CHILD, str(cpus), docs_path, str(n_docs)],
-            check=True, capture_output=True, text=True,
-        )
+        vm = subprocess.Popen(["vmstat", "5"], stdout=subprocess.PIPE, text=True)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", CHILD, str(cpus), docs_path, str(n_docs)],
+                check=True, capture_output=True, text=True,
+            )
+        finally:
+            vm.terminate()
+        vm_lines = vm.stdout.read().splitlines() if vm.stdout else []
+        st_vals = []
+        for l in vm_lines[2:]:  # skip headers
+            parts = l.split()
+            if len(parts) >= 17 and parts[-1].isdigit():
+                st_vals.append(int(parts[-1]))
+        steal[cpus] = {
+            "samples": len(st_vals),
+            "mean_st": round(statistics.mean(st_vals), 1) if st_vals else None,
+            "max_st": max(st_vals) if st_vals else None,
+        }
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line)
+        print(json.dumps({"cpus": cpus, "vmstat_steal": steal[cpus]}))
 
     # drop run 0 (C2 JIT still converging despite the warmup slice)
     med = {c: statistics.median(results[c]["walls"][1:]) for c in (8, 32)}
@@ -153,8 +170,11 @@ Spark, zero shuffles, embarrassingly parallel — measures on this VM:
 | 32 | {ctl['tp32']:.0f} |
 
 **Pure-CPU 8 -> 32 efficiency: {ctl['eff']:.3f}** — the hypervisor
-does not deliver 4x the cycles when all 32 vCPUs are busy (vmstat
-shows 6-17% steal under load; run-to-run swings up to +-40%).  Any
+does not deliver 4x the cycles when all 32 vCPUs are busy.  vmstat
+sampled every 5 s DURING the measured runs of this very session:
+mean steal {steal[8]['mean_st']}% (max {steal[8]['max_st']}%) at
+local[8]; mean {steal[32]['mean_st']}% (max {steal[32]['max_st']}%)
+at local[32]; run-to-run swings up to +-40%.  Any
 8-vs-32 comparison on this box is capped near that number regardless
 of framework.  Normalizing the pipeline's efficiency by the platform
 ceiling gives **{eff/ctl['eff']:.3f}**.
