@@ -810,7 +810,17 @@ _STOPS = {
 _STOP_EN = _STOPS["en"]
 
 
+_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
 def oracle_sql() -> dict[str, str]:
+    # the pure-Python oracle builders below re-read the parquet tables
+    # and re-hash the corpus on every call (~10 s); memoize per SF dir
+    import os as _os
+
+    _sf_key = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if _sf_key in _ORACLE_CACHE:
+        return dict(_ORACLE_CACHE[_sf_key])
     hits = {
         lang: f"len(list_filter({_TOKS_SQL}, t -> list_contains({arr}, t)))"
         for lang, arr in _STOPS.items()
@@ -1066,4 +1076,5 @@ def oracle_sql() -> dict[str, str]:
             ),
         }
     )
+    _ORACLE_CACHE[_sf_key] = dict(out)
     return out

@@ -153,6 +153,72 @@ def ivf_topk(embeddings: DataFrame, query: list[float], centroids: np.ndarray,
     )
 
 
+def lsh_bucketize(embeddings: DataFrame, path: str, n_planes: int = 8,
+                  seed: int = 42, dim: int | None = None,
+                  vec_col: str = "embedding") -> None:
+    """Materialize the table partitioned by LSH bucket — the scale path
+    for repeated queries: a top-k then reads ONE partition directory
+    (true partition pruning at the file level) instead of scanning the
+    corpus to recompute buckets per query."""
+    first = embeddings.select(F.size(vec_col)).first()
+    d = dim or (first[0] if first else 0)
+    planes = _hyperplanes(d, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    (
+        embeddings.withColumn("bucket", lsh_bucket_col(v, planes))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+
+
+def lsh_topk_prebucketed(spark, path: str, query: list[float], k: int = 10,
+                         n_planes: int = 8, seed: int = 42,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """ANN over a bucket-partitioned table: the bucket equality predicate
+    prunes to one partition directory — the scan reads ~1/2^n_planes of
+    the files, no bucket recomputation."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qkey = "".join("1" if float(np.dot(p, query)) >= 0 else "0" for p in planes)
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket") == qkey)
+        .select(F.col(id_col), cosine_to_query(v, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_materialize(embeddings: DataFrame, centroids: np.ndarray,
+                    path: str, vec_col: str = "embedding") -> None:
+    """Materialize the table partitioned by inverted-list id: probes
+    become partition pruning (read nprobe directories), the layout a
+    production IVF index uses."""
+    (
+        ivf_assign(embeddings, centroids, vec_col)
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    )
+
+
+def ivf_topk_pruned(spark, path: str, query: list[float],
+                    centroids: np.ndarray, k: int = 10, nprobe: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Probe a pre-partitioned IVF table: the IN-list predicate on the
+    partition column prunes the scan to the probed directories."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        spark.read.parquet(path)
+        .where(F.col("ivf_list").isin(probe))
+        .select(F.col(id_col), cosine_to_query(v, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, pairwise) — for

@@ -57,3 +57,56 @@ def run_incremental_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          key_col: str = "event_type",
+                          window_duration: str = "1 hour",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Event-time tumbling-window aggregation with a late-data
+    watermark — the streaming twin of the batch ``events_windowed_agg``
+    query.  Rows later than ``watermark`` past the max seen event time
+    are dropped and their window finalized; append-mode sinks emit each
+    window exactly once when it closes.  (The reference has no event
+    time at all — its 'incremental' unit is a poll counter,
+    geoparser_app/views.py:339-348.)"""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col, "cnt", "sum_value",
+        )
+    )
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "ts timestamp, event_type string, value double",
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> StreamingQuery:
+    """File-stream → watermarked windowed counts → parquet, append mode
+    (only closed windows are written; late rows beyond the watermark
+    are dropped — the documented late-data policy)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = windowed_event_counts(stream, window_duration=window_duration,
+                                watermark=watermark)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

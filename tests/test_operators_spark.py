@@ -229,6 +229,34 @@ def test_lsh_topk_is_bucket_restricted_exact(spark):
     assert ids == sorted(ids, key=lambda i: (-cos[i], i))
 
 
+def test_prebucketed_lsh_prunes_partitions_and_matches_scan(spark, tmpdir):
+    """Scale path: the bucket-partitioned materialization returns the
+    same top-k as the scan variant, and its scan carries a
+    PartitionFilters predicate on the bucket (file-level pruning)."""
+    df, _ = _emb_df(spark)
+    q = [1.0] + [0.0] * 7
+    path = os.path.join(tmpdir, "lsh_idx")
+    S.lsh_bucketize(df, path, n_planes=2)
+    pre = S.lsh_topk_prebucketed(spark, path, q, k=5, n_planes=2)
+    scan = S.lsh_topk(df, q, k=5, n_planes=2)
+    assert [r.vec_id for r in pre.collect()] == [r.vec_id for r in scan.collect()]
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_ivf_pruned_matches_scan(spark, tmpdir):
+    df, _ = _emb_df(spark)
+    q = [1.0] + [0.0] * 7
+    cents = S.ivf_fit_centroids(df, n_lists=4, sample=50)
+    path = os.path.join(tmpdir, "ivf_idx")
+    S.ivf_materialize(df, cents, path)
+    pre = S.ivf_topk_pruned(spark, path, q, cents, k=5, nprobe=2)
+    scan = S.ivf_topk(df, q, cents, k=5, nprobe=2)
+    assert [r.vec_id for r in pre.collect()] == [r.vec_id for r in scan.collect()]
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+
+
 def test_cosine_near_dup_pairs(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0]),

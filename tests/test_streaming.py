@@ -62,6 +62,59 @@ def _latest_per_key(spark, out):
     return {r.key: (r.n_events, r.sum_value) for r in latest.collect()}
 
 
+def test_watermarked_window_closes_and_drops_late(spark, dirs):
+    """Event-time window + watermark semantics (§2.5): a window is
+    emitted exactly once after the watermark passes its end, and rows
+    later than the watermark are dropped, not merged."""
+    from pyspark.sql import Row
+    from geoparser_spark.streaming.incremental import run_windowed_counts
+
+    ev, out, ckpt = dirs["docs"], dirs["out"], dirs["ckpt"]
+
+    def write(rows):
+        spark.createDataFrame(
+            [Row(ts=t, event_type=k, value=v) for t, k, v in rows],
+            "ts string, event_type string, value double",
+        ).select(
+            F.to_timestamp("ts").alias("ts"), "event_type", "value"
+        ).write.mode("append").parquet(ev)
+
+    def run():
+        q = run_windowed_counts(spark, ev, out, ckpt)
+        q.awaitTermination(120)
+
+    def windows():
+        try:
+            return {
+                (str(r.window_start), r.event_type): (r.cnt, r.sum_value)
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return {}
+
+    write([("2024-01-01 10:00:00", "A", 1.0),
+           ("2024-01-01 10:10:00", "A", 2.0),
+           ("2024-01-01 10:20:00", "B", 5.0)])
+    run()  # watermark still inside the 10:00 window: nothing final yet
+
+    write([("2024-01-01 13:00:00", "A", 1.0)])
+    run()  # watermark -> 12:30, the 10:00-11:00 window closes
+    got = windows()
+    assert got.get(("2024-01-01 10:00:00", "A")) == (2, 3.0)
+    assert got.get(("2024-01-01 10:00:00", "B")) == (1, 5.0)
+
+    # a LATE row for the already-closed window + a fresh wave that
+    # closes the 13:00 window
+    write([("2024-01-01 10:05:00", "A", 100.0),
+           ("2024-01-01 15:00:00", "C", 1.0)])
+    run()
+    got = windows()
+    # late row dropped: the closed window's values are unchanged and
+    # appear exactly once
+    assert got.get(("2024-01-01 10:00:00", "A")) == (2, 3.0)
+    assert got.get(("2024-01-01 13:00:00", "A")) == (1, 1.0)
+
+
 def test_stateful_running_counts_across_restarts(spark, dirs):
     from pyspark.sql import Row, functions as F
     from geoparser_spark.streaming.stateful import run_stateful_counts
