@@ -604,6 +604,84 @@ def _tpch_q14(spark, sf_dir):
     )
 
 
+def _tpch_q7(spark, sf_dir):
+    """TPC-H Q7-style volume shipping (adapted to the testdata schema:
+    no l_commitdate, year from l_shipdate): revenue flow between two
+    nation pairs — fact x fact join with two broadcast dim legs."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1996-12-31")
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+    )
+
+
+def _tpch_q18(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders: groupBy-HAVING over the
+    fact, then join back to orders/customer; top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 120)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.round("sum_qty", 4).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def _tpch_q19(spark, sf_dir):
+    """TPC-H Q19-style bracket predicates (adapted: p_brand/p_size
+    stand in for the container/shipmode columns the testdata lacks):
+    disjunctive per-bracket (brand, size, quantity) conditions pushed
+    into one join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 21)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 50)))
+    )
+    return j.where(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def _tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -718,6 +796,28 @@ def _ann_lsh(spark, sf_dir):
 
 # ---------------------------------------------------- text analysis
 
+def _curation_pipeline(spark, sf_dir):
+    """Composed training-data curation (the operators as a pipeline, not
+    a demo each): exact-dedup keepers -> quality gate (score >= 3) ->
+    per-language corpus stats.  One plan: the dedup groupBy, the two
+    scoring projections, and the final facet agg all co-planned by
+    Catalyst."""
+    docs = _t(spark, sf_dir, "documents")
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    q = TQ.quality_score(kept).select("doc_id", "n_tokens", "quality_score")
+    lang = TQ.language_id(kept).select("doc_id", "lang_pred")
+    return (
+        q.where(F.col("quality_score") >= 3.0)
+        .join(lang, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 _EVAL_KEYWORDS = ["the", "and", "data", "merge"]
 
 
@@ -777,8 +877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q6_forecast": _tpch_q6,
+        "tpch_q7_volume_shipping": _tpch_q7,
         "tpch_q10_returned_items": _tpch_q10,
         "tpch_q14_promo_share": _tpch_q14,
+        "tpch_q18_large_orders": _tpch_q18,
+        "tpch_q19_brackets": _tpch_q19,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -788,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk,
         "ann_ivf_topk": _ann_ivf,
         "ann_lsh_topk": _ann_lsh,
+        "curation_pipeline": _curation_pipeline,
         "eval_keyword_match": _eval_keyword_match,
         "eval_keyword_total": _eval_keyword_total,
         "text_token_count": _text_tokens,
@@ -810,6 +914,57 @@ _STOPS = {
 _STOP_EN = _STOPS["en"]
 
 
+def _quality_sql(src: str = "documents") -> str:
+    """DuckDB mirror of operators.text_quality.quality_score over any
+    source relation (used standalone and inside the curation pipeline
+    oracle)."""
+    return f"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+                     {_TOKS_SQL} AS toks,
+                     {_NORM_SQL.format(c='text')} AS norm
+              FROM {src}
+            ), m AS (
+              SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                     n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+                     len(list_filter(toks, t -> list_contains({_STOP_EN}, t)))::DOUBLE
+                       / greatest(len(toks), 1) AS stop_ratio,
+                     (length(norm) - (len(toks) - 1))::DOUBLE / len(toks) AS mean_word_len
+              FROM b
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stop_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN mean_word_len > 2.5 AND mean_word_len < 12 THEN 1.0 ELSE 0.0 END)::DOUBLE AS quality_score
+            FROM m"""
+
+
+def _langid_sql(src: str = "documents") -> str:
+    """DuckDB mirror of operators.text_quality.language_id over any
+    source relation."""
+    hits = {
+        lang: f"len(list_filter({_TOKS_SQL}, t -> list_contains({arr}, t)))"
+        for lang, arr in _STOPS.items()
+    }
+    best = "greatest(" + ", ".join(f"h_{l}" for l in sorted(_STOPS)) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {best} THEN '{l}'" for l in sorted(_STOPS)
+    ) + " ELSE 'und' END"
+    return f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {", ".join(f"{hits[l]} AS h_{l}" for l in sorted(_STOPS))}
+              FROM {src}
+            )
+            SELECT doc_id, {lang_case} AS lang_pred, {best} AS stopword_hits FROM h"""
+
+
 _ORACLE_CACHE: dict[str, dict[str, str]] = {}
 
 
@@ -821,14 +976,6 @@ def oracle_sql() -> dict[str, str]:
     _sf_key = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     if _sf_key in _ORACLE_CACHE:
         return dict(_ORACLE_CACHE[_sf_key])
-    hits = {
-        lang: f"len(list_filter({_TOKS_SQL}, t -> list_contains({arr}, t)))"
-        for lang, arr in _STOPS.items()
-    }
-    best = "greatest(" + ", ".join(f"h_{l}" for l in sorted(_STOPS)) + ")"
-    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
-        f"WHEN h_{l} = {best} THEN '{l}'" for l in sorted(_STOPS)
-    ) + " ELSE 'und' END"
     out = {
         "pipeline_extract_spans": _FLAGSHIP_SQL,
         "geotag_candidates": _geotag_candidates_sql(),
@@ -901,6 +1048,41 @@ def oracle_sql() -> dict[str, str]:
               AND l_returnflag = 'R'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3""",
+        "tpch_q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 120
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   round(sum_qty, 4) AS sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+        "tpch_q19_brackets": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)""",
         "tpch_q14_promo_share": """
             SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
@@ -1000,38 +1182,21 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(text, '\\s+')) AS n_whitespace_tokens,
                    CAST(floor(length(text) / 4) AS INT) AS n_bpe_est
             FROM documents""",
-        "text_lang_id": f"""
-            WITH h AS (
-              SELECT doc_id,
-                     {", ".join(f"{hits[l]} AS h_{l}" for l in sorted(_STOPS))}
-              FROM documents
-            )
-            SELECT doc_id, {lang_case} AS lang_pred, {best} AS stopword_hits FROM h""",
-        "text_quality_score": f"""
-            WITH b AS (
-              SELECT doc_id, text,
-                     length(text) AS n_chars,
-                     length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
-                     {_TOKS_SQL} AS toks,
-                     {_NORM_SQL.format(c='text')} AS norm
-              FROM documents
-            ), m AS (
-              SELECT doc_id, n_chars, len(toks) AS n_tokens,
-                     n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
-                     len(list_filter(toks, t -> list_contains({_STOP_EN}, t)))::DOUBLE
-                       / greatest(len(toks), 1) AS stop_ratio,
-                     (length(norm) - (len(toks) - 1))::DOUBLE / len(toks) AS mean_word_len
-              FROM b
-            )
-            SELECT doc_id, n_chars, n_tokens,
-                   round(punct_ratio, 6) AS punct_ratio,
-                   round(stop_ratio, 6) AS stop_ratio,
-                   round(mean_word_len, 6) AS mean_word_len,
-                   (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END
-                    + CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END
-                    + CASE WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.0 END
-                    + CASE WHEN mean_word_len > 2.5 AND mean_word_len < 12 THEN 1.0 ELSE 0.0 END)::DOUBLE AS quality_score
-            FROM m""",
+        "text_lang_id": _langid_sql("documents"),
+        "curation_pipeline": f"""
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ),
+            kept AS (
+              SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.doc_id
+            ),
+            q AS (SELECT doc_id, n_tokens, quality_score FROM ({_quality_sql('kept')})),
+            l AS (SELECT doc_id, lang_pred FROM ({_langid_sql('kept')}))
+            SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+            FROM q JOIN l USING (doc_id)
+            WHERE quality_score >= 3
+            GROUP BY lang_pred""",
+        "text_quality_score": _quality_sql("documents"),
         "text_fingerprint": f"""
             WITH n AS (
               SELECT doc_id, {_NORM_SQL.format(c='text')} AS norm FROM documents

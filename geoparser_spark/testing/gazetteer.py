@@ -146,6 +146,45 @@ def gazetteer_df(spark: SparkSession, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(gazetteer_rows(seed), schema=GAZETTEER)
 
 
+def big_gazetteer_df(spark: SparkSession, n: int = 200_000) -> DataFrame:
+    """Synthetic gazetteer at GeoNames-like scale, generated NATIVELY
+    (spark.range + expressions — no driver-side lists) so scale tests
+    can exercise the broadcast tag join with 10^5-10^6 surface forms.
+    The real allCountries.txt is ~12M rows; build_surface_forms
+    projects it to (surface, n_tokens, geonameid) before the broadcast
+    — the design the plan-shape test pins."""
+    from pyspark.sql import functions as F
+
+    syllA = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("bran", "cold", "dun", "east", "fair", "grim", "hazel",
+                   "iron", "jade", "kiln", "long", "mill")]),
+        (F.col("id") % 12 + 1).cast("int"),
+    )
+    syllB = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("field", "ford", "gate", "holm", "keep", "mark", "ness",
+                   "port", "stead", "ton", "vale", "wick")]),
+        (F.pmod(F.col("id") / 12, F.lit(12)).cast("int") + 1),
+    )
+    name = F.initcap(F.concat(syllA, syllB, F.lit(" "), (F.col("id") % 9973).cast("string")))
+    return spark.range(n).select(
+        (F.col("id") + 10_000_000).alias("geonameid"),
+        name.alias("name"),
+        name.alias("asciiname"),
+        F.lit("").alias("alternatenames"),
+        (F.pmod(F.col("id") * 0.137, F.lit(180.0)) - 90).alias("latitude"),
+        (F.pmod(F.col("id") * 0.291, F.lit(360.0)) - 180).alias("longitude"),
+        F.lit("P").alias("feature_class"),
+        F.when(F.col("id") % 50 == 0, "PPLA").otherwise("PPL").alias("feature_code"),
+        F.concat(F.lit("C"), (F.col("id") % 60).cast("string")).alias("country_code"),
+        F.concat(F.lit("0"), (F.col("id") % 7).cast("string")).alias("admin1_code"),
+        F.lit("").alias("admin2_code"),
+        (F.col("id") % 1_000_000).alias("population"),
+        F.lit("").alias("timezone"),
+    )
+
+
 def write_geonames_tsv(path: str, seed: int = 42) -> None:
     """Write the fixture in the 19-column allCountries.txt TSV layout so
     sources/geonames.py can be tested against the real dump format."""

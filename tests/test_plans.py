@@ -95,6 +95,53 @@ def test_simhash_signatures_have_zero_exchanges(spark):
     assert "Generate" not in plan  # no explode
 
 
+def test_big_gazetteer_tag_join_stays_broadcast(spark, docs):
+    """The tag stage must keep its broadcast shape at GeoNames-like
+    surface counts (the real dump is ~12M rows; 100k here): corpus side
+    never shuffles for the join, and the pipeline completes."""
+    from geoparser_spark.operators.extract import extract
+    from geoparser_spark.operators.geotag import doc_texts
+    from geoparser_spark.testing.gazetteer import big_gazetteer_df
+
+    gaz = big_gazetteer_df(spark, 100_000)
+    surf = build_surface_forms(gaz)
+    cands = candidate_mentions(doc_texts(extract(docs)), surf)
+    plan = _plan(cands)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    cands.count()  # and it actually executes at this scale
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Co-located fact-to-fact join: both sides pre-bucketed on the key
+    -> the sort-merge join plans with NO shuffle exchange on either
+    side (the 100 TB answer when neither side broadcasts)."""
+    from geoparser_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    # (tables land in the session's default warehouse dir; dropped below)
+    # force the join decision to SMJ: neither side may broadcast
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        write_bucketed(left, "bj_left", "k", 8)
+        write_bucketed(right, "bj_right", "k", 8)
+        out = bucketed_join(spark, "bj_left", "bj_right", "k")
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert out.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bj_left")
+        spark.sql("DROP TABLE IF EXISTS bj_right")
+
+
 def test_topk_uses_take_ordered(spark):
     from geoparser_spark.operators.similarity import brute_force_topk
 
