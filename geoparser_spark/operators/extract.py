@@ -25,6 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from geoparser_spark.operators.html_main import extract_html_blocks
+from geoparser_spark.operators.office_text import (
+    extract_docx_b64_text_blocks,
+    extract_rtf_text_blocks,
+)
 from geoparser_spark.operators.pdf_text import extract_pdf_b64_text_blocks
 from geoparser_spark.schemas import EXTRACTED
 
@@ -53,6 +57,12 @@ def extract_doc_spans(spans: list[dict]) -> list[dict]:
                 out.append({"kind": k, "text": t, "media_ref": m})
         elif kind == "pdf_bytes" and text:
             for block in extract_pdf_b64_text_blocks(text):
+                out.append({"kind": "text", "text": block, "media_ref": None})
+        elif kind == "docx_bytes" and text:
+            for block in extract_docx_b64_text_blocks(text):
+                out.append({"kind": "text", "text": block, "media_ref": None})
+        elif kind == "rtf" and text:
+            for block in extract_rtf_text_blocks(text):
                 out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "text" and text:
             t = _norm_text(text)
@@ -104,6 +114,12 @@ def extract_doc_spans_cols(kinds, texts, refs, offs, lo: int, hi: int) -> list[t
                 out.append((k, t, m))
         elif kind == "pdf_bytes" and text:
             for block in extract_pdf_b64_text_blocks(text):
+                out.append(("text", block, None))
+        elif kind == "docx_bytes" and text:
+            for block in extract_docx_b64_text_blocks(text):
+                out.append(("text", block, None))
+        elif kind == "rtf" and text:
+            for block in extract_rtf_text_blocks(text):
                 out.append(("text", block, None))
         elif kind == "text" and text:
             t = _norm_text(text)

@@ -132,12 +132,62 @@ def _spans_checksum_col() -> F.Column:
     ).cast("string")
 
 
+def _read_ref(spark: SparkSession, ref: str) -> DataFrame:
+    from geoparser_spark.sources.catalog import is_catalog_ref, strip_catalog_prefix
+
+    if is_catalog_ref(ref):
+        return spark.table(strip_catalog_prefix(ref))
+    return spark.read.parquet(ref)
+
+
+def _write_partitioned(df: DataFrame, ref: str) -> None:
+    """Write partitioned-by-part_id output to a parquet path (classic
+    writer, dynamic partition overwrite) or a catalog table (v2 writer:
+    overwritePartitions — on Iceberg this is a snapshot-isolated
+    REPLACE of just the touched partitions; the session catalog's
+    parquet tables give the same dynamic-overwrite semantics)."""
+    from geoparser_spark.sources.catalog import is_catalog_ref, strip_catalog_prefix
+
+    if is_catalog_ref(ref):
+        tbl = strip_catalog_prefix(ref)
+        if df.sparkSession.catalog.tableExists(tbl):
+            try:
+                # true v2 catalogs (Iceberg): snapshot-isolated dynamic
+                # partition replace
+                df.writeTo(tbl).overwritePartitions()
+            except Exception:
+                # session-catalog parquet tables are v1: same dynamic
+                # semantics via insertInto under partitionOverwriteMode
+                # = dynamic (set by resumable_stage)
+                df.write.mode("overwrite").insertInto(tbl)
+        else:
+            df.writeTo(tbl).using("parquet").partitionedBy(F.col("part_id")).create()
+        return
+    df.write.mode("overwrite").partitionBy("part_id").parquet(ref)
+
+
+def _append_ref(df: DataFrame, ref: str) -> None:
+    from geoparser_spark.sources.catalog import is_catalog_ref, strip_catalog_prefix
+
+    if is_catalog_ref(ref):
+        tbl = strip_catalog_prefix(ref)
+        if df.sparkSession.catalog.tableExists(tbl):
+            try:
+                df.writeTo(tbl).append()
+            except Exception:  # v1 session-catalog table
+                df.write.insertInto(tbl)
+        else:
+            df.writeTo(tbl).using("parquet").create()
+        return
+    df.write.mode("append").parquet(ref)
+
+
 def read_done_parts(spark: SparkSession, manifest_dir: str) -> DataFrame:
     """Manifest partitions already completed (any run_id — restartable
     across job submissions, like the reference's resume offset but
     partition-grained)."""
     try:
-        m = spark.read.parquet(manifest_dir)
+        m = _read_ref(spark, manifest_dir)
     except Exception:
         return spark.createDataFrame([], "part_id int")
     return (
@@ -176,10 +226,10 @@ def resumable_stage(
     rows_in = todo.groupBy("part_id").agg(F.count("*").alias("rows_in"))
     t0 = time.monotonic()
     out = with_part_id(stage(todo.drop("part_id")), key, n_parts)
-    out.write.mode("overwrite").partitionBy("part_id").parquet(output_dir)
+    _write_partitioned(out, output_dir)
     wall_ms = int((time.monotonic() - t0) * 1000)
 
-    written = spark.read.parquet(output_dir).join(
+    written = _read_ref(spark, output_dir).join(
         todo.select("part_id").distinct(), "part_id", "left_semi"
     )
     manifest = (
@@ -200,5 +250,5 @@ def resumable_stage(
         )
         .withColumnRenamed("part_id", "partition_id")
     )
-    manifest.write.mode("append").parquet(manifest_dir)
-    return spark.read.parquet(output_dir).drop("part_id")
+    _append_ref(manifest, manifest_dir)
+    return _read_ref(spark, output_dir).drop("part_id")

@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 # Authoritative input shape per BASELINE.json `input_hint`.
 SPAN_IN = T.StructType(
     [
-        T.StructField("kind", T.StringType()),       # html|text|pdf_bytes|image|video|table|audio
+        T.StructField("kind", T.StringType()),       # html|text|pdf_bytes|docx_bytes|rtf|image|video|table|audio
         T.StructField("text", T.StringType()),       # payload for text-bearing kinds (b64 for pdf)
         T.StructField("media_ref", T.StringType()),  # URI for media kinds, else null
         T.StructField("offset", T.IntegerType()),    # 0-based span position within the doc

@@ -42,13 +42,24 @@ def run_incremental_extract(
     checkpoint_dir: str,
     transform: Callable[[DataFrame], DataFrame] = extract,
     available_now: bool = True,
+    batch_transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """Process whatever has arrived, then stop (AvailableNow), writing
     each micro-batch to the output table.  Restart-safe via the stream
-    checkpoint — the streaming twin of resumable_stage."""
+    checkpoint — the streaming twin of resumable_stage.
+
+    ``transform`` runs on the streaming DataFrame and must be
+    stream-safe (map-only, e.g. extract).  ``batch_transform`` runs on
+    each micro-batch INSIDE foreachBatch with full batch semantics —
+    the place for per-doc aggregations like geotag, which streaming
+    append mode rejects without a watermark.  Per-doc grouping is
+    globally correct there because the file source delivers every doc
+    in exactly one micro-batch."""
     stream = transform(stream_docs(spark, docs_dir))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         batch_df.write.mode("append").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(sink).option(

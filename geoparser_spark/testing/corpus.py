@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from geoparser_spark.operators.office_text import make_mini_docx
 from geoparser_spark.operators.pdf_text import make_mini_pdf
 from geoparser_spark.schemas import DOCS, EXTRACTED
 from geoparser_spark.testing.gazetteer import gazetteer_rows
@@ -101,6 +102,20 @@ def _pdf_span(rng: random.Random, mentions: list[str]):
     return b64, truth
 
 
+def _docx_span(rng: random.Random, mentions: list[str]):
+    paras = [_paragraph(rng, mentions) for _ in range(rng.randint(1, 3))]
+    b64 = base64.b64encode(make_mini_docx(paras)).decode("ascii")
+    truth = [("text", " ".join(p.split()), None) for p in paras]
+    return b64, truth
+
+
+def _rtf_span(rng: random.Random, mentions: list[str]):
+    paras = [_paragraph(rng, mentions) for _ in range(rng.randint(1, 2))]
+    rtf = "{\\rtf1\\ansi " + "".join(p + "\\par " for p in paras) + "}"
+    truth = [("text", " ".join(p.split()), None) for p in paras]
+    return rtf, truth
+
+
 def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
                  mega_factor: int = 100) -> tuple[dict, dict]:
     """Return (doc_row, expected_row) for one document. Pure function of
@@ -115,8 +130,8 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
     truth: list[tuple[str, str | None, str | None]] = []
     for i in range(n_spans):
         kind = rng.choices(
-            ["html", "text", "pdf_bytes", "image", "video"],
-            weights=[4, 4, 2, 1, 1],
+            ["html", "text", "pdf_bytes", "docx_bytes", "rtf", "image", "video"],
+            weights=[4, 4, 2, 1, 1, 1, 1],
         )[0]
         if kind == "html":
             html, t = _html_span(rng, doc_id, i, mentions)
@@ -129,6 +144,14 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         elif kind == "pdf_bytes":
             b64, t = _pdf_span(rng, mentions)
             spans_in.append({"kind": "pdf_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "docx_bytes":
+            b64, t = _docx_span(rng, mentions)
+            spans_in.append({"kind": "docx_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "rtf":
+            rtf, t = _rtf_span(rng, mentions)
+            spans_in.append({"kind": "rtf", "text": rtf, "media_ref": None, "offset": i})
             truth.extend(t)
         else:
             ref = f"{kind[:3]}://{doc_id}/{i}"

@@ -117,6 +117,39 @@ def test_resumable_stage_resumes(spark, docs, expected):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_resumable_stage_on_catalog_ref(spark, docs, expected):
+    """The same resume protocol against CATALOG TABLE refs: output and
+    manifest go through the DataFrameWriterV2 path (overwritePartitions
+    / append — the calls that are snapshot commits on Iceberg), reads
+    through spark.table.  Exercised end-to-end on the session catalog's
+    parquet tables."""
+    out_ref = "table:gp_resume_out"
+    man_ref = "table:gp_resume_man"
+    try:
+        n_parts = 8
+        first_half = with_part_id(docs, n_parts=n_parts).where(F.col("part_id") < 4)
+        resumable_stage(
+            spark, first_half.drop("part_id"), extract, out_ref, man_ref,
+            run_id="r1", n_parts=n_parts,
+        )
+        man1 = spark.table("gp_resume_man").where(F.col("status") == "done")
+        assert man1.select("partition_id").distinct().count() == 4
+
+        out2 = resumable_stage(
+            spark, docs, extract, out_ref, man_ref, run_id="r2", n_parts=n_parts
+        )
+        man = spark.table("gp_resume_man")
+        assert (
+            man.where(F.col("run_id") == "r2")
+            .select("partition_id").distinct().count()
+            == n_parts - 4
+        )
+        _assert_span_equality(out2, expected)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gp_resume_out")
+        spark.sql("DROP TABLE IF EXISTS gp_resume_man")
+
+
 # ----------------------------------------------------------- geotag
 
 def test_geotag_fixtures(spark, gazetteer):

@@ -49,6 +49,47 @@ def test_pdf_extract_never_crashes_on_garbage(raw):
     assert all(isinstance(b, str) for b in out)
 
 
+@given(st.binary(max_size=300))
+@settings(**_SETTINGS)
+def test_docx_extract_never_crashes_on_garbage(raw):
+    from geoparser_spark.operators.office_text import extract_docx_text_blocks
+
+    out = extract_docx_text_blocks(raw)
+    assert isinstance(out, list) and all(isinstance(b, str) for b in out)
+
+
+_docx_para = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), min_size=1, max_size=120
+)
+
+
+@given(st.lists(_docx_para, min_size=0, max_size=6))
+@settings(**_SETTINGS)
+def test_docx_roundtrip_preserves_paragraphs(paras):
+    from geoparser_spark.operators.office_text import (
+        extract_docx_text_blocks,
+        make_mini_docx,
+    )
+
+    out = extract_docx_text_blocks(make_mini_docx(paras))
+    want = [" ".join(p.split()) for p in paras]
+    assert out == [w for w in want if w]
+
+
+@given(_noise_text)
+@settings(**_SETTINGS)
+def test_rtf_extract_total_and_deterministic(s):
+    from geoparser_spark.operators.office_text import extract_rtf_text_blocks
+
+    rtf = "{\\rtf1 " + s.replace("\\", "").replace("{", "").replace("}", "") + "\\par}"
+    out1 = extract_rtf_text_blocks(rtf)
+    out2 = extract_rtf_text_blocks(rtf)
+    assert out1 == out2
+    assert all(b == " ".join(b.split()) for b in out1)
+    # non-RTF input is always an empty parse, never an exception
+    assert extract_rtf_text_blocks(s) == [] or s.startswith("{\\rtf")
+
+
 _span = st.fixed_dictionaries(
     {
         "kind": st.sampled_from(["html", "text", "pdf_bytes", "image", "video", "weird"]),

@@ -62,6 +62,31 @@ def _latest_per_key(spark, out):
     return {r.key: (r.n_events, r.sum_value) for r in latest.collect()}
 
 
+def test_streaming_geotag_end_to_end(spark, dirs, gazetteer):
+    """The full extract+geotag pipeline as a streaming transform: the
+    batch operators compose with readStream unchanged, and the
+    micro-batch output equals the batch run location for location."""
+    from geoparser_spark.operators.geotag import geotag
+
+    _write_batch(spark, 25, 42, dirs["docs"])
+    q = run_incremental_extract(
+        spark, dirs["docs"], dirs["out"], dirs["ckpt"],
+        batch_transform=lambda df: geotag(df, gazetteer),
+    )
+    q.awaitTermination(120)
+    stream_out = spark.read.parquet(dirs["out"])
+    batch_out = geotag(extract(spark.read.parquet(dirs["docs"])), gazetteer)
+    # geotag emits only docs with >= 1 location; stream == batch exactly
+    assert stream_out.count() == batch_out.count() > 0
+    j = stream_out.alias("s").join(batch_out.alias("b"), "doc_id", "full")
+    bad = j.where(
+        F.col("s.locations").isNull()
+        | F.col("b.locations").isNull()
+        | ~(F.col("s.locations") == F.col("b.locations"))
+    )
+    assert bad.count() == 0
+
+
 def test_watermarked_window_closes_and_drops_late(spark, dirs):
     """Event-time window + watermark semantics (§2.5): a window is
     emitted exactly once after the watermark passes its end, and rows
