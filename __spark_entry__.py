@@ -37,6 +37,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dsum4(expr: F.Column, alias: str) -> F.Column:
+    """Sum a double expression exactly (through decimal) and round to 4.
+
+    A plain double sum's low-order bits depend on partial-aggregation
+    merge order — nondeterministic run to run — and the driver's
+    exact-bits value hash catches any aggregate whose true sum sits at
+    a round(_, 4) boundary (events_sessionize failed exactly this way
+    in round 1).  Decimal sums are exact and order-free; the oracle
+    mirrors with CAST(round(sum(CAST(x AS DECIMAL(18,6))), 4) AS
+    DOUBLE)."""
+    return (
+        F.round(F.sum(expr.cast("decimal(18,6)")), 4).cast("double").alias(alias)
+    )
+
+
+def _dsum4_sql(expr_sql: str, alias: str) -> str:
+    return (
+        f"CAST(round(sum(CAST({expr_sql} AS DECIMAL(18,6))), 4) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
 # ------------------------------------------------------------ flagship
 
 def _docs_from_documents(documents: DataFrame) -> DataFrame:
@@ -412,7 +434,7 @@ def _events_windowed_agg(spark, sf_dir):
             F.date_trunc("hour", F.col("ts")).alias("window_start"),
             "event_type",
         )
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), _dsum4(F.col("value"), "sum_value"))
     )
 
 
@@ -547,7 +569,7 @@ def _tpch_q5(spark, sf_dir):
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(_dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
 
 
@@ -559,7 +581,7 @@ def _tpch_q6(spark, sf_dir):
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+        .agg(_dsum4(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
     )
 
 
@@ -577,7 +599,7 @@ def _tpch_q10(spark, sf_dir):
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(_dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -593,14 +615,16 @@ def _tpch_q14(spark, sf_dir):
     # an OOM; AQE picks broadcast when the side is genuinely small.
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # both sums go through decimal (exact, order-free), then the ratio
+    # is computed in double from two bit-identical inputs
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+        .cast("decimal(18,6)")
+    ).cast("double")
+    total = F.sum(rev.cast("decimal(18,6)")).cast("double")
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
-        .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-                / F.sum(rev), 4,
-            ).alias("promo_revenue")
-        )
+        .agg(F.round(100.0 * promo / total, 4).alias("promo_revenue"))
     )
 
 
@@ -631,8 +655,7 @@ def _tpch_q7(spark, sf_dir):
     return (
         joined.groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-             .alias("revenue"))
+        .agg(_dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
 
 
@@ -676,8 +699,7 @@ def _tpch_q19(spark, sf_dir):
            & (F.col("l_quantity").between(20, 50)))
     )
     return j.where(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-        .alias("revenue"),
+        _dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count("*").alias("n_rows"),
     )
 
@@ -688,11 +710,10 @@ def _tpch_q1(spark, sf_dir):
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
+            _dsum4(F.col("l_quantity"), "sum_qty"),
+            _dsum4(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                   "sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -708,11 +729,7 @@ def _tpch_q3(spark, sf_dir):
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(_dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -988,7 +1005,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_projection": "SELECT doc_id, n_chars FROM documents",
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS cnt, round(sum(value), 4) AS sum_value
+                   count(*) AS cnt,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
         "events_sessionize": """
             WITH g AS (
@@ -1020,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)""",
         "tpch_q5_local_supplier": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1032,13 +1050,13 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY n_name""",
         "tpch_q6_forecast": """
-            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
         "tpch_q10_returned_items": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1051,7 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS INT) AS l_year,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1074,7 +1092,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
         "tpch_q19_brackets": """
-            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+            SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1084,9 +1102,12 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND l_quantity BETWEEN 20 AND 50)""",
         "tpch_q14_promo_share": """
-            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            SELECT round(100.0
+                   * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                         AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= DATE '1996-01-01'
               AND l_shipdate < DATE '1996-02-01'""",
@@ -1109,15 +1130,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus""",
         "tpch_q3_shipping": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
