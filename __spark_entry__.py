@@ -786,6 +786,13 @@ def _dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def _dedup_lines(spark, sf_dir):
+    """C4-style corpus-level line dedup: sentences occurring in > 2
+    distinct documents are dropped as boilerplate; docs are rebuilt in
+    original sentence order."""
+    return D.line_dedup(_t(spark, sf_dir, "documents"), max_repeats=2)
+
+
 def _dedup_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     out = S.cosine_near_dup_pairs(emb, threshold=0.3)
@@ -905,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_cosine,
+        "dedup_lines": _dedup_lines,
         "sim_topk_bruteforce": _sim_topk,
         "ann_ivf_topk": _ann_ivf,
         "ann_lsh_topk": _ann_lsh,
@@ -1166,6 +1174,38 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
                   / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.015""",
+        "dedup_lines": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(text, '([.!?])\\s+',
+                                  '\\1' || chr(31), 'g'), chr(31)) AS ls
+              FROM documents
+            ),
+            l0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(ls)),
+                            i -> {'pos': i, 'line': ls[i+1]})) AS s
+              FROM t
+            ),
+            lines AS (
+              SELECT doc_id, CAST(s['pos'] AS INT) AS pos, s['line'] AS line,
+                     lower(trim(s['line'])) AS key
+              FROM l0
+            ),
+            cnt AS (
+              SELECT key, count(DISTINCT doc_id) AS n_docs
+              FROM lines GROUP BY key
+            ),
+            m AS (
+              SELECT l.*, (c.n_docs <= 2 AND length(l.key) > 0) AS keep
+              FROM lines l JOIN cnt c USING (key)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                            ' ' ORDER BY pos), '') AS clean_text,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+            FROM m GROUP BY doc_id""",
         "dedup_embedding_cosine": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v

@@ -162,6 +162,63 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     )
 
 
+def line_dedup(docs: DataFrame, max_repeats: int = 2,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level line/sentence dedup (the C4 boilerplate rule: drop
+    any line that occurs in more than ``max_repeats`` distinct
+    documents — navigation chrome, legal footers, share buttons).
+
+    Shape: explode sentences with position, count distinct docs per
+    normalized line via ONE window over the line key (the explode's
+    shuffle and the count share the same hash partitioning), rebuild
+    each doc's text in original order.  At 100 TB the count stage
+    shuffles line-grain rows once — the standard shape for this rule;
+    the heavy-hitter alternative (count-min sketch broadcast) trades
+    exactness for a map-only second pass and slots in behind the same
+    API.
+
+    Output: (doc_id, clean_text, n_kept, n_dropped)."""
+    from pyspark.sql import Window
+
+    # sentence split via an inserted marker (no lookbehind — the oracle
+    # engine's RE2 regexes must be able to mirror the split exactly)
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\u001F")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, "\u001F")).alias("pos", "line"),
+    ).withColumn("key", F.lower(F.trim(F.col("line"))))
+    w = Window.partitionBy("key")
+    counted = lines.withColumn(
+        "n_docs", F.size(F.collect_set(F.col(id_col)).over(w))
+    )
+    marked = counted.withColumn(
+        "keep", (F.col("n_docs") <= max_repeats) & (F.length("key") > 0)
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.col("keep"),
+                                F.col("line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+    )
+    return rebuilt
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint per doc: each distinct token votes ±1

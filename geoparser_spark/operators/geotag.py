@@ -116,7 +116,8 @@ def _token_ctx_expr(max_n: int) -> Column:
 
 
 def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
-                       max_n: int = MAX_NGRAM) -> DataFrame:
+                       max_n: int = MAX_NGRAM,
+                       broadcast_surfaces: bool = True) -> DataFrame:
     """(doc_id, text) × surfaces → candidate rows
     (doc_id, pos, n, gram, <gazetteer candidate cols>).
 
@@ -128,7 +129,15 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
     against the pre-split surface tokens, so non-matching positions
     never allocate a gram string.  Map-only: the corpus side never
     shuffles.  Longest-match-wins then drops spans contained in a
-    strictly longer match."""
+    strictly longer match.
+
+    ``broadcast_surfaces=False`` is the escape hatch for gazetteers
+    whose projected surface table exceeds the executor broadcast budget
+    (the full 12M-place GeoNames with all alternatenames): the SAME
+    join runs shuffled on the first-token equi key with the n-gram
+    equality as the residual condition — the corpus then shuffles once
+    on t0, and hot first tokens (surface forms starting with common
+    words) are AQE skew-join territory."""
     stoks = F.split(F.col("surface"), " ")
     surf = surfaces.select(
         "*",
@@ -150,8 +159,9 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
             clause = clause & (toks[f"t{k}"] == surf[f"s{k}"])
         n_match = n_match | clause
     cond = (toks["t0"] == surf["s0"]) & n_match
+    surf_side = F.broadcast(surf) if broadcast_surfaces else surf
     matched = (
-        toks.join(F.broadcast(surf), cond, "inner")
+        toks.join(surf_side, cond, "inner")
         .select(
             "doc_id", "pos",
             F.col("n_tokens").alias("n"),

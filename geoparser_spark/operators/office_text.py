@@ -88,12 +88,21 @@ def make_mini_docx(paragraphs: list[str]) -> bytes:
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr(
-            "[Content_Types].xml",
-            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
-            '<Default Extension="xml" ContentType="application/xml"/></Types>',
-        )
-        z.writestr("word/document.xml", doc)
+        # fixed zip timestamps: zipfile stamps entries with NOW by
+        # default, which would make two generations of the same fixture
+        # byte-different (the corpus generator promises bit-identical
+        # re-generation)
+        for name, payload in (
+            (
+                "[Content_Types].xml",
+                '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+                '<Default Extension="xml" ContentType="application/xml"/></Types>',
+            ),
+            ("word/document.xml", doc),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(zi, payload)
     return buf.getvalue()
 
 

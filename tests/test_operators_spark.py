@@ -154,6 +154,28 @@ def test_ngram_jaccard_known_values(spark):
     assert pairs.get(("a", "d"), 0.0) == pytest.approx(0.0)
 
 
+def test_line_dedup_drops_corpus_boilerplate(spark):
+    """The C4 rule: a sentence occurring in > max_repeats distinct docs
+    is boilerplate and drops from every doc; unique content stays in
+    original order."""
+    boiler = "Subscribe to our newsletter today!"
+    rows = [
+        Row(doc_id=1, text=f"Alpha unique one. {boiler} Beta follows."),
+        Row(doc_id=2, text=f"{boiler} Gamma stands alone."),
+        Row(doc_id=3, text=f"Delta text here. {boiler}"),
+    ]
+    out = {r.doc_id: r for r in
+           D.line_dedup(spark.createDataFrame(rows), max_repeats=2).collect()}
+    assert out[1].clean_text == "Alpha unique one. Beta follows."
+    assert out[1].n_kept == 2 and out[1].n_dropped == 1
+    assert out[2].clean_text == "Gamma stands alone."
+    assert out[3].clean_text == "Delta text here."
+    # with max_repeats=3 nothing is boilerplate
+    out3 = {r.doc_id: r.clean_text for r in
+            D.line_dedup(spark.createDataFrame(rows), max_repeats=3).collect()}
+    assert out3[2] == f"{boiler} Gamma stands alone."
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     got = {
         (r.id_a, r.id_b): r.jaccard

@@ -112,6 +112,33 @@ def test_big_gazetteer_tag_join_stays_broadcast(spark, docs):
     cands.count()  # and it actually executes at this scale
 
 
+def test_shuffled_tag_join_escape_hatch(spark, gazetteer, docs):
+    """broadcast_surfaces=False: the tag join runs shuffled on the
+    first-token equi key (for gazetteers beyond the broadcast budget),
+    with results identical to the broadcast variant."""
+    from geoparser_spark.operators.extract import extract
+    from geoparser_spark.operators.geotag import doc_texts
+
+    texts = doc_texts(extract(docs))
+    surf = build_surface_forms(gazetteer)
+    bc = candidate_mentions(texts, surf, broadcast_surfaces=True)
+    # at test scale AQE would still auto-broadcast the tiny surface
+    # table; disable it so the plan takes the shuffled path it WOULD
+    # take at 12M places
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = candidate_mentions(texts, surf, broadcast_surfaces=False)
+        plan = _plan(sh)
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        cols = ["doc_id", "pos", "n", "gram", "geonameid"]
+        a = sorted(map(tuple, bc.select(cols).collect()))
+        b = sorted(map(tuple, sh.select(cols).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     """Co-located fact-to-fact join: both sides pre-bucketed on the key
     -> the sort-merge join plans with NO shuffle exchange on either
