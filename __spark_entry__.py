@@ -875,6 +875,12 @@ def _text_fingerprint(spark, sf_dir):
     return TQ.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _text_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition ratios (duplicate sentence /
+    2-gram / 3-gram fractions)."""
+    return TQ.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract_spans": _flagship_extract,
@@ -923,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang,
         "text_quality_score": _text_quality,
         "text_fingerprint": _text_fingerprint,
+        "text_repetition_signals": _text_repetition,
     }
 
 
@@ -1258,6 +1265,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 3
             GROUP BY lang_pred""",
         "text_quality_score": _quality_sql("documents"),
+        "text_repetition_signals": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(text, '([.!?])\\s+',
+                                  '\\1' || chr(31), 'g'), chr(31)) AS sents,
+                     {_TOKS_SQL} AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, sents,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(0, len(toks) - 1),
+                         i -> concat_ws(' ', toks[i+1], toks[i+2]))
+                     ELSE []::VARCHAR[] END AS g2,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(0, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))
+                     ELSE []::VARCHAR[] END AS g3
+              FROM t
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(sents) > 0 THEN
+                     1.0 - len(list_distinct(sents))::DOUBLE / len(sents)
+                   ELSE 0.0 END, 6) AS dup_sent_frac,
+                   round(CASE WHEN len(g2) > 0 THEN
+                     1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
+                   ELSE 0.0 END, 6) AS dup_2gram_frac,
+                   round(CASE WHEN len(g3) > 0 THEN
+                     1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
+                   ELSE 0.0 END, 6) AS dup_3gram_frac
+            FROM g""",
         "text_fingerprint": f"""
             WITH n AS (
               SELECT doc_id, {_NORM_SQL.format(c='text')} AS norm FROM documents

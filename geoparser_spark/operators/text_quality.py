@@ -127,6 +127,56 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition ratios: the fraction of
+    duplicate sentences and duplicate token 2-/3-grams.  High values
+    mark template/spam/keyword-stuffed pages.  All O(tokens) native
+    expressions — the token and gram arrays are bound as lambda
+    variables (the projection-collapse discipline), no UDFs, no
+    shuffle."""
+    sent_sql = (
+        f"""split(regexp_replace({text_col}, '([.!?])\\\\s+', '$1\\u001F'),
+            '\\u001F')"""
+    )
+    norm_sql = (
+        f"split(trim(lower(regexp_replace({text_col},"
+        f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' '))), ' ')"
+    )
+
+    def grams(n: int) -> str:
+        return f"""CASE WHEN size(toks) >= {n} THEN
+              transform(sequence(0, size(toks) - {n}),
+                        i -> array_join(slice(toks, i + 1, {n}), ' '))
+            ELSE CAST(array() AS array<string>) END"""
+
+    dup_frac = (
+        "CASE WHEN size({a}) > 0 THEN "
+        "1.0 - CAST(size(array_distinct({a})) AS DOUBLE) / size({a}) "
+        "ELSE 0.0 END"
+    )
+    # every array is a bound lambda variable: dup_frac references its
+    # array three times, and a derived expression there would evaluate
+    # three times per doc
+    packed = F.expr(
+        f"""transform(array({norm_sql}), toks ->
+              transform(array({sent_sql}), sents ->
+                transform(array({grams(2)}), g2 ->
+                  transform(array({grams(3)}), g3 ->
+                    struct(
+                      {dup_frac.format(a='sents')} AS dup_sent_frac,
+                      {dup_frac.format(a='g2')} AS dup_2gram_frac,
+                      {dup_frac.format(a='g3')} AS dup_3gram_frac
+                    ))[0])[0])[0])[0]"""
+    )
+    return docs.select(F.col(id_col), packed.alias("p")).select(
+        id_col,
+        F.round("p.dup_sent_frac", 6).alias("dup_sent_frac"),
+        F.round("p.dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("p.dup_3gram_frac", 6).alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", shingle: int = 8) -> DataFrame:
     """Document fingerprints:

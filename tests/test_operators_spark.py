@@ -342,6 +342,21 @@ def test_quality_score_components(spark):
     assert r.quality_score == pytest.approx(4.0)  # passes all four gates
 
 
+def test_repetition_signals(spark):
+    """Gopher repetition ratios: a doc that repeats one sentence has a
+    high dup_sent_frac; unique prose scores ~0."""
+    rep = "Buy now and save big today. " * 4 + "One unique closer here."
+    uniq = "Alpha reads the chart. Beta files the report. Gamma sails home."
+    df = spark.createDataFrame([Row(doc_id=1, text=rep.strip()),
+                                Row(doc_id=2, text=uniq)])
+    got = {r.doc_id: r for r in TQ.repetition_signals(df).collect()}
+    # 5 sentences, 2 distinct -> 1 - 2/5 = 0.6
+    assert got[1].dup_sent_frac == pytest.approx(0.6)
+    assert got[1].dup_2gram_frac > 0.4
+    assert got[2].dup_sent_frac == 0.0
+    assert got[2].dup_2gram_frac == 0.0
+
+
 def test_fingerprint_stability(spark):
     df = spark.createDataFrame(
         [
