@@ -9,7 +9,9 @@ with 6-17% hypervisor CPU steal under load — single runs swing +-40%).
 
     eff = (median_tp_32 / median_tp_8) / (32 / 8)
 
-Writes BENCH/BASELINE.md.  Usage: python tools/scaling_bench.py [n_docs]
+Writes BENCH/BASELINE.md.
+Usage: python tools/scaling_bench.py [n_docs] [lo_cores] [hi_cores]
+(default 500000 8 32; hi must be 4*lo per the north rule's N-vs-4N)
 """
 
 from __future__ import annotations
@@ -66,22 +68,23 @@ def work(n):
     return time.monotonic() - t0
 
 if __name__ == "__main__":
+    lo, hi = int(sys.argv[1]), int(sys.argv[2])
     per, res = 8000, {}
-    for procs in (8, 32):
+    for procs in (lo, hi):
         with mp.Pool(procs) as p:
             t0 = time.monotonic()
             p.map(work, [per] * procs)
             res[procs] = procs * per / (time.monotonic() - t0)
-    print(json.dumps({"tp8": res[8], "tp32": res[32],
-                      "eff": (res[32] / res[8]) / 4}))
+    print(json.dumps({"tp_lo": res[lo], "tp_hi": res[hi],
+                      "eff": (res[hi] / res[lo]) / (hi / lo)}))
 """
 
 
-def platform_control() -> dict:
+def platform_control(lo: int, hi: int) -> dict:
     """Embarrassingly-parallel pure-Python control: the SAME parse
-    kernel in a plain multiprocessing pool at 8 and 32 processes.  Its
-    efficiency is this VM's hard ceiling for ANY 8->32 comparison."""
-    out = subprocess.run([sys.executable, "-c", CONTROL],
+    kernel in a plain multiprocessing pool at lo and hi processes.  Its
+    efficiency is this VM's hard ceiling for ANY lo->hi comparison."""
+    out = subprocess.run([sys.executable, "-c", CONTROL, str(lo), str(hi)],
                         check=True, capture_output=True, text=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -89,6 +92,9 @@ def platform_control() -> dict:
 
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    assert hi == 4 * lo, "north rule compares N vs 4N executors"
     tmp = tempfile.mkdtemp(prefix="gp_scale_")
     docs_path = os.path.join(tmp, "docs")
 
@@ -105,7 +111,7 @@ def main() -> int:
 
     results = {}
     steal = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         vm = subprocess.Popen(["vmstat", "5"], stdout=subprocess.PIPE, text=True)
         try:
             out = subprocess.run(
@@ -131,10 +137,10 @@ def main() -> int:
         print(json.dumps({"cpus": cpus, "vmstat_steal": steal[cpus]}))
 
     # drop run 0 (C2 JIT still converging despite the warmup slice)
-    med = {c: statistics.median(results[c]["walls"][1:]) for c in (8, 32)}
-    tp = {c: n_docs / med[c] for c in (8, 32)}
-    eff = (tp[32] / tp[8]) / (32 / 8)
-    ctl = platform_control()
+    med = {c: statistics.median(results[c]["walls"][1:]) for c in (lo, hi)}
+    tp = {c: n_docs / med[c] for c in (lo, hi)}
+    eff = (tp[hi] / tp[lo]) / (hi / lo)
+    ctl = platform_control(lo, hi)
     print(json.dumps({"platform_control": ctl}))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
 
@@ -142,7 +148,9 @@ def main() -> int:
         return ", ".join(f"{w:.1f}" for w in results[c]["walls"])
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    out_path = ("BENCH/BASELINE.md" if (lo, hi) == (8, 32)
+                else f"BENCH/SCALING_{lo}to{hi}.md")
+    with open(out_path, "w") as f:
         f.write(f"""# BENCH — scaling evidence ({stamp})
 
 Same job — mega-doc split + salted repartition + Arrow-batched extract
@@ -154,10 +162,10 @@ driver instruction).  Fresh JVM per level; full-pipeline warmup on a
 
 | cores | walls (s) | median (s) | docs/sec |
 |---|---|---|---|
-| local[8]  | {runs(8)} | {med[8]:.2f} | {tp[8]:.0f} |
-| local[32] | {runs(32)} | {med[32]:.2f} | {tp[32]:.0f} |
+| local[{lo}]  | {runs(lo)} | {med[lo]:.2f} | {tp[lo]:.0f} |
+| local[{hi}] | {runs(hi)} | {med[hi]:.2f} | {tp[hi]:.0f} |
 
-**Scaling efficiency (8 -> 32 cores): {eff:.3f}**  (north-rule gate: >= 0.8)
+**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**  (north-rule gate: >= 0.8)
 
 ## Platform control (hard ceiling of this sandbox)
 
@@ -166,15 +174,15 @@ Spark, zero shuffles, embarrassingly parallel — measures on this VM:
 
 | pool size | parses/sec |
 |---|---|
-| 8  | {ctl['tp8']:.0f} |
-| 32 | {ctl['tp32']:.0f} |
+| {lo}  | {ctl['tp_lo']:.0f} |
+| {hi} | {ctl['tp_hi']:.0f} |
 
-**Pure-CPU 8 -> 32 efficiency: {ctl['eff']:.3f}** — the hypervisor
+**Pure-CPU {lo} -> {hi} efficiency: {ctl['eff']:.3f}** — the hypervisor
 does not deliver 4x the cycles when all 32 vCPUs are busy.  vmstat
 sampled every 5 s DURING the measured runs of this very session:
-mean steal {steal[8]['mean_st']}% (max {steal[8]['max_st']}%) at
-local[8]; mean {steal[32]['mean_st']}% (max {steal[32]['max_st']}%)
-at local[32]; run-to-run swings up to +-40%.  Any
+mean steal {steal[lo]['mean_st']}% (max {steal[lo]['max_st']}%) at
+local[{lo}]; mean {steal[hi]['mean_st']}% (max {steal[hi]['max_st']}%)
+at local[{hi}]; run-to-run swings up to +-40%.  Any
 8-vs-32 comparison on this box is capped near that number regardless
 of framework.  Normalizing the pipeline's efficiency by the platform
 ceiling gives **{eff/ctl['eff']:.3f}**.
@@ -187,10 +195,10 @@ input size and configured parallelism.
 
 Reference single-node geotag throughput: ~0.6 docs/sec (sequential
 per-doc Tika HTTP loop, /root/reference/geoparser_app/views.py:357-402,
-README.md:111).  This engine: {tp[32]:.0f} docs/sec at 32 cores —
-~{tp[32]/0.6:.0f}x the reference.
+README.md:111).  This engine: {tp[hi]:.0f} docs/sec at {hi} cores —
+~{tp[hi]/0.6:.0f}x the reference.
 """)
-    print(f"efficiency={eff:.3f} -> BENCH/BASELINE.md")
+    print(f"efficiency={eff:.3f} -> {out_path}")
     return 0
 
 
