@@ -741,6 +741,12 @@ def _dedup_exact(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _dedup_exact_hashed(spark, sf_dir):
+    """Scale path: dedup groups keyed on md5(text) — the shuffle moves
+    digests, not bodies."""
+    return D.exact_dedup_hashed(_t(spark, sf_dir, "documents"))
+
+
 def _dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     out = D.ngram_jaccard_pairs(docs, n=3, threshold=0.015)
@@ -913,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": _tpch_q18,
         "tpch_q19_brackets": _tpch_q19,
         "dedup_exact": _dedup_exact,
+        "dedup_exact_hashed": _dedup_exact_hashed,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -1165,6 +1172,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT text, min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text""",
+        "dedup_exact_hashed": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": f"""
             WITH t AS (
               SELECT doc_id, {_TOKS_SQL} AS toks

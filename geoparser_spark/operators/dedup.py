@@ -50,6 +50,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def exact_dedup_hashed(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Scale path for exact dedup: group on md5(text), so the shuffle
+    carries 16-byte digests instead of document bodies — at 100 TB the
+    plain groupBy(text) moves the whole corpus through the exchange.
+    Digest collision probability is ~n²/2^129; where that matters, join
+    the winning groups back to verify byte equality."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact pairwise n-gram Jaccard over (a small/filtered) docs set.

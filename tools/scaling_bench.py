@@ -2,12 +2,13 @@
 executors, per BASELINE.json north_rule).
 
 Runs the SAME extract+geotag job on the SAME deterministic parquet
-corpus at local[8] and local[32] in fresh JVM subprocesses.  Per level:
+corpus at local[lo] and local[hi] (default 8 and 32) in fresh JVM
+subprocesses.  Per level:
 full-pipeline warmup on a 10% slice (JIT + codegen + Python workers),
 then four measured runs; the MEDIAN OF THE LAST THREE is reported (this sandbox is a VM
 with 6-17% hypervisor CPU steal under load — single runs swing +-40%).
 
-    eff = (median_tp_32 / median_tp_8) / (32 / 8)
+    eff = (median_tp_hi / median_tp_lo) / (hi / lo)
 
 Writes BENCH/BASELINE.md.
 Usage: python tools/scaling_bench.py [n_docs] [lo_cores] [hi_cores]
@@ -178,13 +179,13 @@ Spark, zero shuffles, embarrassingly parallel — measures on this VM:
 | {hi} | {ctl['tp_hi']:.0f} |
 
 **Pure-CPU {lo} -> {hi} efficiency: {ctl['eff']:.3f}** — the hypervisor
-does not deliver 4x the cycles when all 32 vCPUs are busy.  vmstat
+does not deliver 4x the cycles as load rises.  vmstat
 sampled every 5 s DURING the measured runs of this very session:
 mean steal {steal[lo]['mean_st']}% (max {steal[lo]['max_st']}%) at
 local[{lo}]; mean {steal[hi]['mean_st']}% (max {steal[hi]['max_st']}%)
 at local[{hi}]; run-to-run swings up to +-40%.  Any
-8-vs-32 comparison on this box is capped near that number regardless
-of framework.  Normalizing the pipeline's efficiency by the platform
+{lo}-vs-{hi} comparison on this box is capped near that number
+regardless of framework.  Normalizing the pipeline's efficiency by the platform
 ceiling gives **{eff/ctl['eff']:.3f}**.
 
 The plan itself has the right scaling shape for a real cluster: the
