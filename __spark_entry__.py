@@ -445,10 +445,14 @@ def _events_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)
-    gap = epoch - F.lag(epoch, 1).over(w)
+    # Integer microseconds end-to-end (no double division): gap compare
+    # is exact at any epoch magnitude, mirrored by epoch_us() in DuckDB.
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = epoch_us - F.lag(epoch_us, 1).over(w)
     with_new = ev.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > F.lit(1_800_000_000).cast("long")), 1)
+        .otherwise(0),
     )
     sess = with_new.withColumn("session_id", F.sum("new_sess").over(w))
     # Sum as decimal: double partial-agg order differs between Spark and
@@ -1034,14 +1038,14 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id, ts, event_id, value,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, value,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -1221,8 +1225,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    coalesce(string_agg(CASE WHEN keep THEN line END,
                             ' ' ORDER BY pos), '') AS clean_text,
-                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
             FROM m GROUP BY doc_id""",
         "dedup_embedding_cosine": """
             WITH e AS (
@@ -1252,7 +1256,7 @@ def oracle_sql() -> dict[str, str]:
                          t -> list_contains({_EVAL_KEYWORDS!r}, t))) AS n_hits
               FROM documents
             )
-            SELECT sum(n_hits) AS total_hits,
+            SELECT CAST(sum(n_hits) AS BIGINT) AS total_hits,
                    count(CASE WHEN n_hits > 0 THEN 1 END) AS docs_with_hits
             FROM c""",
         "text_token_count": f"""
@@ -1271,7 +1275,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (SELECT doc_id, n_tokens, quality_score FROM ({_quality_sql('kept')})),
             l AS (SELECT doc_id, lang_pred FROM ({_langid_sql('kept')}))
-            SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+            SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM q JOIN l USING (doc_id)
             WHERE quality_score >= 3
             GROUP BY lang_pred""",

@@ -125,6 +125,27 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     )
 
 
+def shingle_sets(docs: DataFrame, n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingles) — distinct word n-grams per doc, with the token
+    array bound as a lambda VARIABLE (same projection-collapse
+    discipline as minhash_signatures: a named derived column would be
+    inlined into the per-shingle lambda, re-tokenizing per element)."""
+    norm_sql = (
+        f"split(trim(lower(regexp_replace({text_col},"
+        f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' '))), ' ')"
+    )
+    grams_sql = f"""CASE WHEN size(toks) >= {n} THEN
+          array_distinct(transform(sequence(0, size(toks) - {n}),
+                    i -> array_join(slice(toks, i + 1, {n}), ' ')))
+        ELSE CAST(array() AS array<string>) END"""
+    packed = F.expr(f"transform(array({norm_sql}), toks -> {grams_sql})[0]")
+    return (
+        docs.select(F.col(id_col).alias("id"), packed.alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
                       bands: int = 8, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -133,8 +154,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     num_hashes/bands rows per band; two docs collide if ANY band of
     their signatures is identical; collisions are then verified with
     exact shingle Jaccard.  The candidate join is an equi-join on
-    (band_idx, band_hash) — shuffle is proportional to docs, not
-    pairs."""
+    (band_idx, band_hash) carrying IDS ONLY — shingle arrays do not
+    ride through the band explode (which would duplicate every doc's
+    shingle payload x bands through the exchange).  After
+    dropDuplicates on the id pair, each side's shingles are
+    re-attached with an equi-join against a slim (id, shingles) table,
+    so shingles cross exactly two exchanges at 1x instead of one at
+    bands-x.  Shuffle stays proportional to docs, not pairs."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col)
     band_structs = F.array(
@@ -148,21 +174,23 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
             for b in range(bands)
         ]
     )
-    banded = sigs.select("id", "shingles", F.explode(band_structs).alias("bd")) \
-        .select("id", "shingles", "bd.band_idx", "bd.band_hash")
-    l = banded.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("gs_a"),
-        "band_idx", "band_hash",
-    )
-    r = banded.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("gs_b"),
-        "band_idx", "band_hash",
-    )
-    cand = (
+    banded = sigs.select("id", F.explode(band_structs).alias("bd")) \
+        .select("id", "bd.band_idx", "bd.band_hash")
+    l = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    r = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    cand_ids = (
         l.join(r, ["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "gs_a", "gs_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    grams = shingle_sets(docs, n, text_col, id_col)
+    cand = (
+        cand_ids
+        .join(grams.select(F.col("id").alias("id_a"),
+                           F.col("shingles").alias("gs_a")), "id_a")
+        .join(grams.select(F.col("id").alias("id_b"),
+                           F.col("shingles").alias("gs_b")), "id_b")
     )
     return (
         cand.withColumn(
@@ -181,31 +209,39 @@ def line_dedup(docs: DataFrame, max_repeats: int = 2,
     any line that occurs in more than ``max_repeats`` distinct
     documents — navigation chrome, legal footers, share buttons).
 
-    Shape: explode sentences with position, count distinct docs per
-    normalized line via ONE window over the line key (the explode's
-    shuffle and the count share the same hash partitioning), rebuild
-    each doc's text in original order.  At 100 TB the count stage
-    shuffles line-grain rows once — the standard shape for this rule;
-    the heavy-hitter alternative (count-min sketch broadcast) trades
-    exactness for a map-only second pass and slots in behind the same
-    API.
+    Shape: explode sentences with position; per-line doc counts come
+    from groupBy(key).agg(countDistinct(doc_id)) joined back to the
+    line rows.  Per-key aggregate state is a COUNTER, never a
+    materialized id set: the previous window formulation
+    (collect_set(doc_id) over partitionBy(key)) built the full distinct
+    set per ROW, so a boilerplate line present in 10^7 docs ("Home")
+    held a 10^7-element set in one task — OOM at 100 TB.  Empty keys
+    (which the keep rule drops unconditionally) are filtered out before
+    counting, so the degenerate ''-key partition never aggregates at
+    all.  The join back on the line key is skew-prone for exactly the
+    heavy hitters, but each probe row only picks up one small count row
+    (AQE skew-join splits it); the count-min-sketch broadcast variant
+    trades exactness for a map-only second pass and slots in behind the
+    same API.
 
     Output: (doc_id, clean_text, n_kept, n_dropped)."""
-    from pyspark.sql import Window
-
     # sentence split via an inserted marker (no lookbehind — the oracle
     # engine's RE2 regexes must be able to mirror the split exactly)
-    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\u001F")
+    marked_text = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\u001F")
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(marked, "\u001F")).alias("pos", "line"),
+        F.posexplode(F.split(marked_text, "\u001F")).alias("pos", "line"),
     ).withColumn("key", F.lower(F.trim(F.col("line"))))
-    w = Window.partitionBy("key")
-    counted = lines.withColumn(
-        "n_docs", F.size(F.collect_set(F.col(id_col)).over(w))
+    counts = (
+        lines.where(F.length("key") > 0)
+        .groupBy("key")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
     )
+    counted = lines.join(counts, "key", "left")
     marked = counted.withColumn(
-        "keep", (F.col("n_docs") <= max_repeats) & (F.length("key") > 0)
+        "keep",
+        F.coalesce(F.col("n_docs") <= max_repeats, F.lit(False))
+        & (F.length("key") > 0),
     )
     rebuilt = marked.groupBy(id_col).agg(
         F.array_join(

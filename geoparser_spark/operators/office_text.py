@@ -33,18 +33,27 @@ from xml.sax.saxutils import escape as _xml_escape
 _WP_SPLIT = re.compile(rb"<w:p[ >]")
 _WT_RE = re.compile(rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.DOTALL)
 _TAB_BR = re.compile(rb"<w:(?:tab|br)\s*/?>")
-_ENTITIES = {b"&amp;": b"&", b"&lt;": b"<", b"&gt;": b">",
-             b"&quot;": b'"', b"&apos;": b"'"}
+_ENTITIES = {b"amp": b"&", b"lt": b"<", b"gt": b">",
+             b"quot": b'"', b"apos": b"'"}
+# single-pass (like html.unescape): sequential .replace() passes
+# double-unescape — b'a &amp;lt; b' must decode to 'a &lt; b', not 'a < b'
+_ENT_REF = re.compile(rb"&(amp|lt|gt|quot|apos);|&#x([0-9a-fA-F]+);|&#([0-9]+);")
+
+
+def _decode_ref(m: re.Match) -> bytes:
+    if m.group(1):
+        return _ENTITIES[m.group(1)]
+    cp = int(m.group(2), 16) if m.group(2) else int(m.group(3))
+    # invalid numeric refs (beyond Unicode, or surrogates) must not
+    # raise — a single bad span would kill the whole extract task,
+    # violating the degrade contract; substitute U+FFFD instead
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return "�".encode("utf-8")
+    return chr(cp).encode("utf-8")
 
 
 def _xml_unescape(raw: bytes) -> bytes:
-    for ent, ch in _ENTITIES.items():
-        raw = raw.replace(ent, ch)
-    return re.sub(
-        rb"&#x([0-9a-fA-F]+);|&#([0-9]+);",
-        lambda m: chr(int(m.group(1), 16) if m.group(1) else int(m.group(2))).encode("utf-8"),
-        raw,
-    )
+    return _ENT_REF.sub(_decode_ref, raw)
 
 
 def extract_docx_text_blocks(docx_bytes: bytes) -> list[str]:

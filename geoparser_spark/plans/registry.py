@@ -47,13 +47,17 @@ REGISTRY_SCHEMA = T.StructType(
 def read_registry(spark: SparkSession, path: str) -> DataFrame:
     """Current registry state: latest row per (domain, index_path)."""
     try:
-        raw = spark.read.parquet(path)
+        # pinned schema, not inference: files appended before op_id
+        # existed lack the column, and which footer wins inference
+        # depends on file order — with the explicit schema those rows
+        # surface op_id as NULL instead of failing the read
+        raw = spark.read.schema(REGISTRY_SCHEMA).parquet(path)
     except Exception:
         return spark.createDataFrame([], REGISTRY_SCHEMA)
     from pyspark.sql import Window
 
     w = Window.partitionBy("domain", "index_path").orderBy(
-        F.col("updated_seq").desc(), F.col("op_id").desc()
+        F.col("updated_seq").desc(), F.col("op_id").desc_nulls_last()
     )
     return (
         raw.withColumn("_rn", F.row_number().over(w))

@@ -121,3 +121,27 @@ def test_office_kinds_through_spark_extract(spark):
         ("text", "Rtf body text.", 1),
         ("text", "plain tail", 2),
     ]
+
+
+def test_xml_unescape_single_pass_no_double_decode():
+    # sequential replace() would turn '&amp;lt;' into '<'; the correct
+    # single-pass decode yields the literal string '&lt;'
+    from geoparser_spark.operators.office_text import _xml_unescape
+
+    assert _xml_unescape(b"a &amp;lt; b") == b"a &lt; b"
+    assert _xml_unescape(b"x &amp;amp; y") == b"x &amp; y"
+    assert _xml_unescape(b"a &lt; b &gt; c &amp; d") == b"a < b > c & d"
+
+
+def test_xml_unescape_pathological_numeric_refs_degrade():
+    # codepoints beyond Unicode and surrogates must not raise (a bad
+    # span would kill the whole Spark extract task) — U+FFFD instead
+    from geoparser_spark.operators.office_text import _xml_unescape
+
+    fffd = "�".encode("utf-8")
+    assert _xml_unescape(b"&#4294967296;") == fffd
+    assert _xml_unescape(b"&#xD800;") == fffd
+    assert _xml_unescape(b"&#xDFFF;") == fffd
+    assert _xml_unescape(b"&#x110000;") == fffd
+    assert _xml_unescape(b"&#x10FFFF;") == "\U0010ffff".encode("utf-8")
+    assert _xml_unescape(b"ok &#65; fine") == b"ok A fine"

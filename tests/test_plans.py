@@ -178,3 +178,19 @@ def test_topk_uses_take_ordered(spark):
     )
     plan = _plan(brute_force_topk(emb, [1.0, 0.0], k=5))
     assert "TakeOrderedAndProject" in plan  # no global sort materialized
+
+
+def test_line_dedup_counts_without_window(spark, docs):
+    """line_dedup's per-line doc counts must be a groupBy countDistinct
+    joined back — NEVER a Window(partitionBy=line key) materializing a
+    per-row collect_set: a boilerplate line in 10^7 docs would build a
+    10^7-element set in a single task (heavy-hitter OOM at 100 TB)."""
+    from geoparser_spark.operators.dedup import line_dedup
+
+    out = line_dedup(docs.selectExpr(
+        "cast(doc_id as long) doc_id",
+        "concat_ws(' ', transform(spans, s -> coalesce(s.text, ''))) AS text",
+    ))
+    plan = _plan(out)
+    assert "Window" not in plan, "per-row window over the line key is the OOM shape"
+    assert "collect_set" not in plan

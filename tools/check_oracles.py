@@ -21,10 +21,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def _canon(v):
+    # driver-faithful strictness: exact float repr (round(_,4) boundary
+    # ties differ in low bits and the driver's hash catches them), and
+    # Decimal tagged so a DuckDB HUGEINT/decimal128 never silently
+    # renders equal to a Spark BIGINT (the round-2 hash_match failures
+    # were exactly this class)
+    import decimal
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"dec({v})"
     if v is None:
         return ""
     return str(v)

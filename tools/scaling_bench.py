@@ -123,10 +123,19 @@ def main() -> int:
             vm.terminate()
         vm_lines = vm.stdout.read().splitlines() if vm.stdout else []
         st_vals = []
+        # locate the 'st' column from the header row instead of assuming
+        # it is last: procps-ng >= 4.0 appends a 'gu' (guest) column
+        # after 'st', which would silently report guest time as steal
+        st_idx = None
+        for l in vm_lines:
+            cols = l.split()
+            if "st" in cols and "id" in cols:
+                st_idx = cols.index("st")
+                break
         for l in vm_lines[2:]:  # skip headers
             parts = l.split()
-            if len(parts) >= 17 and parts[-1].isdigit():
-                st_vals.append(int(parts[-1]))
+            if st_idx is not None and len(parts) > st_idx and parts[st_idx].isdigit():
+                st_vals.append(int(parts[st_idx]))
         steal[cpus] = {
             "samples": len(st_vals),
             "mean_st": round(statistics.mean(st_vals), 1) if st_vals else None,
