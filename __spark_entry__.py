@@ -37,24 +37,58 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _dsum4(expr: F.Column, alias: str) -> F.Column:
-    """Sum a double expression exactly (through decimal) and round to 4.
+def _micros(expr: F.Column) -> F.Column:
+    """Exact order-free sum of ``expr`` in integer MICROS, as a
+    decimal(38,0) built from two plain LONG sums.
 
-    A plain double sum's low-order bits depend on partial-aggregation
-    merge order — nondeterministic run to run — and the driver's
-    exact-bits value hash catches any aggregate whose true sum sits at
-    a round(_, 4) boundary (events_sessionize failed exactly this way
-    in round 1).  Decimal sums are exact and order-free; the oracle
-    mirrors with CAST(round(sum(CAST(x AS DECIMAL(18,6))), 4) AS
-    DOUBLE)."""
+    Why not double: a double sum's low-order bits depend on
+    partial-aggregation merge order — nondeterministic run to run —
+    and the driver's exact-bits value hash catches any aggregate whose
+    true sum sits at a round(_, 4) boundary (events_sessionize failed
+    exactly this way in round 1).
+
+    Why not decimal in the hot path: decimal aggregation runs outside
+    the primitive codegen fast path — the round-2 conversion cost
+    tpch_q1 2.1x (A/B'd same-session, median-of-4: decimal 1.00 s vs
+    split-long 0.57 s vs plain double 0.29 s at sf0.1/local[32]).
+
+    Why TWO long sums: one long sum of micros caps at ~9.2e12 in
+    summed |value| per group — real 100 TB group sums (TPC-H revenue
+    aggregates) blow past it.  Splitting each row's micros c into
+    (c >> 20, c & 0xFFFFF) keeps both accumulators in codegen'd long
+    arithmetic with per-group capacity ~2e28 value-units (hi leg:
+    9.2e18 * 2^20 micros), and the exact recombine
+    hi * 2^20 + lo happens in decimal on the HANDFUL of post-agg rows.
+    Arithmetic '>>' and two's-complement '&' agree between Spark and
+    DuckDB for negative micros, so the formulation is sign-safe.
+    Per-row rounding to micros is round-half-away-from-zero on the
+    same IEEE double in both engines — bit-identical."""
+    c = F.round(expr * F.lit(1000000.0)).cast("long")
     return (
-        F.round(F.sum(expr.cast("decimal(18,6)")), 4).cast("double").alias(alias)
+        F.sum(F.shiftright(c, 20)).cast("decimal(38,0)") * F.lit(1048576)
+        + F.sum(c.bitwiseAND(F.lit(1048575))).cast("decimal(38,0)")
+    )
+
+
+def _micros_sql(expr_sql: str) -> str:
+    c = f"CAST(round(({expr_sql}) * 1000000) AS BIGINT)"
+    return (
+        f"(CAST(sum({c} >> 20) AS DECIMAL(38,0)) * 1048576"
+        f" + CAST(sum({c} & 1048575) AS DECIMAL(38,0)))"
+    )
+
+
+def _dsum4(expr: F.Column, alias: str) -> F.Column:
+    """Exact sum of a double expression rounded to 4 decimals — see
+    _micros for the split-long-accumulator design."""
+    return (
+        F.round(_micros(expr) / F.lit(1000000), 4).cast("double").alias(alias)
     )
 
 
 def _dsum4_sql(expr_sql: str, alias: str) -> str:
     return (
-        f"CAST(round(sum(CAST({expr_sql} AS DECIMAL(18,6))), 4) AS DOUBLE)"
+        f"CAST(round({_micros_sql(expr_sql)} / 1000000, 4) AS DOUBLE)"
         f" AS {alias}"
     )
 
@@ -455,16 +489,13 @@ def _events_sessionize(spark, sf_dir):
         .otherwise(0),
     )
     sess = with_new.withColumn("session_id", F.sum("new_sess").over(w))
-    # Sum as decimal: double partial-agg order differs between Spark and
-    # DuckDB in low-order bits, and the driver's exact-bits hash catches
-    # ties at the round(_, 4) boundary.  Decimal sums are exact, so the
-    # rounded double is bit-identical on both sides.
+    # _dsum4: exact order-free sum (split-long micros), bit-identical
+    # to the DuckDB mirror — see _micros.
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-            .cast("double").alias("sum_value"),
+            _dsum4(F.col("value"), "sum_value"),
         )
     )
 
@@ -619,13 +650,13 @@ def _tpch_q14(spark, sf_dir):
     # an OOM; AQE picks broadcast when the side is genuinely small.
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # both sums go through decimal (exact, order-free), then the ratio
-    # is computed in double from two bit-identical inputs
-    promo = F.sum(
+    # both sums are exact split-long micros (see _micros), then the
+    # ratio is computed in double from two bit-identical inputs (the
+    # 1e6 scale cancels in the ratio)
+    promo = _micros(
         F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
-        .cast("decimal(18,6)")
     ).cast("double")
-    total = F.sum(rev.cast("decimal(18,6)")).cast("double")
+    total = _micros(rev).cast("double")
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(F.round(100.0 * promo / total, 4).alias("promo_revenue"))
@@ -1032,7 +1063,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt,
-                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+                   CAST(round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
         "events_sessionize": """
             WITH g AS (
@@ -1049,7 +1080,7 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+                   CAST(round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id""",
         "multimodal_frame_plan": """
             WITH m AS (
@@ -1064,7 +1095,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)""",
         "tpch_q5_local_supplier": """
             SELECT n_name,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+                   CAST(round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1076,13 +1107,13 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY n_name""",
         "tpch_q6_forecast": """
-            SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+            SELECT CAST(round((CAST(sum(CAST(round((l_extendedprice * l_discount) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * l_discount) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
         "tpch_q10_returned_items": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+                   CAST(round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1095,7 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS INT) AS l_year,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+                   CAST(round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1118,7 +1149,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
         "tpch_q19_brackets": """
-            SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue,
+            SELECT CAST(round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1129,11 +1160,8 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 20 AND 50)""",
         "tpch_q14_promo_share": """
             SELECT round(100.0
-                   * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                         AS DECIMAL(18,6))) AS DOUBLE)
-                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_revenue
+                   * CAST((CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) AS DOUBLE), 4) AS promo_revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= DATE '1996-01-01'
               AND l_shipdate < DATE '1996-02-01'""",
@@ -1156,15 +1184,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_disc_price,
+                   CAST(round((CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_quantity) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_qty,
+                   CAST(round((CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_base_price,
+                   CAST(round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus""",
         "tpch_q3_shipping": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+                   CAST(round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
