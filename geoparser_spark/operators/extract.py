@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame
 from geoparser_spark.operators.html_main import extract_html_blocks
 from geoparser_spark.operators.office_text import (
     extract_docx_b64_text_blocks,
+    extract_pptx_b64_text_blocks,
     extract_rtf_text_blocks,
+    extract_xlsx_b64_text_blocks,
 )
 from geoparser_spark.operators.pdf_text import extract_pdf_b64_text_blocks
 from geoparser_spark.schemas import EXTRACTED
@@ -60,6 +62,12 @@ def extract_doc_spans(spans: list[dict]) -> list[dict]:
                 out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "docx_bytes" and text:
             for block in extract_docx_b64_text_blocks(text):
+                out.append({"kind": "text", "text": block, "media_ref": None})
+        elif kind == "pptx_bytes" and text:
+            for block in extract_pptx_b64_text_blocks(text):
+                out.append({"kind": "text", "text": block, "media_ref": None})
+        elif kind == "xlsx_bytes" and text:
+            for block in extract_xlsx_b64_text_blocks(text):
                 out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "rtf" and text:
             for block in extract_rtf_text_blocks(text):
@@ -117,6 +125,12 @@ def extract_doc_spans_cols(kinds, texts, refs, offs, lo: int, hi: int) -> list[t
                 out.append(("text", block, None))
         elif kind == "docx_bytes" and text:
             for block in extract_docx_b64_text_blocks(text):
+                out.append(("text", block, None))
+        elif kind == "pptx_bytes" and text:
+            for block in extract_pptx_b64_text_blocks(text):
+                out.append(("text", block, None))
+        elif kind == "xlsx_bytes" and text:
+            for block in extract_xlsx_b64_text_blocks(text):
                 out.append(("text", block, None))
         elif kind == "rtf" and text:
             for block in extract_rtf_text_blocks(text):

@@ -115,6 +115,220 @@ def make_mini_docx(paragraphs: list[str]) -> bytes:
     return buf.getvalue()
 
 
+# ------------------------------------------------------------------- PPTX
+
+_SLIDE_NAME = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+_AP_SPLIT = re.compile(rb"<a:p[ >]")
+_AT_RE = re.compile(rb"<a:t(?:\s[^>]*)?>(.*?)</a:t>", re.DOTALL)
+_ABR_RE = re.compile(rb"<a:br\s*/?>")
+
+
+def extract_pptx_text_blocks(pptx_bytes: bytes) -> list[str]:
+    """One text block per non-empty DrawingML paragraph, slides in
+    numeric order (ppt/slides/slide<N>.xml; ECMA-376 PresentationML —
+    text lives in ``<a:t>`` runs grouped into ``<a:p>`` paragraphs).
+    Damaged zips / missing parts degrade to [] — never an exception.
+
+    The reference gets PPTX via Tika auto-detect
+    (geoparser_app/views.py:125); this is the stdlib equivalent."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(pptx_bytes)) as z:
+            slides = sorted(
+                (int(m.group(1)), n)
+                for n in z.namelist()
+                if (m := _SLIDE_NAME.match(n))
+            )
+            xmls = [z.read(n) for _, n in slides]
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError):
+        return []
+    blocks: list[str] = []
+    for xml in xmls:
+        for para in _AP_SPLIT.split(xml)[1:]:
+            para = _ABR_RE.sub(b"<a:t> </a:t>", para)
+            runs = [_xml_unescape(m.group(1)) for m in _AT_RE.finditer(para)]
+            text = " ".join(b"".join(runs).decode("utf-8", "replace").split())
+            if text:
+                blocks.append(text)
+    return blocks
+
+
+def extract_pptx_b64_text_blocks(b64: str) -> list[str]:
+    try:
+        raw = base64.b64decode(b64, validate=False)
+    except (binascii.Error, ValueError):
+        return []
+    return extract_pptx_text_blocks(raw)
+
+
+def make_mini_pptx(slides: list[list[str]]) -> bytes:
+    """Minimal valid-enough PPTX for fixtures: one slide<N>.xml per
+    slide, one <a:p><a:r><a:t> per paragraph.  Fixed zip timestamps
+    (bit-identical regeneration, same reason as make_mini_docx)."""
+    entries: list[tuple[str, str]] = [
+        (
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+    ]
+    for si, paras in enumerate(slides, start=1):
+        body = "".join(
+            f"<a:p><a:r><a:t>{_xml_escape(p)}</a:t></a:r></a:p>" for p in paras
+        )
+        entries.append(
+            (
+                f"ppt/slides/slide{si}.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+                ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+                f"<p:cSld><p:spTree><p:sp><p:txBody>{body}</p:txBody></p:sp>"
+                "</p:spTree></p:cSld></p:sld>",
+            )
+        )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, payload in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(zi, payload)
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------------- XLSX
+
+_SHEET_NAME = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+_SI_RE = re.compile(rb"<si(?:\s[^>]*)?>(.*?)</si>", re.DOTALL)
+_T_RE = re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", re.DOTALL)
+_ROW_RE = re.compile(rb"<row(?:\s[^>]*)?>(.*?)</row>", re.DOTALL)
+# attrs group is LAZY so a self-closing <c r="A1"/> matches the />
+# branch instead of a greedy attrs eating the '/' and the > branch
+# then spanning to a LATER cell's </c>
+_CELL_RE = re.compile(rb"<c\b([^>]*?)(?:/>|>(.*?)</c>)", re.DOTALL)
+_CTYPE_RE = re.compile(rb'\st="([^"]+)"')
+_V_RE = re.compile(rb"<v(?:\s[^>]*)?>(.*?)</v>", re.DOTALL)
+
+
+def _cell_text(attrs: bytes, inner: bytes, shared: list[str]) -> str:
+    """SpreadsheetML cell → text (ECMA-376 §18.3.1.4): t="s" indexes the
+    shared-string table, t="inlineStr" holds <is><t> runs, t="str"
+    (formula result) and numeric/default cells carry raw <v> text."""
+    ctype = b"n"
+    if attrs:
+        m = _CTYPE_RE.search(attrs)
+        if m:
+            ctype = m.group(1)
+    if not inner:
+        return ""
+    if ctype == b"s":
+        m = _V_RE.search(inner)
+        if m:
+            try:
+                idx = int(m.group(1))
+            except ValueError:
+                return ""
+            if 0 <= idx < len(shared):
+                return shared[idx]
+        return ""
+    if ctype == b"inlineStr":
+        runs = [_xml_unescape(t.group(1)) for t in _T_RE.finditer(inner)]
+        return b"".join(runs).decode("utf-8", "replace")
+    m = _V_RE.search(inner)
+    if m:
+        return _xml_unescape(m.group(1)).decode("utf-8", "replace")
+    return ""
+
+
+def extract_xlsx_text_blocks(xlsx_bytes: bytes) -> list[str]:
+    """One text block per non-empty row (cells joined by a space),
+    sheets in numeric order.  Shared strings resolved from
+    xl/sharedStrings.xml (plain <t> and rich <r><t> runs both
+    concatenate, per spec).  Damaged input degrades to []."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(xlsx_bytes)) as z:
+            names = z.namelist()
+            shared: list[str] = []
+            if "xl/sharedStrings.xml" in names:
+                ss = z.read("xl/sharedStrings.xml")
+                for si in _SI_RE.finditer(ss):
+                    runs = [_xml_unescape(t.group(1))
+                            for t in _T_RE.finditer(si.group(1))]
+                    shared.append(
+                        b"".join(runs).decode("utf-8", "replace"))
+            sheets = sorted(
+                (int(m.group(1)), n)
+                for n in names
+                if (m := _SHEET_NAME.match(n))
+            )
+            xmls = [z.read(n) for _, n in sheets]
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError):
+        return []
+    blocks: list[str] = []
+    for xml in xmls:
+        for row in _ROW_RE.finditer(xml):
+            cells = [
+                _cell_text(c.group(1) or b"", c.group(2) or b"", shared)
+                for c in _CELL_RE.finditer(row.group(1))
+            ]
+            text = " ".join(" ".join(cells).split())
+            if text:
+                blocks.append(text)
+    return blocks
+
+
+def extract_xlsx_b64_text_blocks(b64: str) -> list[str]:
+    try:
+        raw = base64.b64decode(b64, validate=False)
+    except (binascii.Error, ValueError):
+        return []
+    return extract_xlsx_text_blocks(raw)
+
+
+def make_mini_xlsx(rows: list[list[str]]) -> bytes:
+    """Minimal valid-enough XLSX for fixtures: one sheet, every cell a
+    shared-string reference (the common writer layout).  Fixed zip
+    timestamps for bit-identical regeneration."""
+    strings: list[str] = []
+    index: dict[str, int] = {}
+    for row in rows:
+        for cell in row:
+            if cell not in index:
+                index[cell] = len(strings)
+                strings.append(cell)
+    ss = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    body = []
+    for ri, row in enumerate(rows, start=1):
+        cells = "".join(
+            f'<c r="{chr(64 + ci)}{ri}" t="s"><v>{index[cell]}</v></c>'
+            for ci, cell in enumerate(row, start=1)
+        )
+        body.append(f'<row r="{ri}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, payload in (
+            (
+                "[Content_Types].xml",
+                '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+                '<Default Extension="xml" ContentType="application/xml"/></Types>',
+            ),
+            ("xl/sharedStrings.xml", ss),
+            ("xl/worksheets/sheet1.xml", sheet),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(zi, payload)
+    return buf.getvalue()
+
+
 # -------------------------------------------------------------------- RTF
 
 _DESTINATIONS = frozenset(

@@ -25,7 +25,11 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from geoparser_spark.operators.office_text import make_mini_docx
+from geoparser_spark.operators.office_text import (
+    make_mini_docx,
+    make_mini_pptx,
+    make_mini_xlsx,
+)
 from geoparser_spark.operators.pdf_text import make_mini_pdf
 from geoparser_spark.schemas import DOCS, EXTRACTED
 from geoparser_spark.testing.gazetteer import gazetteer_rows
@@ -109,6 +113,27 @@ def _docx_span(rng: random.Random, mentions: list[str]):
     return b64, truth
 
 
+def _pptx_span(rng: random.Random, mentions: list[str]):
+    slides = [
+        [_sentence(rng, mentions) for _ in range(rng.randint(1, 2))]
+        for _ in range(rng.randint(1, 2))
+    ]
+    b64 = base64.b64encode(make_mini_pptx(slides)).decode("ascii")
+    truth = [("text", " ".join(p.split()), None)
+             for slide in slides for p in slide]
+    return b64, truth
+
+
+def _xlsx_span(rng: random.Random, mentions: list[str]):
+    rows = [
+        [_sentence(rng, mentions) for _ in range(rng.randint(1, 3))]
+        for _ in range(rng.randint(1, 3))
+    ]
+    b64 = base64.b64encode(make_mini_xlsx(rows)).decode("ascii")
+    truth = [("text", " ".join(" ".join(r).split()), None) for r in rows]
+    return b64, truth
+
+
 def _rtf_span(rng: random.Random, mentions: list[str]):
     paras = [_paragraph(rng, mentions) for _ in range(rng.randint(1, 2))]
     rtf = "{\\rtf1\\ansi " + "".join(p + "\\par " for p in paras) + "}"
@@ -130,8 +155,9 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
     truth: list[tuple[str, str | None, str | None]] = []
     for i in range(n_spans):
         kind = rng.choices(
-            ["html", "text", "pdf_bytes", "docx_bytes", "rtf", "image", "video"],
-            weights=[4, 4, 2, 1, 1, 1, 1],
+            ["html", "text", "pdf_bytes", "docx_bytes", "pptx_bytes",
+             "xlsx_bytes", "rtf", "image", "video"],
+            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1],
         )[0]
         if kind == "html":
             html, t = _html_span(rng, doc_id, i, mentions)
@@ -148,6 +174,14 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         elif kind == "docx_bytes":
             b64, t = _docx_span(rng, mentions)
             spans_in.append({"kind": "docx_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "pptx_bytes":
+            b64, t = _pptx_span(rng, mentions)
+            spans_in.append({"kind": "pptx_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "xlsx_bytes":
+            b64, t = _xlsx_span(rng, mentions)
+            spans_in.append({"kind": "xlsx_bytes", "text": b64, "media_ref": None, "offset": i})
             truth.extend(t)
         elif kind == "rtf":
             rtf, t = _rtf_span(rng, mentions)

@@ -145,3 +145,119 @@ def test_xml_unescape_pathological_numeric_refs_degrade():
     assert _xml_unescape(b"&#x110000;") == fffd
     assert _xml_unescape(b"&#x10FFFF;") == "\U0010ffff".encode("utf-8")
     assert _xml_unescape(b"ok &#65; fine") == b"ok A fine"
+
+
+# ---------------------------------------------------------------- PPTX
+
+def test_pptx_slide_and_paragraph_order():
+    from geoparser_spark.operators.office_text import (
+        extract_pptx_text_blocks,
+        make_mini_pptx,
+    )
+
+    pptx = make_mini_pptx([["One A.", "One B."], ["Two A."]])
+    assert extract_pptx_text_blocks(pptx) == ["One A.", "One B.", "Two A."]
+
+
+def test_pptx_slides_numeric_not_lexicographic_order():
+    # slide10 must come AFTER slide2 (numeric sort, not name sort)
+    import io
+    import zipfile
+
+    from geoparser_spark.operators.office_text import extract_pptx_text_blocks
+
+    def slide(text):
+        return (
+            '<p:sld xmlns:p="p" xmlns:a="a"><p:cSld><p:spTree><p:sp>'
+            f"<p:txBody><a:p><a:r><a:t>{text}</a:t></a:r></a:p></p:txBody>"
+            "</p:sp></p:spTree></p:cSld></p:sld>"
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("ppt/slides/slide10.xml", slide("ten"))
+        z.writestr("ppt/slides/slide2.xml", slide("two"))
+    assert extract_pptx_text_blocks(buf.getvalue()) == ["two", "ten"]
+
+
+def test_pptx_runs_breaks_entities_damage():
+    import io
+    import zipfile
+
+    from geoparser_spark.operators.office_text import (
+        extract_pptx_b64_text_blocks,
+        extract_pptx_text_blocks,
+        make_mini_pptx,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "ppt/slides/slide1.xml",
+            '<p:sld><a:p><a:r><a:t>Hel</a:t></a:r><a:br/>'
+            "<a:r><a:t>lo &amp;lt; x</a:t></a:r></a:p></p:sld>",
+        )
+    # runs concatenate, <a:br/> becomes whitespace, no double-unescape
+    assert extract_pptx_text_blocks(buf.getvalue()) == ["Hel lo &lt; x"]
+    assert extract_pptx_text_blocks(b"not a zip") == []
+    assert extract_pptx_b64_text_blocks("!!!") == []
+    assert extract_pptx_text_blocks(make_mini_pptx([[]])) == []
+
+
+# ---------------------------------------------------------------- XLSX
+
+def test_xlsx_rows_and_shared_strings():
+    from geoparser_spark.operators.office_text import (
+        extract_xlsx_text_blocks,
+        make_mini_xlsx,
+    )
+
+    xlsx = make_mini_xlsx([["Alpha", "Beta"], ["Gamma & <d>"]])
+    assert extract_xlsx_text_blocks(xlsx) == ["Alpha Beta", "Gamma & <d>"]
+
+
+def test_xlsx_cell_types_and_self_closing():
+    import io
+    import zipfile
+
+    from geoparser_spark.operators.office_text import extract_xlsx_text_blocks
+
+    # self-closing cell, inline string, numeric value, shared plain +
+    # rich-run string — all in spec-shaped hand-built XML
+    sheet = (
+        '<?xml version="1.0"?><worksheet><sheetData>'
+        '<row r="1"><c r="A1"/><c r="B1" t="inlineStr"><is><t>inl</t></is></c>'
+        '<c r="C1"><v>42.5</v></c><c r="D1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    ss = "<sst><si><t>shared</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert extract_xlsx_text_blocks(buf.getvalue()) == [
+        "inl 42.5 shared", "rich",
+    ]
+
+
+def test_xlsx_damage_and_missing_parts():
+    import io
+    import zipfile
+
+    from geoparser_spark.operators.office_text import (
+        extract_xlsx_b64_text_blocks,
+        extract_xlsx_text_blocks,
+    )
+
+    assert extract_xlsx_text_blocks(b"nope") == []
+    assert extract_xlsx_b64_text_blocks("!!!") == []
+    # sheet referencing a shared-string index with NO sharedStrings part
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<worksheet><sheetData><row r="1">'
+            '<c r="A1" t="s"><v>7</v></c></row></sheetData></worksheet>',
+        )
+    assert extract_xlsx_text_blocks(buf.getvalue()) == []

@@ -76,6 +76,45 @@ def test_docx_roundtrip_preserves_paragraphs(paras):
     assert out == [w for w in want if w]
 
 
+@given(st.binary(max_size=300))
+@settings(**_SETTINGS)
+def test_pptx_xlsx_extract_never_crash_on_garbage(raw):
+    from geoparser_spark.operators.office_text import (
+        extract_pptx_text_blocks,
+        extract_xlsx_text_blocks,
+    )
+
+    for fn in (extract_pptx_text_blocks, extract_xlsx_text_blocks):
+        out = fn(raw)
+        assert isinstance(out, list) and all(isinstance(b, str) for b in out)
+
+
+@given(st.lists(st.lists(_docx_para, min_size=0, max_size=3), max_size=3))
+@settings(**_SETTINGS)
+def test_pptx_roundtrip_preserves_paragraphs(slides):
+    from geoparser_spark.operators.office_text import (
+        extract_pptx_text_blocks,
+        make_mini_pptx,
+    )
+
+    out = extract_pptx_text_blocks(make_mini_pptx(slides))
+    want = [" ".join(p.split()) for s in slides for p in s]
+    assert out == [w for w in want if w]
+
+
+@given(st.lists(st.lists(_docx_para, min_size=1, max_size=3), max_size=3))
+@settings(**_SETTINGS)
+def test_xlsx_roundtrip_preserves_rows(rows):
+    from geoparser_spark.operators.office_text import (
+        extract_xlsx_text_blocks,
+        make_mini_xlsx,
+    )
+
+    out = extract_xlsx_text_blocks(make_mini_xlsx(rows))
+    want = [" ".join(" ".join(r).split()) for r in rows]
+    assert out == [w for w in want if w]
+
+
 @given(_noise_text)
 @settings(**_SETTINGS)
 def test_rtf_extract_total_and_deterministic(s):
