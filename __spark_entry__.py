@@ -21,6 +21,7 @@ from geoparser_spark.operators import similarity as S
 from geoparser_spark.operators import text_quality as TQ
 from geoparser_spark.operators.extract import extract
 from geoparser_spark.operators.geotag import (
+    MAX_NGRAM,
     build_surface_forms,
     candidate_mentions,
     geotag,
@@ -151,8 +152,11 @@ FROM documents
 
 # ------------------------------------------------- geotag on testdata
 
+# case 1 is a FOUR-token surface (alternatename of 6252001): pins the
+# MAX_NGRAM=5 recall — longest-match must emit the 4-gram and suppress
+# the contained "united states" 2-gram
 _MENTION_CASE = (
-    " Pasadena Texas", " United States", " China Mexico", " Norport",
+    " Pasadena Texas", " United States of America", " China Mexico", " Norport",
 )
 
 
@@ -174,7 +178,7 @@ _AUGMENT_SQL = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        text || CASE CAST(doc_id % 4 AS INT)
          WHEN 0 THEN ' Pasadena Texas'
-         WHEN 1 THEN ' United States'
+         WHEN 1 THEN ' United States of America'
          WHEN 2 THEN ' China Mexico'
          ELSE ' Norport' END AS text
 FROM documents
@@ -199,7 +203,7 @@ def _surfaces_values_sql() -> str:
             if not surf:
                 continue
             n_tok = len(surf.split(" "))
-            if n_tok > 3 or (surf, r["geonameid"]) in seen:
+            if n_tok > MAX_NGRAM or (surf, r["geonameid"]) in seen:
                 continue
             seen.add((surf, r["geonameid"]))
             esc = surf.replace("'", "''")
@@ -233,6 +237,21 @@ def _geotag_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grams_list_sql(max_n: int = MAX_NGRAM) -> str:
+    """DuckDB n-gram generators for n = 1..max_n (mirrors the Spark
+    token-context join's reach)."""
+    parts = []
+    for n in range(1, max_n + 1):
+        toks = ", ".join(f"t[i+{k}]" for k in range(1, n + 1))
+        gram = f"t[i+1]" if n == 1 else f"concat_ws(' ', {toks})"
+        rng = "len(t)" if n == 1 else f"greatest(len(t)-{n - 1}, 0)"
+        parts.append(
+            f"    list_transform(range(0, {rng}), "
+            f"i -> {{'pos': i, 'n': {n}, 'gram': {gram}}})"
+        )
+    return ",\n".join(parts)
+
+
 def _geotag_candidates_sql() -> str:
     return f"""
 WITH aug AS ({_AUGMENT_SQL}),
@@ -243,9 +262,7 @@ toks AS (
 ),
 grams_l AS (
   SELECT doc_id, flatten([
-    list_transform(range(0, len(t)), i -> {{'pos': i, 'n': 1, 'gram': t[i+1]}}),
-    list_transform(range(0, greatest(len(t)-1, 0)), i -> {{'pos': i, 'n': 2, 'gram': concat_ws(' ', t[i+1], t[i+2])}}),
-    list_transform(range(0, greatest(len(t)-2, 0)), i -> {{'pos': i, 'n': 3, 'gram': concat_ws(' ', t[i+1], t[i+2], t[i+3])}})
+{_grams_list_sql()}
   ]) AS gl
   FROM toks
 ),

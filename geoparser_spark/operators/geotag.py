@@ -41,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-MAX_NGRAM = 3
+# 5 covers GeoNames' long official names ("Islamic Republic of Iran",
+# "United States of America") that the reference's Lucene index matches
+# (reference: README.md:60-85); 3 silently lost their recall.  The
+# token-context join is generic over max_n — the struct just carries
+# two more (usually NULL) token fields per position.
+MAX_NGRAM = 5
 
 # feature-code weights (deterministic class prior)
 _CLASS_WEIGHTS = [

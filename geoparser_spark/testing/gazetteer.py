@@ -99,9 +99,16 @@ def gazetteer_rows(seed: int = 42) -> list[dict]:
     rng = random.Random(seed)
     rows = list(_FIXTURE_ROWS)
     used_names = {r["name"] for r in rows}
+    # long official-style alternatenames (4 and 5 tokens) so the
+    # MAX_NGRAM=5 surface join has fixture coverage, GeoNames-style
+    _LONG_ALTS = {
+        "Avaloria": "Free State of Avaloria",
+        "Borduria": "Grand Duchy of Upper Borduria",
+    }
     for cname, cc, base, clat, clon in _SYNTH_COUNTRIES:
         rows.append(dict(
-            geonameid=base, name=cname, asciiname=cname, alternatenames="",
+            geonameid=base, name=cname, asciiname=cname,
+            alternatenames=_LONG_ALTS.get(cname, ""),
             latitude=clat, longitude=clon, feature_class="A", feature_code="PCLI",
             country_code=cc, admin1_code="00", admin2_code="",
             population=rng.randint(1_000_000, 80_000_000), timezone=""))

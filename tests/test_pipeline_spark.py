@@ -219,6 +219,27 @@ def test_geotag_multiword_and_alternatenames(spark, gazetteer):
     assert len(rows) == 1 and rows[0].geonameid == 6252001  # USA → United States
 
 
+def test_four_and_five_token_surfaces(spark, gazetteer):
+    # MAX_NGRAM=5 recall: GeoNames-style long official names must match
+    # and longest-match must shadow every contained shorter surface
+    texts = spark.createDataFrame(
+        [
+            ("l1", "Signed by the United States of America today"),
+            ("l2", "Envoys of the Grand Duchy of Upper Borduria arrived"),
+        ],
+        ["doc_id", "text"],
+    )
+    surf = build_surface_forms(gazetteer)
+    res = resolve_mentions(candidate_mentions(texts, surf))
+    got = {(r.doc_id, r.gram): r.geonameid for r in res.collect()}
+    assert got[("l1", "united states of america")] == 6252001
+    assert got[("l2", "grand duchy of upper borduria")] == 9200000
+    # the contained "united states" 2-gram and "borduria" 1-gram are
+    # shadowed by the longer match
+    assert len([k for k in got if k[0] == "l1"]) == 1
+    assert len([k for k in got if k[0] == "l2"]) == 1
+
+
 def test_extract_arrow_edge_cases(spark):
     # null spans cell, empty spans array, doc with only media
     from geoparser_spark.schemas import DOCS
