@@ -9,9 +9,14 @@ Compressed streams inflate via stdlib zlib when the stream dict says
 ``/FlateDecode``.  Documented degrades (never a crash):
   * unsupported filters (DCTDecode, LZW, ...) → stream contributes
     nothing;
-  * CMap-encoded multi-byte text (Identity-H etc.) → hex codes decode
-    as raw single bytes (garbled but bounded) — mapping needs the
-    font's CMap object, out of scope here;
+  * CMap-encoded multi-byte text (Identity-H etc.): embedded
+    ``/ToUnicode`` CMaps (bfchar + bfrange, PDF 32000-1 §9.10.3) are
+    parsed and hex strings decode through them; codes the CMap does
+    not cover are SKIPPED (never emitted garbled).  If the file says
+    Identity-H but embeds no ToUnicode CMap, hex strings are glyph
+    ids with no text meaning — skipped entirely.  Files with several
+    differently-encoded fonts share one merged CMap (font-resource
+    tracking per Tf operator is out of this subset);
   * block order is content-stream order, not page-tree order — PDFs
     whose page objects are serialized out of reading order (legal per
     the xref table) come back in file order.
@@ -73,10 +78,76 @@ def _unescape(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
-    """Extract ordered text blocks (one per content stream) from a PDF
-    byte string.  Unknown/undecodable streams contribute nothing."""
-    blocks: list[str] = []
+# ---------------------------------------------------- ToUnicode CMaps
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])",
+    re.DOTALL,
+)
+_HEX_ITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hx: bytes) -> str:
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def _parse_tounicode(body: bytes, cmap: dict[bytes, str]) -> None:
+    """Merge one ToUnicode CMap stream's bfchar/bfrange sections into
+    ``cmap`` (src code bytes → unicode text, PDF 32000-1 §9.10.3).
+    Destination hex is UTF-16BE; a bfrange destination start increments
+    its LAST code unit across the range."""
+    for sec in _BFCHAR_RE.finditer(body):
+        for pm in _HEXPAIR_RE.finditer(sec.group(1)):
+            src, dst = pm.group(1), pm.group(2)
+            if len(src) % 2:
+                continue
+            cmap[bytes.fromhex(src.decode("ascii"))] = _utf16be(dst)
+    for sec in _BFRANGE_RE.finditer(body):
+        for rm in _RANGE_RE.finditer(sec.group(1)):
+            lo_h, hi_h, dst_h, dst_list = rm.groups()
+            if len(lo_h) % 2 or len(hi_h) % 2:
+                continue
+            width = len(lo_h) // 2
+            lo = int(lo_h, 16)
+            hi = int(hi_h, 16)
+            if hi < lo or hi - lo > 0xFFFF:  # bounded, spec caps at FF
+                continue
+            if dst_list is not None:
+                dsts = _HEX_ITEM_RE.findall(dst_list)
+                for i, code in enumerate(range(lo, hi + 1)):
+                    if i >= len(dsts):
+                        break
+                    cmap[code.to_bytes(width, "big")] = _utf16be(dsts[i])
+            else:
+                base = int(dst_h, 16) if dst_h else 0
+                dw = max(len(dst_h or b"") // 2, 2)
+                for i, code in enumerate(range(lo, hi + 1)):
+                    cmap[code.to_bytes(width, "big")] = _utf16be(
+                        b"%0*X" % (dw * 2, base + i)
+                    )
+
+
+def _cmap_decode(raw: bytes, cmap: dict[bytes, str], width: int) -> str:
+    """Decode a hex-string byte payload through the merged CMap in
+    fixed-width codes; codes the CMap does not cover are skipped
+    (never emitted as garbled raw bytes)."""
+    out: list[str] = []
+    for i in range(0, len(raw) - width + 1, width):
+        out.append(cmap.get(raw[i : i + width], ""))
+    return "".join(out)
+
+
+def _stream_bodies(pdf_bytes: bytes):
+    """Yield (stream_dict, decoded_body) for every stream object."""
     for m in _STREAM_HDR_RE.finditer(pdf_bytes):
         sdict = m.group(1)
         start = m.end()
@@ -93,6 +164,24 @@ def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
                 body = zlib.decompress(body)
             except zlib.error:
                 continue
+        yield sdict, body
+
+
+def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
+    """Extract ordered text blocks (one per content stream) from a PDF
+    byte string.  Unknown/undecodable streams contribute nothing."""
+    # pass 1: collect every embedded ToUnicode CMap (bfchar/bfrange)
+    cmap: dict[bytes, str] = {}
+    for _, body in _stream_bodies(pdf_bytes):
+        if b"beginbfchar" in body or b"beginbfrange" in body:
+            _parse_tounicode(body, cmap)
+    cmap_width = max((len(k) for k in cmap), default=0)
+    identity_h = b"Identity-H" in pdf_bytes
+
+    blocks: list[str] = []
+    for sdict, body in _stream_bodies(pdf_bytes):
+        if b"beginbfchar" in body or b"beginbfrange" in body:
+            continue  # the CMap stream itself carries no page text
         lines: list[str] = []
         for bt in _BT_RE.finditer(body):
             parts: list[str] = []
@@ -103,17 +192,26 @@ def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
                     else:
                         # hex string <...>: whitespace allowed between
                         # digit pairs; an odd final digit is padded with
-                        # 0 (PDF 32000-1 §7.3.4.3).  Decoded as single-
-                        # byte codes; multi-byte CMap-encoded text (e.g.
-                        # Identity-H) needs the font's CMap and degrades
-                        # to the raw byte interpretation here.
+                        # 0 (PDF 32000-1 §7.3.4.3).  Three decode modes:
+                        #   * a ToUnicode CMap was embedded → decode
+                        #     fixed-width codes through it, skipping
+                        #     unmapped codes;
+                        #   * Identity-H without a CMap → glyph ids, no
+                        #     text meaning: skip (never emit garble);
+                        #   * otherwise plain single-byte latin-1.
                         hx = re.sub(rb"\s+", b"", s.group(2))
                         if len(hx) % 2:
                             hx += b"0"
                         try:
-                            parts.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                            raw = bytes.fromhex(hx.decode("ascii"))
                         except ValueError:
                             continue
+                        if cmap:
+                            parts.append(_cmap_decode(raw, cmap, cmap_width))
+                        elif identity_h:
+                            continue
+                        else:
+                            parts.append(raw.decode("latin-1"))
             line = "".join(parts).strip()
             if line:
                 lines.append(line)
@@ -151,6 +249,46 @@ def make_mini_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             body = zlib.compress(body)
             filt = b" /Filter /FlateDecode"
         out += b"%d 0 obj\n<< /Length %d%s >>\nstream\n" % (pi + 1, len(body), filt)
+        out += body
+        out += b"\nendstream\nendobj\n"
+    out += b"%%EOF\n"
+    return bytes(out)
+
+
+def make_mini_pdf_identity_h(pages: list[list[str]],
+                             with_tounicode: bool = True) -> bytes:
+    """Identity-H fixture: text shown as 2-byte hex-string glyph codes
+    with (optionally) an embedded ToUnicode CMap mapping each code to
+    its character.  Writer is independent of the parser: codes are
+    assigned from the fixture's own deterministic charset table and the
+    CMap is emitted per PDF 32000-1 §9.10.3 bfchar syntax."""
+    charset = sorted({c for lines in pages for line in lines for c in line})
+    code_of = {c: i + 1 for i, c in enumerate(charset)}  # code 0 unmapped
+    out = bytearray(b"%PDF-1.4\n")
+    out += (
+        b"1 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+        b" /ToUnicode 2 0 R >>\nendobj\n"
+    )
+    if with_tounicode:
+        entries = b"\n".join(
+            b"<%04X> <%04X>" % (code_of[c], ord(c)) for c in charset
+        )
+        cm = (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"%d beginbfchar\n%s\nendbfchar\nendcmap\nend\n"
+            % (len(charset), entries)
+        )
+        out += b"2 0 obj\n<< /Length %d >>\nstream\n" % len(cm)
+        out += cm
+        out += b"\nendstream\nendobj\n"
+    for pi, lines in enumerate(pages):
+        body = b"".join(
+            b"BT /F1 12 Tf 72 %d Td <%s> Tj ET\n"
+            % (720 - 14 * li,
+               b"".join(b"%04X" % code_of[c] for c in line))
+            for li, line in enumerate(lines)
+        )
+        out += b"%d 0 obj\n<< /Length %d >>\nstream\n" % (pi + 3, len(body))
         out += body
         out += b"\nendstream\nendobj\n"
     out += b"%%EOF\n"

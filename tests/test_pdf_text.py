@@ -101,3 +101,65 @@ def test_b64_roundtrip():
     pdf = make_mini_pdf([["abc"]])
     b64 = base64.b64encode(pdf).decode()
     assert extract_pdf_b64_text_blocks(b64) == ["abc"]
+
+
+# ------------------------------------------------ ToUnicode / Identity-H
+
+def test_identity_h_with_tounicode_decodes():
+    from geoparser_spark.operators.pdf_text import (
+        extract_pdf_text_blocks,
+        make_mini_pdf_identity_h,
+    )
+
+    pdf = make_mini_pdf_identity_h([["Hello World", "Second line"], ["Page two"]])
+    assert extract_pdf_text_blocks(pdf) == [
+        "Hello World Second line", "Page two",
+    ]
+
+
+def test_identity_h_without_tounicode_skips_not_garbles():
+    from geoparser_spark.operators.pdf_text import (
+        extract_pdf_text_blocks,
+        make_mini_pdf_identity_h,
+    )
+
+    # glyph ids with no CMap have no text meaning: provably skipped,
+    # never emitted as garbled latin-1 bytes
+    pdf = make_mini_pdf_identity_h([["Hello"]], with_tounicode=False)
+    assert extract_pdf_text_blocks(pdf) == []
+
+
+def test_bfrange_continuation_and_list_forms():
+    from geoparser_spark.operators.pdf_text import extract_pdf_text_blocks
+
+    cm = (b"begincmap\nbeginbfrange\n<0001> <0003> <0041>\n"
+          b"<0010> <0011> [<0058> <00590059>]\nendbfrange\nendcmap\n")
+    body = b"BT <000100020003> Tj ET\nBT <00100011> Tj ET\n"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(cm)).encode()
+           + b" >>\nstream\n" + cm + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n")
+    # <0001>-<0003> -> 'A'.. ; list form maps <0010> 'X', <0011> 'YY'
+    assert extract_pdf_text_blocks(pdf) == ["ABC XYY"]
+
+
+def test_cmap_unmapped_codes_skipped():
+    from geoparser_spark.operators.pdf_text import extract_pdf_text_blocks
+
+    cm = b"beginbfchar\n<0001> <0041>\nendbfchar\n"
+    body = b"BT <0001FFFF0001> Tj ET\n"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(cm)).encode()
+           + b" >>\nstream\n" + cm + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n")
+    # the unmapped <FFFF> in the middle vanishes; mapped codes survive
+    assert extract_pdf_text_blocks(pdf) == ["AA"]
+
+
+def test_plain_hex_still_latin1_without_cmap():
+    from geoparser_spark.operators.pdf_text import extract_pdf_text_blocks
+
+    body = b"BT <48656C6C6F> Tj ET\n"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n")
+    assert extract_pdf_text_blocks(pdf) == ["Hello"]
