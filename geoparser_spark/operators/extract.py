@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from geoparser_spark.operators.html_main import extract_html_blocks
+from geoparser_spark.operators.email_text import extract_eml_text_blocks
 from geoparser_spark.operators.office_text import (
     extract_docx_b64_text_blocks,
     extract_pptx_b64_text_blocks,
@@ -71,6 +72,9 @@ def extract_doc_spans(spans: list[dict]) -> list[dict]:
                 out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "rtf" and text:
             for block in extract_rtf_text_blocks(text):
+                out.append({"kind": "text", "text": block, "media_ref": None})
+        elif kind == "eml" and text:
+            for block in extract_eml_text_blocks(text):
                 out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "text" and text:
             t = _norm_text(text)
@@ -134,6 +138,9 @@ def extract_doc_spans_cols(kinds, texts, refs, offs, lo: int, hi: int) -> list[t
                 out.append(("text", block, None))
         elif kind == "rtf" and text:
             for block in extract_rtf_text_blocks(text):
+                out.append(("text", block, None))
+        elif kind == "eml" and text:
+            for block in extract_eml_text_blocks(text):
                 out.append(("text", block, None))
         elif kind == "text" and text:
             t = _norm_text(text)

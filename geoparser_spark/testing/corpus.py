@@ -134,6 +134,18 @@ def _xlsx_span(rng: random.Random, mentions: list[str]):
     return b64, truth
 
 
+def _eml_span(rng: random.Random, mentions: list[str]):
+    from geoparser_spark.operators.email_text import make_mini_eml
+
+    subject = _sentence(rng, mentions).rstrip(".")
+    paras = [_paragraph(rng, mentions) for _ in range(rng.randint(1, 2))]
+    eml = make_mini_eml(subject, paras)
+    truth = [("text", " ".join(subject.split()), None)] + [
+        ("text", " ".join(p.split()), None) for p in paras
+    ]
+    return eml, truth
+
+
 def _rtf_span(rng: random.Random, mentions: list[str]):
     paras = [_paragraph(rng, mentions) for _ in range(rng.randint(1, 2))]
     rtf = "{\\rtf1\\ansi " + "".join(p + "\\par " for p in paras) + "}"
@@ -156,8 +168,8 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
     for i in range(n_spans):
         kind = rng.choices(
             ["html", "text", "pdf_bytes", "docx_bytes", "pptx_bytes",
-             "xlsx_bytes", "rtf", "image", "video"],
-            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1],
+             "xlsx_bytes", "rtf", "eml", "image", "video"],
+            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1, 1],
         )[0]
         if kind == "html":
             html, t = _html_span(rng, doc_id, i, mentions)
@@ -186,6 +198,10 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         elif kind == "rtf":
             rtf, t = _rtf_span(rng, mentions)
             spans_in.append({"kind": "rtf", "text": rtf, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "eml":
+            eml, t = _eml_span(rng, mentions)
+            spans_in.append({"kind": "eml", "text": eml, "media_ref": None, "offset": i})
             truth.extend(t)
         else:
             ref = f"{kind[:3]}://{doc_id}/{i}"
