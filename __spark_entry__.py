@@ -132,6 +132,95 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
+                 "pdf_bytes", "rtf", "eml")
+
+
+def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 format breadth, value-verified end-to-end: each documents row
+    is wrapped into a container format chosen by doc_id % 6 (DOCX /
+    PPTX / XLSX / PDF / RTF / EML fixture writers), pushed through the
+    REAL Arrow extract kernel, and the oracle recomputes the expected
+    blocks from the raw text alone — no parser on the oracle side, so
+    the check is non-tautological.  The wrap stage is Arrow-batched
+    mapInPandas (scaffolding, still distributed); the parse stage is
+    the production mapInArrow kernel."""
+    import pandas as pd
+
+    from geoparser_spark.schemas import DOCS
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def wrap(batches):
+        import base64 as b64mod
+
+        from geoparser_spark.operators.email_text import make_mini_eml
+        from geoparser_spark.operators.office_text import (
+            make_mini_docx,
+            make_mini_pptx,
+            make_mini_xlsx,
+        )
+        from geoparser_spark.operators.pdf_text import make_mini_pdf
+
+        for pdf in batches:
+            ids, spans = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                m = int(doc_id) % 6
+                kind = _BREADTH_FMTS[m]
+                if m == 0:
+                    payload = b64mod.b64encode(make_mini_docx([text])).decode()
+                elif m == 1:
+                    payload = b64mod.b64encode(make_mini_pptx([[text]])).decode()
+                elif m == 2:
+                    payload = b64mod.b64encode(make_mini_xlsx([[text]])).decode()
+                elif m == 3:
+                    payload = b64mod.b64encode(make_mini_pdf([[text]])).decode()
+                elif m == 4:
+                    esc = (text.replace("\\", "\\\\")
+                           .replace("{", "\\{").replace("}", "\\}"))
+                    payload = "{\\rtf1\\ansi " + esc + "\\par }"
+                else:
+                    payload = make_mini_eml(f"mail {doc_id}", [text])
+                ids.append(doc_id)
+                spans.append([{"kind": kind, "text": payload,
+                               "media_ref": None, "offset": 0}])
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    wrapped = docs.mapInPandas(wrap, schema=DOCS)
+    ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
+        (F.col("doc_id").cast("long") % 6 + 1).cast("int"),
+    )
+    return ex.select(
+        "doc_id",
+        fmt.alias("fmt"),
+        F.col("s.text").alias("text"),
+        F.col("s.order").alias("ord"),
+    )
+
+
+_BREADTH_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 6 AS m,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'docx_bytes' WHEN 1 THEN 'pptx_bytes'
+              WHEN 2 THEN 'xlsx_bytes' WHEN 3 THEN 'pdf_bytes'
+              WHEN 4 THEN 'rtf' ELSE 'eml' END AS fmt,
+       t AS text,
+       CAST(CASE WHEN m = 5 THEN 1 ELSE 0 END AS INT) AS ord
+FROM d
+UNION ALL
+SELECT doc_id, 'eml' AS fmt, 'mail ' || doc_id AS text, CAST(0 AS INT) AS ord
+FROM d WHERE m = 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved-doc extraction on sf0.001."""
     return _flagship_extract(spark, "/root/testdata/sf0.001")
@@ -942,6 +1031,7 @@ def _text_repetition(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract_spans": _flagship_extract,
+        "extract_format_breadth": _extract_format_breadth,
         "geotag_candidates": _geotag_candidates,
         "geotag_primary": _geotag_primary,
         "geotag_full_pipeline": _geotag_full,
@@ -1069,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         return dict(_ORACLE_CACHE[_sf_key])
     out = {
         "pipeline_extract_spans": _FLAGSHIP_SQL,
+        "extract_format_breadth": _BREADTH_SQL,
         "geotag_candidates": _geotag_candidates_sql(),
         "geotag_primary": _geotag_primary_sql(),
         "geotag_full_pipeline": _geotag_full_sql(),
