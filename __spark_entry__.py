@@ -133,7 +133,7 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
-                 "pdf_bytes", "rtf", "eml")
+                 "pdf_bytes", "rtf", "eml", "doc_bytes")
 
 
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +167,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 6
+                m = int(doc_id) % 7
                 kind = _BREADTH_FMTS[m]
                 if m == 0:
                     payload = b64mod.b64encode(make_mini_docx([text])).decode()
@@ -181,8 +181,14 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     esc = (text.replace("\\", "\\\\")
                            .replace("{", "\\{").replace("}", "\\}"))
                     payload = "{\\rtf1\\ansi " + esc + "\\par }"
-                else:
+                elif m == 5:
                     payload = make_mini_eml(f"mail {doc_id}", [text])
+                else:
+                    from geoparser_spark.operators.doc_legacy import (
+                        make_mini_doc,
+                    )
+
+                    payload = b64mod.b64encode(make_mini_doc([text])).decode()
                 ids.append(doc_id)
                 spans.append([{"kind": kind, "text": payload,
                                "media_ref": None, "offset": 0}])
@@ -192,7 +198,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
-        (F.col("doc_id").cast("long") % 6 + 1).cast("int"),
+        (F.col("doc_id").cast("long") % 7 + 1).cast("int"),
     )
     return ex.select(
         "doc_id",
@@ -204,14 +210,14 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_SQL = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 6 AS m,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 7 AS m,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
   FROM documents
 )
 SELECT doc_id,
        CASE m WHEN 0 THEN 'docx_bytes' WHEN 1 THEN 'pptx_bytes'
               WHEN 2 THEN 'xlsx_bytes' WHEN 3 THEN 'pdf_bytes'
-              WHEN 4 THEN 'rtf' ELSE 'eml' END AS fmt,
+              WHEN 4 THEN 'rtf' WHEN 5 THEN 'eml' ELSE 'doc_bytes' END AS fmt,
        t AS text,
        CAST(CASE WHEN m = 5 THEN 1 ELSE 0 END AS INT) AS ord
 FROM d

@@ -25,9 +25,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from geoparser_spark.operators.html_main import extract_html_blocks
+from geoparser_spark.operators.doc_legacy import extract_doc_b64_text_blocks
 from geoparser_spark.operators.email_text import extract_eml_text_blocks
 from geoparser_spark.operators.office_text import (
     extract_docx_b64_text_blocks,
+    extract_epub_b64_text_blocks,
     extract_pptx_b64_text_blocks,
     extract_rtf_text_blocks,
     extract_xlsx_b64_text_blocks,
@@ -64,11 +66,17 @@ def extract_doc_spans(spans: list[dict]) -> list[dict]:
         elif kind == "docx_bytes" and text:
             for block in extract_docx_b64_text_blocks(text):
                 out.append({"kind": "text", "text": block, "media_ref": None})
+        elif kind == "doc_bytes" and text:
+            for block in extract_doc_b64_text_blocks(text):
+                out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "pptx_bytes" and text:
             for block in extract_pptx_b64_text_blocks(text):
                 out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "xlsx_bytes" and text:
             for block in extract_xlsx_b64_text_blocks(text):
+                out.append({"kind": "text", "text": block, "media_ref": None})
+        elif kind == "epub_bytes" and text:
+            for block in extract_epub_b64_text_blocks(text):
                 out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "rtf" and text:
             for block in extract_rtf_text_blocks(text):
@@ -130,11 +138,17 @@ def extract_doc_spans_cols(kinds, texts, refs, offs, lo: int, hi: int) -> list[t
         elif kind == "docx_bytes" and text:
             for block in extract_docx_b64_text_blocks(text):
                 out.append(("text", block, None))
+        elif kind == "doc_bytes" and text:
+            for block in extract_doc_b64_text_blocks(text):
+                out.append(("text", block, None))
         elif kind == "pptx_bytes" and text:
             for block in extract_pptx_b64_text_blocks(text):
                 out.append(("text", block, None))
         elif kind == "xlsx_bytes" and text:
             for block in extract_xlsx_b64_text_blocks(text):
+                out.append(("text", block, None))
+        elif kind == "epub_bytes" and text:
+            for block in extract_epub_b64_text_blocks(text):
                 out.append(("text", block, None))
         elif kind == "rtf" and text:
             for block in extract_rtf_text_blocks(text):

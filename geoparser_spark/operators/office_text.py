@@ -329,6 +329,123 @@ def make_mini_xlsx(rows: list[list[str]]) -> bytes:
     return buf.getvalue()
 
 
+# ------------------------------------------------------------------- EPUB
+
+_EPUB_FULLPATH = re.compile(rb'full-path="([^"]+)"')
+_OPF_ITEM_RE = re.compile(rb"<item\b[^>]*/?>")
+_OPF_ID_RE = re.compile(rb'\bid="([^"]+)"')
+_OPF_HREF_RE = re.compile(rb'\bhref="([^"]+)"')
+_OPF_IDREF_RE = re.compile(rb'<itemref\b[^>]*\bidref="([^"]+)"')
+_HTML_EXTS = (".xhtml", ".html", ".htm")
+
+
+def extract_epub_text_blocks(epub_bytes: bytes) -> list[str]:
+    """EPUB (OCF zip) → text blocks: chapters resolved through
+    META-INF/container.xml → OPF manifest/spine READING ORDER, each
+    XHTML chapter routed through the html main-content extractor; if
+    the container/OPF is missing or broken, falls back to name-sorted
+    XHTML entries.  Damaged zips degrade to []."""
+    import posixpath
+
+    from geoparser_spark.operators.html_main import extract_html_blocks
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(epub_bytes)) as z:
+            names = set(z.namelist())
+            ordered: list[str] = []
+            opf_path = None
+            if "META-INF/container.xml" in names:
+                m = _EPUB_FULLPATH.search(z.read("META-INF/container.xml"))
+                if m:
+                    opf_path = m.group(1).decode("utf-8", "replace")
+            if opf_path and opf_path in names:
+                opf = z.read(opf_path)
+                base = posixpath.dirname(opf_path)
+                items: dict[bytes, str] = {}
+                for im in _OPF_ITEM_RE.finditer(opf):
+                    tag = im.group(0)
+                    idm = _OPF_ID_RE.search(tag)
+                    hrm = _OPF_HREF_RE.search(tag)
+                    if idm and hrm:
+                        items[idm.group(1)] = hrm.group(1).decode("utf-8", "replace")
+                for sm in _OPF_IDREF_RE.finditer(opf):
+                    href = items.get(sm.group(1))
+                    if href:
+                        p = posixpath.join(base, href) if base else href
+                        if p in names:
+                            ordered.append(p)
+            if not ordered:
+                ordered = sorted(
+                    n for n in names if n.lower().endswith(_HTML_EXTS)
+                )
+            chapters = [z.read(n) for n in ordered]
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError):
+        return []
+    blocks: list[str] = []
+    for raw in chapters:
+        html = raw.decode("utf-8", "replace")
+        blocks.extend(
+            t for k, t, _m in extract_html_blocks(html) if k == "text" and t
+        )
+    return blocks
+
+
+def extract_epub_b64_text_blocks(b64: str) -> list[str]:
+    try:
+        raw = base64.b64decode(b64, validate=False)
+    except (binascii.Error, ValueError):
+        return []
+    return extract_epub_text_blocks(raw)
+
+
+def make_mini_epub(chapters: list[list[str]]) -> bytes:
+    """Minimal valid-enough EPUB for fixtures: container.xml → OPF with
+    manifest + spine listing chapters in REVERSE-of-name order (so a
+    reader that ignores the spine and sorts by name is caught), one
+    XHTML file per chapter.  Fixed zip timestamps."""
+    n = len(chapters)
+    entries: list[tuple[str, str]] = [
+        (
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container version="1.0">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf"'
+            ' media-type="application/oebps-package+xml"/></rootfiles></container>',
+        )
+    ]
+    # file names count DOWN while spine order counts UP: name order
+    # would reverse the chapters
+    fnames = [f"ch{n - i:03d}.xhtml" for i in range(n)]
+    manifest = "".join(
+        f'<item id="c{i}" href="{fnames[i]}" media-type="application/xhtml+xml"/>'
+        for i in range(n)
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in range(n))
+    entries.append(
+        (
+            "OEBPS/content.opf",
+            '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf"'
+            f' version="3.0"><manifest>{manifest}</manifest>'
+            f"<spine>{spine}</spine></package>",
+        )
+    )
+    for i, paras in enumerate(chapters):
+        body = "".join(f"<p>{_xml_escape(p)}</p>" for p in paras)
+        entries.append(
+            (
+                f"OEBPS/{fnames[i]}",
+                "<html><head><title>t</title></head>"
+                f"<body>{body}</body></html>",
+            )
+        )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, payload in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(zi, payload)
+    return buf.getvalue()
+
+
 # -------------------------------------------------------------------- RTF
 
 _DESTINATIONS = frozenset(

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from geoparser_spark.operators.office_text import (
     make_mini_docx,
+    make_mini_epub,
     make_mini_pptx,
     make_mini_xlsx,
 )
@@ -134,6 +135,26 @@ def _xlsx_span(rng: random.Random, mentions: list[str]):
     return b64, truth
 
 
+def _epub_span(rng: random.Random, mentions: list[str]):
+    chapters = [
+        [_paragraph(rng, mentions) for _ in range(rng.randint(1, 2))]
+        for _ in range(rng.randint(1, 2))
+    ]
+    b64 = base64.b64encode(make_mini_epub(chapters)).decode("ascii")
+    truth = [("text", " ".join(p.split()), None)
+             for ch in chapters for p in ch]
+    return b64, truth
+
+
+def _doc_span(rng: random.Random, mentions: list[str]):
+    from geoparser_spark.operators.doc_legacy import make_mini_doc
+
+    paras = [_paragraph(rng, mentions) for _ in range(rng.randint(1, 2))]
+    b64 = base64.b64encode(make_mini_doc(paras)).decode("ascii")
+    truth = [("text", " ".join(p.split()), None) for p in paras]
+    return b64, truth
+
+
 def _eml_span(rng: random.Random, mentions: list[str]):
     from geoparser_spark.operators.email_text import make_mini_eml
 
@@ -167,9 +188,10 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
     truth: list[tuple[str, str | None, str | None]] = []
     for i in range(n_spans):
         kind = rng.choices(
-            ["html", "text", "pdf_bytes", "docx_bytes", "pptx_bytes",
-             "xlsx_bytes", "rtf", "eml", "image", "video"],
-            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1, 1],
+            ["html", "text", "pdf_bytes", "docx_bytes", "doc_bytes",
+             "pptx_bytes", "xlsx_bytes", "epub_bytes", "rtf", "eml",
+             "image", "video"],
+            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1],
         )[0]
         if kind == "html":
             html, t = _html_span(rng, doc_id, i, mentions)
@@ -186,6 +208,14 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         elif kind == "docx_bytes":
             b64, t = _docx_span(rng, mentions)
             spans_in.append({"kind": "docx_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "doc_bytes":
+            b64, t = _doc_span(rng, mentions)
+            spans_in.append({"kind": "doc_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "epub_bytes":
+            b64, t = _epub_span(rng, mentions)
+            spans_in.append({"kind": "epub_bytes", "text": b64, "media_ref": None, "offset": i})
             truth.extend(t)
         elif kind == "pptx_bytes":
             b64, t = _pptx_span(rng, mentions)

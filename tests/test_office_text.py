@@ -261,3 +261,42 @@ def test_xlsx_damage_and_missing_parts():
             '<c r="A1" t="s"><v>7</v></c></row></sheetData></worksheet>',
         )
     assert extract_xlsx_text_blocks(buf.getvalue()) == []
+
+
+# ---------------------------------------------------------------- EPUB
+
+def test_epub_spine_order_beats_name_order():
+    from geoparser_spark.operators.office_text import (
+        extract_epub_text_blocks,
+        make_mini_epub,
+    )
+
+    # the fixture names files in REVERSE of spine order; a reader that
+    # sorts by name instead of walking the OPF spine fails this
+    e = make_mini_epub([["Chapter one.", "More one."], ["Chapter two."]])
+    assert extract_epub_text_blocks(e) == [
+        "Chapter one.", "More one.", "Chapter two.",
+    ]
+
+
+def test_epub_fallback_without_container():
+    import io
+    import zipfile
+
+    from geoparser_spark.operators.office_text import extract_epub_text_blocks
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("b.xhtml", "<html><body><p>second</p></body></html>")
+        z.writestr("a.xhtml", "<html><body><p>first</p></body></html>")
+    assert extract_epub_text_blocks(buf.getvalue()) == ["first", "second"]
+
+
+def test_epub_damage_degrades_empty():
+    from geoparser_spark.operators.office_text import (
+        extract_epub_b64_text_blocks,
+        extract_epub_text_blocks,
+    )
+
+    assert extract_epub_text_blocks(b"not a zip") == []
+    assert extract_epub_b64_text_blocks("!!!") == []

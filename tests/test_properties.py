@@ -76,6 +76,38 @@ def test_docx_roundtrip_preserves_paragraphs(paras):
     assert out == [w for w in want if w]
 
 
+@given(st.binary(max_size=600))
+@settings(**_SETTINGS)
+def test_doc_extract_never_crashes_on_garbage(raw):
+    from geoparser_spark.operators.doc_legacy import extract_doc_text_blocks
+
+    # raw garbage AND garbage wearing the CFB magic header
+    for blob in (raw, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + raw):
+        out = extract_doc_text_blocks(blob)
+        assert isinstance(out, list) and all(isinstance(b, str) for b in out)
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+                        min_size=1, max_size=80), min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_doc_roundtrip_preserves_paragraphs(paras):
+    from geoparser_spark.operators.doc_legacy import (
+        extract_doc_text_blocks,
+        make_mini_doc,
+    )
+
+    out = extract_doc_text_blocks(make_mini_doc(paras))
+    # cp1252 has 27 unmappable codepoints in [32,255] (0x81 block etc.);
+    # the writer substitutes '?' for them — mirror that in the oracle
+    want = []
+    for p in paras:
+        enc = p.encode("cp1252", "replace").decode("cp1252")
+        w = " ".join(enc.split())
+        if w:
+            want.append(w)
+    assert out == want
+
+
 @given(st.binary(max_size=300))
 @settings(**_SETTINGS)
 def test_pptx_xlsx_extract_never_crash_on_garbage(raw):
