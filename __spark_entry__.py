@@ -133,16 +133,18 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
-                 "pdf_bytes", "rtf", "eml", "doc_bytes")
+                 "pdf_bytes", "rtf", "eml", "doc_bytes",
+                 "xml", "image_bytes")
 
 
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 format breadth, value-verified end-to-end: each documents row
-    is wrapped into a container format chosen by doc_id % 6 (DOCX /
-    PPTX / XLSX / PDF / RTF / EML fixture writers), pushed through the
-    REAL Arrow extract kernel, and the oracle recomputes the expected
-    blocks from the raw text alone — no parser on the oracle side, so
-    the check is non-tautological.  The wrap stage is Arrow-batched
+    is wrapped into a container format chosen by doc_id % 9 (DOCX /
+    PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / PNG fixture
+    writers), pushed through the REAL Arrow extract kernel, and the
+    oracle recomputes the expected blocks (and the PNG media_ref dims)
+    from the raw text alone — no parser on the oracle side, so the
+    check is non-tautological.  The wrap stage is Arrow-batched
     mapInPandas (scaffolding, still distributed); the parse stage is
     the production mapInArrow kernel."""
     import pandas as pd
@@ -167,7 +169,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 7
+                m = int(doc_id) % 9
                 kind = _BREADTH_FMTS[m]
                 if m == 0:
                     payload = b64mod.b64encode(make_mini_docx([text])).decode()
@@ -183,12 +185,24 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = "{\\rtf1\\ansi " + esc + "\\par }"
                 elif m == 5:
                     payload = make_mini_eml(f"mail {doc_id}", [text])
-                else:
+                elif m == 6:
                     from geoparser_spark.operators.doc_legacy import (
                         make_mini_doc,
                     )
 
                     payload = b64mod.b64encode(make_mini_doc([text])).decode()
+                elif m == 7:
+                    from geoparser_spark.operators.xml_text import make_mini_xml
+
+                    payload = make_mini_xml([text])
+                else:
+                    from geoparser_spark.operators.image_meta import (
+                        make_mini_png,
+                    )
+
+                    w, h = int(doc_id) % 5 + 1, int(doc_id) % 3 + 1
+                    payload = b64mod.b64encode(
+                        make_mini_png(w, h, [text])).decode()
                 ids.append(doc_id)
                 spans.append([{"kind": kind, "text": payload,
                                "media_ref": None, "offset": 0}])
@@ -198,32 +212,42 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
-        (F.col("doc_id").cast("long") % 7 + 1).cast("int"),
+        (F.col("doc_id").cast("long") % 9 + 1).cast("int"),
     )
     return ex.select(
         "doc_id",
         fmt.alias("fmt"),
         F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
         F.col("s.order").alias("ord"),
     )
 
 
 _BREADTH_SQL = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 7 AS m,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 9 AS m,
+         CAST(doc_id AS BIGINT) AS id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
   FROM documents
 )
 SELECT doc_id,
        CASE m WHEN 0 THEN 'docx_bytes' WHEN 1 THEN 'pptx_bytes'
               WHEN 2 THEN 'xlsx_bytes' WHEN 3 THEN 'pdf_bytes'
-              WHEN 4 THEN 'rtf' WHEN 5 THEN 'eml' ELSE 'doc_bytes' END AS fmt,
+              WHEN 4 THEN 'rtf' WHEN 5 THEN 'eml' WHEN 6 THEN 'doc_bytes'
+              WHEN 7 THEN 'xml' ELSE 'image_bytes' END AS fmt,
        t AS text,
-       CAST(CASE WHEN m = 5 THEN 1 ELSE 0 END AS INT) AS ord
+       CAST(NULL AS VARCHAR) AS media_ref,
+       CAST(CASE WHEN m IN (5, 8) THEN 1 ELSE 0 END AS INT) AS ord
 FROM d
 UNION ALL
-SELECT doc_id, 'eml' AS fmt, 'mail ' || doc_id AS text, CAST(0 AS INT) AS ord
+SELECT doc_id, 'eml' AS fmt, 'mail ' || doc_id AS text,
+       CAST(NULL AS VARCHAR) AS media_ref, CAST(0 AS INT) AS ord
 FROM d WHERE m = 5
+UNION ALL
+SELECT doc_id, 'image_bytes' AS fmt, CAST(NULL AS VARCHAR) AS text,
+       'img://png/' || (id % 5 + 1) || 'x' || (id % 3 + 1) AS media_ref,
+       CAST(0 AS INT) AS ord
+FROM d WHERE m = 8
 """
 
 

@@ -34,7 +34,9 @@ from geoparser_spark.operators.office_text import (
     extract_rtf_text_blocks,
     extract_xlsx_b64_text_blocks,
 )
+from geoparser_spark.operators.image_meta import extract_image_b64_spans
 from geoparser_spark.operators.pdf_text import extract_pdf_b64_text_blocks
+from geoparser_spark.operators.xml_text import extract_xml_text_blocks
 from geoparser_spark.schemas import EXTRACTED
 
 MEDIA_KINDS = frozenset({"image", "video", "audio", "table"})
@@ -42,6 +44,33 @@ MEDIA_KINDS = frozenset({"image", "video", "audio", "table"})
 
 def _norm_text(s: str) -> str:
     return " ".join(s.split())
+
+
+def _as_text_spans(fn):
+    """Lift a blocks extractor (payload → [str]) to the span-triple
+    contract (payload → [(kind, text, media_ref)])."""
+    def run(payload: str) -> list[tuple]:
+        return [("text", block, None) for block in fn(payload)]
+    return run
+
+
+# One dispatch table shared by the dict-based and flat-column extract
+# paths — a format lands in the engine by registering here (the Tika
+# auto-detect role, geoparser_app/views.py:125, resolved from the
+# span's declared kind).
+_SPAN_EXTRACTORS: dict = {
+    "html": extract_html_blocks,  # emits (kind, text, media_ref) itself
+    "pdf_bytes": _as_text_spans(extract_pdf_b64_text_blocks),
+    "docx_bytes": _as_text_spans(extract_docx_b64_text_blocks),
+    "doc_bytes": _as_text_spans(extract_doc_b64_text_blocks),
+    "pptx_bytes": _as_text_spans(extract_pptx_b64_text_blocks),
+    "xlsx_bytes": _as_text_spans(extract_xlsx_b64_text_blocks),
+    "epub_bytes": _as_text_spans(extract_epub_b64_text_blocks),
+    "rtf": _as_text_spans(extract_rtf_text_blocks),
+    "eml": _as_text_spans(extract_eml_text_blocks),
+    "xml": _as_text_spans(extract_xml_text_blocks),
+    "image_bytes": extract_image_b64_spans,  # media span + embedded text
+}
 
 
 def extract_doc_spans(spans: list[dict]) -> list[dict]:
@@ -57,33 +86,10 @@ def extract_doc_spans(spans: list[dict]) -> list[dict]:
         kind = span.get("kind") or ""
         text = span.get("text")
         media_ref = span.get("media_ref")
-        if kind == "html" and text:
-            for k, t, m in extract_html_blocks(text):
+        fn = _SPAN_EXTRACTORS.get(kind)
+        if fn is not None and text:
+            for k, t, m in fn(text):
                 out.append({"kind": k, "text": t, "media_ref": m})
-        elif kind == "pdf_bytes" and text:
-            for block in extract_pdf_b64_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
-        elif kind == "docx_bytes" and text:
-            for block in extract_docx_b64_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
-        elif kind == "doc_bytes" and text:
-            for block in extract_doc_b64_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
-        elif kind == "pptx_bytes" and text:
-            for block in extract_pptx_b64_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
-        elif kind == "xlsx_bytes" and text:
-            for block in extract_xlsx_b64_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
-        elif kind == "epub_bytes" and text:
-            for block in extract_epub_b64_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
-        elif kind == "rtf" and text:
-            for block in extract_rtf_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
-        elif kind == "eml" and text:
-            for block in extract_eml_text_blocks(text):
-                out.append({"kind": "text", "text": block, "media_ref": None})
         elif kind == "text" and text:
             t = _norm_text(text)
             if t:
@@ -129,33 +135,9 @@ def extract_doc_spans_cols(kinds, texts, refs, offs, lo: int, hi: int) -> list[t
         kind = kinds[i] or ""
         text = texts[i]
         media_ref = refs[i]
-        if kind == "html" and text:
-            for k, t, m in extract_html_blocks(text):
-                out.append((k, t, m))
-        elif kind == "pdf_bytes" and text:
-            for block in extract_pdf_b64_text_blocks(text):
-                out.append(("text", block, None))
-        elif kind == "docx_bytes" and text:
-            for block in extract_docx_b64_text_blocks(text):
-                out.append(("text", block, None))
-        elif kind == "doc_bytes" and text:
-            for block in extract_doc_b64_text_blocks(text):
-                out.append(("text", block, None))
-        elif kind == "pptx_bytes" and text:
-            for block in extract_pptx_b64_text_blocks(text):
-                out.append(("text", block, None))
-        elif kind == "xlsx_bytes" and text:
-            for block in extract_xlsx_b64_text_blocks(text):
-                out.append(("text", block, None))
-        elif kind == "epub_bytes" and text:
-            for block in extract_epub_b64_text_blocks(text):
-                out.append(("text", block, None))
-        elif kind == "rtf" and text:
-            for block in extract_rtf_text_blocks(text):
-                out.append(("text", block, None))
-        elif kind == "eml" and text:
-            for block in extract_eml_text_blocks(text):
-                out.append(("text", block, None))
+        fn = _SPAN_EXTRACTORS.get(kind)
+        if fn is not None and text:
+            out.extend(fn(text))
         elif kind == "text" and text:
             t = _norm_text(text)
             if t:

@@ -1,0 +1,254 @@
+"""Image byte-stream parsing: header metadata + embedded text, no codec.
+
+Reference parity: GeoParser feeds uploaded images through Tika
+(/root/reference/geoparser_app/views.py:125); Tika surfaces image
+metadata (dimensions, format) and — with a Tesseract install — OCR
+text, which then flows into geotagging like any other text.  This
+module reproduces the metadata-and-embedded-text part from the public
+container specs (PNG: RFC 2083 chunk layout; JPEG: ISO/IEC 10918-1
+marker segments; GIF: GIF89a specification blocks) with pure stdlib
+parsing — the pixel codec itself is NOT needed for any of it.
+
+Span contract for an ``image_bytes`` input span (base64 payload):
+  * one media span ("image", None, "img://{fmt}/{w}x{h}") carrying the
+    parsed dimensions in the media_ref, then
+  * one text span per embedded textual field, in byte order: PNG tEXt /
+    uncompressed iTXt values, JPEG COM segments, GIF comment
+    extensions.  This is the channel a production OCR stage would also
+    write into (see :func:`ocr_image`).
+Degrade contract: unrecognized or truncated payloads yield [] — never
+an exception out of the extract stage.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG SOF markers carry frame dims; C4/C8/CC are DHT/JPG/DAC, not SOFs.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+def parse_png(raw: bytes) -> tuple[int, int, list[str]] | None:
+    """PNG chunk walk: IHDR dims + tEXt / uncompressed-iTXt values."""
+    if not raw.startswith(_PNG_SIG):
+        return None
+    w = h = None
+    texts: list[str] = []
+    i = len(_PNG_SIG)
+    while i + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[i:i + 4])
+        ctype = raw[i + 4:i + 8]
+        data = raw[i + 8:i + 8 + length]
+        if len(data) < length:
+            break  # truncated chunk: keep what we have
+        if ctype == b"IHDR" and length >= 8:
+            w, h = struct.unpack(">II", data[:8])
+        elif ctype == b"tEXt":
+            _kw, _, val = data.partition(b"\x00")
+            texts.append(val.decode("latin-1", "replace"))
+        elif ctype == b"iTXt":
+            _kw, _, rest = data.partition(b"\x00")
+            if len(rest) >= 2 and rest[0] == 0:  # compression flag off
+                after = rest[2:]
+                _lang, _, after = after.partition(b"\x00")
+                _translated, _, val = after.partition(b"\x00")
+                texts.append(val.decode("utf-8", "replace"))
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + CRC
+    if w is None:
+        return None
+    return int(w), int(h), texts
+
+
+def parse_jpeg(raw: bytes) -> tuple[int, int, list[str]] | None:
+    """JPEG marker walk: first SOFn dims + COM comment segments."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    w = h = None
+    texts: list[str] = []
+    i = 2
+    n = len(raw)
+    while i + 1 < n:
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        # skip fill bytes (spec allows runs of 0xFF before a marker)
+        while i < n and raw[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = raw[i]
+        i += 1
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:  # EOI
+                break
+            continue  # standalone marker, no length field
+        if i + 2 > n:
+            break
+        (seglen,) = struct.unpack(">H", raw[i:i + 2])
+        seg = raw[i + 2:i + seglen]
+        if marker == 0xFE:  # COM
+            texts.append(seg.decode("utf-8", "replace"))
+        elif marker in _JPEG_SOF and len(seg) >= 5:
+            h, w = struct.unpack(">HH", seg[1:5])
+        if marker == 0xDA:  # SOS: entropy-coded data follows, stop
+            break
+        i += seglen
+    if w is None:
+        return None
+    return int(w), int(h), texts
+
+
+def parse_gif(raw: bytes) -> tuple[int, int, list[str]] | None:
+    """GIF block walk: logical-screen dims + comment extensions."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
+        return None
+    w, h = struct.unpack("<HH", raw[6:10])
+    flags = raw[10]
+    i = 13
+    if flags & 0x80:  # global color table present
+        i += 3 * (2 << (flags & 0x07))
+    texts: list[str] = []
+
+    def skip_subblocks(j: int, collect: list[bytes] | None) -> int:
+        while j < len(raw):
+            blen = raw[j]
+            j += 1
+            if blen == 0:
+                return j
+            if collect is not None:
+                collect.append(raw[j:j + blen])
+            j += blen
+        return j
+
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21 and i + 1 < len(raw):  # extension
+            label = raw[i + 1]
+            if label == 0xFE:  # comment extension
+                parts: list[bytes] = []
+                i = skip_subblocks(i + 2, parts)
+                texts.append(b"".join(parts).decode("utf-8", "replace"))
+            else:
+                i = skip_subblocks(i + 2, None)
+        elif b == 0x2C and i + 10 <= len(raw):  # image descriptor
+            lflags = raw[i + 9]
+            i += 10
+            if lflags & 0x80:
+                i += 3 * (2 << (lflags & 0x07))
+            i += 1  # LZW minimum code size
+            i = skip_subblocks(i, None)
+        else:
+            break  # unknown block: stop cleanly
+    return int(w), int(h), texts
+
+
+def parse_image_meta(raw: bytes) -> tuple[str, int, int, list[str]] | None:
+    """(format, width, height, embedded texts) or None if unrecognized."""
+    for fmt, parser in (("png", parse_png), ("jpeg", parse_jpeg),
+                        ("gif", parse_gif)):
+        try:
+            got = parser(raw)
+        except (struct.error, IndexError):
+            got = None
+        if got is not None:
+            return (fmt, *got)
+    return None
+
+
+def extract_image_spans(raw: bytes) -> list[tuple[str, str | None, str | None]]:
+    """Image bytes → extract-stage span triples (kind, text, media_ref)."""
+    meta = parse_image_meta(raw)
+    if meta is None:
+        return []
+    fmt, w, h, texts = meta
+    out: list[tuple[str, str | None, str | None]] = [
+        ("image", None, f"img://{fmt}/{w}x{h}")
+    ]
+    for t in texts:
+        t = _norm(t)
+        if t:
+            out.append(("text", t, None))
+    return out
+
+
+def extract_image_b64_spans(b64: str) -> list[tuple[str, str | None, str | None]]:
+    """Base64-wrapped variant — ``image_bytes`` span payloads carry the
+    byte stream base64-encoded in ``text`` (FIXTURES.md §1)."""
+    try:
+        raw = base64.b64decode(b64, validate=False)
+    except (binascii.Error, ValueError):
+        return []
+    return extract_image_spans(raw)
+
+
+def ocr_image(raw: bytes) -> str:
+    """Real OCR — NOT AVAILABLE in this container (no Tesseract).
+
+    Raises NotImplementedError by design; a deployment wires Tesseract
+    (as the reference's Tika does) here and appends the result as a
+    text span next to the embedded-text spans above.  The batch
+    plumbing that would carry its output is exactly the embedded-text
+    path, which IS tested."""
+    raise NotImplementedError("OCR engine not present in sandbox; see docstring")
+
+
+# ---------------------------------------------------------------- fixtures
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def make_mini_png(width: int, height: int, texts: list[str] = ()) -> bytes:
+    """A complete, spec-valid grayscale PNG (real zlib IDAT, real CRCs)
+    with one tEXt chunk per entry in ``texts``."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rows = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    out = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+    for t in texts:
+        out.append(_png_chunk(
+            b"tEXt", b"Description\x00" + t.encode("latin-1", "replace")))
+    out.append(_png_chunk(b"IDAT", zlib.compress(rows)))
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def make_mini_jpeg(width: int, height: int, comments: list[str] = ()) -> bytes:
+    """Minimal JPEG header stream: SOI, JFIF APP0, COM per comment,
+    SOF0 frame header, EOI.  Header-complete (dims + comments parse);
+    carries no entropy-coded scan, which header consumers never read."""
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    coms = b"".join(seg(0xFE, c.encode("utf-8")) for c in comments)
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + coms + sof0 + b"\xff\xd9"
+
+
+def make_mini_gif(width: int, height: int, comments: list[str] = ()) -> bytes:
+    """Minimal GIF89a: header + LSD (no color table) + comment
+    extensions + trailer."""
+    out = [b"GIF89a", struct.pack("<HH", width, height), b"\x00\x00\x00"]
+    for c in comments:
+        data = c.encode("utf-8")
+        sub = b"".join(
+            bytes([len(data[i:i + 255])]) + data[i:i + 255]
+            for i in range(0, len(data), 255)
+        ) or b""
+        out.append(b"\x21\xfe" + sub + b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)

@@ -174,6 +174,39 @@ def _rtf_span(rng: random.Random, mentions: list[str]):
     return rtf, truth
 
 
+def _xml_span(rng: random.Random, mentions: list[str]):
+    from geoparser_spark.operators.xml_text import make_mini_xml
+
+    items = [_sentence(rng, mentions) for _ in range(rng.randint(1, 3))]
+    xml = make_mini_xml(items)
+    truth = [("text", " ".join(s.split()), None) for s in items]
+    return xml, truth
+
+
+def _image_span(rng: random.Random, mentions: list[str]):
+    from geoparser_spark.operators.image_meta import (
+        make_mini_gif,
+        make_mini_jpeg,
+        make_mini_png,
+    )
+
+    w, h = rng.randint(1, 64), rng.randint(1, 64)
+    caption = _sentence(rng, mentions)
+    fmt = rng.choice(["png", "jpeg", "gif"])
+    if fmt == "png":
+        raw = make_mini_png(w, h, [caption])
+    elif fmt == "jpeg":
+        raw = make_mini_jpeg(w, h, [caption])
+    else:
+        raw = make_mini_gif(w, h, [caption])
+    b64 = base64.b64encode(raw).decode("ascii")
+    truth = [
+        ("image", None, f"img://{fmt}/{w}x{h}"),
+        ("text", " ".join(caption.split()), None),
+    ]
+    return b64, truth
+
+
 def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
                  mega_factor: int = 100) -> tuple[dict, dict]:
     """Return (doc_row, expected_row) for one document. Pure function of
@@ -190,8 +223,8 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         kind = rng.choices(
             ["html", "text", "pdf_bytes", "docx_bytes", "doc_bytes",
              "pptx_bytes", "xlsx_bytes", "epub_bytes", "rtf", "eml",
-             "image", "video"],
-            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+             "xml", "image_bytes", "image", "video"],
+            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
         )[0]
         if kind == "html":
             html, t = _html_span(rng, doc_id, i, mentions)
@@ -232,6 +265,14 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         elif kind == "eml":
             eml, t = _eml_span(rng, mentions)
             spans_in.append({"kind": "eml", "text": eml, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "xml":
+            xml, t = _xml_span(rng, mentions)
+            spans_in.append({"kind": "xml", "text": xml, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "image_bytes":
+            b64, t = _image_span(rng, mentions)
+            spans_in.append({"kind": "image_bytes", "text": b64, "media_ref": None, "offset": i})
             truth.extend(t)
         else:
             ref = f"{kind[:3]}://{doc_id}/{i}"

@@ -1,0 +1,151 @@
+"""XML and image_bytes extraction kinds: golden cases, degrade
+contract, and property tests (fixture writer vs parser round-trip)."""
+
+import base64
+import struct
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoparser_spark.operators.extract import extract_doc_spans
+from geoparser_spark.operators.image_meta import (
+    extract_image_b64_spans,
+    extract_image_spans,
+    make_mini_gif,
+    make_mini_jpeg,
+    make_mini_png,
+    parse_image_meta,
+)
+from geoparser_spark.operators.xml_text import (
+    extract_xml_text_blocks,
+    make_mini_xml,
+)
+
+# ------------------------------------------------------------------ xml
+
+def test_xml_child_blocks_in_document_order():
+    x = make_mini_xml(["First  block", "Second block"])
+    assert extract_xml_text_blocks(x) == ["First block", "Second block"]
+
+
+def test_xml_escapes_round_trip():
+    x = make_mini_xml(["a < b & c > d"])
+    assert extract_xml_text_blocks(x) == ["a < b & c > d"]
+
+
+def test_xml_root_text_and_tails():
+    assert extract_xml_text_blocks("<a> lead <b>inner</b> tail </a>") == [
+        "lead", "inner", "tail"]
+
+
+def test_xml_nested_descendants_one_block_per_root_child():
+    x = "<r><p>one <i>two</i> three</p><p>four</p></r>"
+    assert extract_xml_text_blocks(x) == ["one two three", "four"]
+
+
+def test_xml_no_children_single_block():
+    assert extract_xml_text_blocks("<a>  only\n text </a>") == ["only text"]
+
+
+def test_xml_degrade_contract():
+    assert extract_xml_text_blocks("") == []
+    assert extract_xml_text_blocks("plain text") == []
+    assert extract_xml_text_blocks("<a><b></a>") == []  # malformed
+    assert extract_xml_text_blocks(
+        '<!DOCTYPE a [<!ENTITY x "y">]><a>&x;</a>') == []  # entity guard
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=0x2FF),
+                        min_size=1, max_size=40), min_size=1, max_size=5))
+def test_xml_writer_parser_roundtrip(blocks):
+    expect = [" ".join(b.split()) for b in blocks]
+    expect = [b for b in expect if b]
+    assert extract_xml_text_blocks(make_mini_xml(blocks)) == expect
+
+
+# ---------------------------------------------------------------- images
+
+def test_png_dims_and_text_chunks():
+    raw = make_mini_png(4, 3, ["cap  one", "cap two"])
+    assert extract_image_spans(raw) == [
+        ("image", None, "img://png/4x3"),
+        ("text", "cap one", None),
+        ("text", "cap two", None),
+    ]
+
+
+def test_png_is_spec_valid_zlib_and_crc():
+    raw = make_mini_png(5, 2)
+    # walk chunks verifying CRCs; decompress IDAT and check size
+    i = 8
+    seen = {}
+    while i + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[i:i + 4])
+        ctype = raw[i + 4:i + 8]
+        data = raw[i + 8:i + 8 + length]
+        (crc,) = struct.unpack(">I", raw[i + 8 + length:i + 12 + length])
+        assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF
+        seen[ctype] = data
+        i += 12 + length
+    assert zlib.decompress(seen[b"IDAT"]) == b"".join(
+        b"\x00" + bytes(5) for _ in range(2))
+
+
+def test_jpeg_dims_and_comments():
+    raw = make_mini_jpeg(7, 5, ["hello jpeg"])
+    assert extract_image_spans(raw) == [
+        ("image", None, "img://jpeg/7x5"),
+        ("text", "hello jpeg", None),
+    ]
+
+
+def test_gif_comment_spans_multiple_subblocks():
+    long = "x" * 600
+    raw = make_mini_gif(9, 2, [long])
+    spans = extract_image_spans(raw)
+    assert spans[0] == ("image", None, "img://gif/9x2")
+    assert spans[1] == ("text", long, None)
+
+
+def test_image_degrade_contract():
+    assert extract_image_spans(b"") == []
+    assert extract_image_spans(b"garbage bytes") == []
+    assert extract_image_b64_spans("!!! not base64") == []
+    # truncated PNG: signature + half an IHDR
+    assert parse_image_meta(make_mini_png(2, 2)[:12]) is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 4096), st.integers(1, 4096),
+       st.sampled_from(["png", "jpeg", "gif"]))
+def test_image_dims_roundtrip(w, h, fmt):
+    if fmt == "png":
+        raw = make_mini_png(min(w, 64), min(h, 64))  # bound IDAT size
+        w, h = min(w, 64), min(h, 64)
+    elif fmt == "jpeg":
+        raw = make_mini_jpeg(w, h)
+    else:
+        w, h = min(w, 65535), min(h, 65535)
+        raw = make_mini_gif(w, h)
+    got = parse_image_meta(raw)
+    assert got is not None and (got[0], got[1], got[2]) == (fmt, w, h)
+
+
+def test_image_and_xml_kinds_through_extract_dispatch():
+    png = make_mini_png(4, 3, ["embedded caption"])
+    spans = [
+        {"kind": "xml", "text": make_mini_xml(["x one"]), "media_ref": None,
+         "offset": 0},
+        {"kind": "image_bytes", "text": base64.b64encode(png).decode(),
+         "media_ref": None, "offset": 1},
+    ]
+    assert extract_doc_spans(spans) == [
+        {"kind": "text", "text": "x one", "media_ref": None, "order": 0},
+        {"kind": "image", "text": None, "media_ref": "img://png/4x3",
+         "order": 1},
+        {"kind": "text", "text": "embedded caption", "media_ref": None,
+         "order": 2},
+    ]
