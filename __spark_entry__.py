@@ -970,6 +970,13 @@ def _dedup_lines(spark, sf_dir):
     return D.line_dedup(_t(spark, sf_dir, "documents"), max_repeats=2)
 
 
+def _dedup_lines_cms(spark, sf_dir):
+    """Count-min-sketch variant of dedup_lines: doc counts estimated
+    from a broadcast depth*width sketch (bounded state, map-only second
+    pass) — the heavy-hitter-safe 100 TB shape."""
+    return D.line_dedup_cms(_t(spark, sf_dir, "documents"), max_repeats=2)
+
+
 def _dedup_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     out = S.cosine_near_dup_pairs(emb, threshold=0.3)
@@ -1058,6 +1065,58 @@ def _text_repetition(spark, sf_dir):
     return TQ.repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def _text_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents seeded with synthetic PII.
+
+    The corpus text carries no natural PII, so the query plants one
+    email / IPv4 / phone per document as a pure column expression (the
+    oracle plants the identical strings), then runs the production
+    :mod:`operators.pii` scrub — counts are therefore >= 1 and the
+    redaction is value-checked end-to-end."""
+    from geoparser_spark.operators.pii import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or call +1415550"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 planted.alias("text"))
+    return pii_scrub(d).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.col("redacted").alias("redacted"))
+
+
+_PII_SQL = r"""
+WITH planted AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.1.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 or call +1415550'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+           AS n_email,
+       CAST(length(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(length(regexp_extract_all(text,
+            '(\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b)')) AS INT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '(\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b)', '<PHONE>', 'g') AS redacted
+FROM planted
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract_spans": _flagship_extract,
@@ -1098,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_cosine,
         "dedup_lines": _dedup_lines,
+        "dedup_lines_cms": _dedup_lines_cms,
         "sim_topk_bruteforce": _sim_topk,
         "ann_ivf_topk": _ann_ivf,
         "ann_lsh_topk": _ann_lsh,
@@ -1109,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_repetition_signals": _text_repetition,
+        "text_pii_scrub": _text_pii_scrub,
     }
 
 
@@ -1491,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
                                                toks[i+5], toks[i+6], toks[i+7], toks[i+8]))))
                    ELSE md5(norm) END AS min_shingle_fp
             FROM s""",
+        "text_pii_scrub": _PII_SQL,
     }
     # ---- pure-Python oracle builders (primitives DuckDB lacks:
     # Spark xxhash64, deterministic k-means, the sha256 stub
@@ -1514,6 +1576,9 @@ def oracle_sql() -> dict[str, str]:
                 _QUERY_VEC, n_lists=8, sample=512, k=10, nprobe=2
             ),
             "ann_lsh_topk": PQ.lsh_topk_sql(_QUERY_VEC, k=10, n_planes=4),
+            "dedup_lines_cms": PQ.line_dedup_cms_sql(
+                max_repeats=2, depth=4, width=8192
+            ),
             "q9_tile_extents": PQ.tile_extents_sql(
                 k=8, leaf_max=10, max_levels=3
             ),

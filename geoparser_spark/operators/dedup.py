@@ -203,47 +203,23 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     )
 
 
-def line_dedup(docs: DataFrame, max_repeats: int = 2,
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Corpus-level line/sentence dedup (the C4 boilerplate rule: drop
-    any line that occurs in more than ``max_repeats`` distinct
-    documents — navigation chrome, legal footers, share buttons).
-
-    Shape: explode sentences with position; per-line doc counts come
-    from groupBy(key).agg(countDistinct(doc_id)) joined back to the
-    line rows.  Per-key aggregate state is a COUNTER, never a
-    materialized id set: the previous window formulation
-    (collect_set(doc_id) over partitionBy(key)) built the full distinct
-    set per ROW, so a boilerplate line present in 10^7 docs ("Home")
-    held a 10^7-element set in one task — OOM at 100 TB.  Empty keys
-    (which the keep rule drops unconditionally) are filtered out before
-    counting, so the degenerate ''-key partition never aggregates at
-    all.  The join back on the line key is skew-prone for exactly the
-    heavy hitters, but each probe row only picks up one small count row
-    (AQE skew-join splits it); the count-min-sketch broadcast variant
-    trades exactness for a map-only second pass and slots in behind the
-    same API.
-
-    Output: (doc_id, clean_text, n_kept, n_dropped)."""
-    # sentence split via an inserted marker (no lookbehind — the oracle
-    # engine's RE2 regexes must be able to mirror the split exactly)
+def _sentence_lines(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, line, key) — sentence split via an inserted marker (no
+    lookbehind: the oracle engine's RE2 regexes must mirror the split
+    exactly)."""
     marked_text = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\u001F")
-    lines = docs.select(
+    return docs.select(
         F.col(id_col),
         F.posexplode(F.split(marked_text, "\u001F")).alias("pos", "line"),
     ).withColumn("key", F.lower(F.trim(F.col("line"))))
-    counts = (
-        lines.where(F.length("key") > 0)
-        .groupBy("key")
-        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
-    )
-    counted = lines.join(counts, "key", "left")
-    marked = counted.withColumn(
-        "keep",
-        F.coalesce(F.col("n_docs") <= max_repeats, F.lit(False))
-        & (F.length("key") > 0),
-    )
-    rebuilt = marked.groupBy(id_col).agg(
+
+
+def _rebuild_docs(marked: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, line, keep) → (id, clean_text, n_kept, n_dropped):
+    kept lines re-joined in original sentence order, as one per-doc
+    aggregate (arrays materialize once — the projection-collapse trap
+    documented in text_quality applies here too)."""
+    return marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.filter(
@@ -265,7 +241,116 @@ def line_dedup(docs: DataFrame, max_repeats: int = 2,
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
     )
-    return rebuilt
+
+
+def line_dedup(docs: DataFrame, max_repeats: int = 2,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level line/sentence dedup (the C4 boilerplate rule: drop
+    any line that occurs in more than ``max_repeats`` distinct
+    documents — navigation chrome, legal footers, share buttons).
+
+    Shape: explode sentences with position; per-line doc counts come
+    from groupBy(key).agg(countDistinct(doc_id)) joined back to the
+    line rows.  Per-key aggregate state is a COUNTER, never a
+    materialized id set: the previous window formulation
+    (collect_set(doc_id) over partitionBy(key)) built the full distinct
+    set per ROW, so a boilerplate line present in 10^7 docs ("Home")
+    held a 10^7-element set in one task — OOM at 100 TB.  Empty keys
+    (which the keep rule drops unconditionally) are filtered out before
+    counting, so the degenerate \'\'-key partition never aggregates at
+    all.  The join back on the line key is skew-prone for exactly the
+    heavy hitters, but each probe row only picks up one small count row
+    (AQE skew-join splits it); :func:`line_dedup_cms` trades exactness
+    for a broadcast map-only second pass behind the same API.
+
+    Output: (doc_id, clean_text, n_kept, n_dropped)."""
+    lines = _sentence_lines(docs, text_col, id_col)
+    counts = (
+        lines.where(F.length("key") > 0)
+        .groupBy("key")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    )
+    counted = lines.join(counts, "key", "left")
+    marked = counted.withColumn(
+        "keep",
+        F.coalesce(F.col("n_docs") <= max_repeats, F.lit(False))
+        & (F.length("key") > 0),
+    )
+    return _rebuild_docs(marked, id_col)
+
+
+def line_freq_sketch(docs: DataFrame, depth: int = 4, width: int = 8192,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Count-min sketch of per-line DISTINCT-DOC frequencies.
+
+    Output (d, bucket, cnt) has at most depth x width rows regardless
+    of how many distinct lines exist — the bounded-state scale path for
+    heavy-hitter boilerplate detection.  Bucket_d(key) =
+    pmod(xxhash64(key, d), width); counts increment once per distinct
+    (doc, key) pair (dropDuplicates first, which map-side-combines), so
+    the sketch estimates doc frequency exactly like line_dedup's
+    countDistinct, with one-sided (over-estimate) CMS error
+    <= e/width * total_pairs at probability 1 - (1/e)^depth."""
+    lines = _sentence_lines(docs, text_col, id_col)
+    pairs = (
+        lines.where(F.length("key") > 0)
+        .select(F.col(id_col), "key")
+        .dropDuplicates()
+    )
+    rows = pairs.select(
+        # d rides as LONG: Spark's xxhash64 hashes IntegerType through
+        # a 4-byte path the pure-Python oracle does not replicate
+        "key",
+        F.explode(F.array(*[F.lit(d).cast("long") for d in range(depth)])).alias("d"),
+    )
+    return (
+        rows.groupBy(
+            "d",
+            F.pmod(F.xxhash64(F.col("key"), F.col("d")), F.lit(width))
+             .alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def line_dedup_cms(docs: DataFrame, max_repeats: int = 2,
+                   depth: int = 4, width: int = 8192,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """line_dedup with the per-line doc counts estimated from a
+    broadcast count-min sketch instead of an exact join on the line key.
+
+    Why this is the 100 TB shape: the exact variant\'s join-back keys on
+    the line text — the heavy hitters it exists to find are exactly the
+    skewed join keys.  Here the corpus-sized side never shuffles at
+    all after the sketch is built: the sketch (depth x width rows,
+    ~128 KB at 4x8192) broadcasts, and the estimate is depth
+    BroadcastHashJoins + least(), a purely map-side second pass.  CMS
+    error is one-sided (over-estimates), so boilerplate is never
+    missed; rare lines can be falsely dropped with probability bounded
+    by the sketch dimensions.
+
+    Same output contract as :func:`line_dedup`."""
+    sketch = line_freq_sketch(docs, depth, width, text_col, id_col)
+    lines = _sentence_lines(docs, text_col, id_col)
+    est_cols = []
+    out = lines
+    for d in range(depth):
+        sk_d = (
+            sketch.where(F.col("d") == d)
+            .select(F.col("bucket").alias(f"b{d}"),
+                    F.col("cnt").alias(f"c{d}"))
+        )
+        out = out.withColumn(
+            f"b{d}",
+            F.pmod(F.xxhash64(F.col("key"), F.lit(d).cast("long")),
+                   F.lit(width))
+        ).join(F.broadcast(sk_d), f"b{d}", "left")
+        est_cols.append(F.coalesce(F.col(f"c{d}"), F.lit(0)))
+    marked = out.withColumn(
+        "keep",
+        (F.least(*est_cols) <= max_repeats) & (F.length("key") > 0),
+    )
+    return _rebuild_docs(marked, id_col)
 
 
 def simhash(docs: DataFrame, text_col: str = "text",

@@ -78,6 +78,44 @@ def minhash_lsh_pairs_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
     return values_sql(out, ["id_a", "id_b", "jaccard"])
 
 
+def line_dedup_cms_sql(max_repeats: int = 2, depth: int = 4,
+                       width: int = 8192) -> str:
+    """Expected output of dedup.line_dedup_cms over documents: full
+    replica — Java-\\s sentence split, distinct (doc, key) pairs,
+    count-min sketch with spark_xxhash64(key, d) buckets, min-over-depth
+    estimate, keep rule, in-order rebuild."""
+    import re
+
+    rows = read_table("documents", "doc_id, text")
+    parsed: dict[int, list[tuple[int, str, str]]] = {}
+    pairs: set[tuple[int, str]] = set()
+    for i, t in rows:
+        i = int(i)
+        # Java regex \\s is ASCII-only — [ \\t\\n\\x0b\\f\\r]
+        marked = re.sub(r"([.!?])[ \t\n\x0b\f\r]+", "\\1\x1f", t)
+        keyed = [(pos, line, line.strip(" ").lower())
+                 for pos, line in enumerate(marked.split("\x1f"))]
+        parsed[i] = keyed
+        for _, _, key in keyed:
+            if key:
+                pairs.add((i, key))
+    sketch: dict[tuple[int, int], int] = defaultdict(int)
+    for _, key in pairs:
+        for d in range(depth):
+            sketch[(d, spark_xxhash64(key, d) % width)] += 1
+
+    def est(key: str) -> int:
+        return min(sketch.get((d, spark_xxhash64(key, d) % width), 0)
+                   for d in range(depth))
+
+    out = []
+    for i, keyed in sorted(parsed.items()):
+        kept = [line for _, line, key in keyed
+                if key and est(key) <= max_repeats]
+        out.append((i, " ".join(kept), len(kept), len(keyed) - len(kept)))
+    return values_sql(out, ["doc_id", "clean_text", "n_kept", "n_dropped"])
+
+
 def _simhash_fp(text: str) -> str:
     toks = distinct_keep_order(tokens(text))
     hs = [spark_xxhash64(t) & _M64 for t in toks]

@@ -624,3 +624,41 @@ def test_resize_images_box_fit(spark):
     assert (got["small"].width, got["small"].height) == (100, 50)
     assert got["small"].resized is False
     assert got["big"].media_bytes.startswith(b"RSZ:256x128:")
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from geoparser_spark.operators.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            ("a", "mail bob.smith+x@corp.example.org now"),
+            ("b", "host 192.168.0.1 and 10.0.0.255 up"),
+            ("c", "call +14155501234 or 415-555-0000 today"),
+            ("d", "no pii here, just 1.2 version and a@b"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got["a"].n_email, got["a"].n_ipv4, got["a"].n_phone) == (1, 0, 0)
+    assert got["a"].redacted == "mail <EMAIL> now"
+    assert got["b"].n_ipv4 == 2
+    assert got["b"].redacted == "host <IP> and <IP> up"
+    assert got["c"].n_phone == 2
+    assert got["c"].redacted == "call <PHONE> or <PHONE> today"
+    # "1.2" is not an IPv4; "a@b" has no TLD — untouched
+    assert (got["d"].n_email, got["d"].n_ipv4, got["d"].n_phone) == (0, 0, 0)
+    assert got["d"].redacted == got["d"].text
+
+
+def test_pii_redaction_passes_never_rematch_tags(spark):
+    from geoparser_spark.operators.pii import pii_scrub
+
+    # an email whose redaction sits next to digits must not create a
+    # phone/IP match in the later passes; a NANP number glued to a
+    # trailing letter (no word boundary) is deliberately not matched
+    df = spark.createDataFrame(
+        [("x", "id 415-555-0000, 415-555-0000x bob@ex.com 10.0.0.1")],
+        "doc_id string, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r.redacted == "id <PHONE>, 415-555-0000x <EMAIL> <IP>"

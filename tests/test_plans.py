@@ -194,3 +194,41 @@ def test_line_dedup_counts_without_window(spark, docs):
     plan = _plan(out)
     assert "Window" not in plan, "per-row window over the line key is the OOM shape"
     assert "collect_set" not in plan
+
+
+def test_line_dedup_cms_estimate_pass_is_broadcast_map_only(spark):
+    """The CMS estimate pass must be depth BroadcastHashJoins over the
+    corpus-side lines — never a SortMergeJoin keyed on the (skewed)
+    line text, and never a Window: after the bounded sketch build, the
+    corpus shuffles only once more (the per-doc rebuild aggregate)."""
+    from geoparser_spark.operators.dedup import line_dedup_cms
+
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("Unique line "), F.col("id").cast("string"),
+                 F.lit(". Shared boilerplate footer. ")).alias("text"),
+    )
+    plan = _plan(line_dedup_cms(docs, depth=4, width=1024))
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_line_dedup_cms_matches_exact_and_drops_heavy_hitter(spark):
+    from geoparser_spark.operators.dedup import line_dedup, line_dedup_cms
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("Unique fact number "), F.col("id").cast("string"),
+                 F.lit(" stated here. Copyright Example Corp. "),
+                 F.lit("Second unique bit "),
+                 (F.col("id") * 3).cast("string"), F.lit(".")).alias("text"),
+    )
+    exact = {r.doc_id: r for r in line_dedup(docs, max_repeats=2).collect()}
+    cms = {r.doc_id: r for r in line_dedup_cms(docs, max_repeats=2).collect()}
+    assert set(exact) == set(cms)
+    for i in exact:
+        assert exact[i].clean_text == cms[i].clean_text
+        assert (exact[i].n_kept, exact[i].n_dropped) == (cms[i].n_kept, cms[i].n_dropped)
+    assert "Copyright Example Corp" not in cms[0].clean_text
+    assert "Unique fact number 0" in cms[0].clean_text
