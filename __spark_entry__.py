@@ -875,6 +875,93 @@ def _tpch_q19(spark, sf_dir):
     )
 
 
+def _tpch_q4(spark, sf_dir):
+    """TPC-H Q4-style order-priority check (adapted: the EXISTS
+    predicate is l_shipdate > o_orderdate since the testdata lacks
+    commit/receipt dates): LeftSemi join with a non-equi conjunct —
+    Spark plans it as a semi join, never a full join + distinct."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"))
+
+
+def _tpch_q12(spark, sf_dir):
+    """TPC-H Q12-style conditional counts (adapted: l_returnflag stands
+    in for the shipmode column the testdata lacks)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _tpch_q16(spark, sf_dir):
+    """TPC-H Q16-style supplier count (adapted: lineitem is the
+    part-supplier bridge since the testdata has no partsupp): NOT-IN
+    exclusion as a LeftAnti join, count(DISTINCT) per group."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").between(1, 10))
+    )
+    excluded = _t(spark, sf_dir, "supplier").where(
+        F.col("s_name").endswith("7")).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    sel = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(excluded, li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+    )
+    return sel.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+
+
+def _tpch_q22(spark, sf_dir):
+    """TPC-H Q22-style global-sales-opportunity (adapted: cntrycode is
+    c_nationkey % 5; the anti condition is 'no orders since 2000').
+    The above-average threshold is computed as exact integer cents
+    divided in double — bit-identical across engines, unlike a naive
+    avg(double) whose summation order is engine-dependent.  Scalar
+    rides as a 1-row broadcast crossJoin, never a collect."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(cents) / (F.lit(100.0) * F.count("*"))).alias("thr"))
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    sel = (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(recent, F.col("c_custkey") == recent["o_custkey"], "left_anti")
+    )
+    return sel.groupBy(
+        (F.col("c_nationkey") % 5).cast("int").alias("cntrycode")
+    ).agg(
+        F.count("*").alias("numcust"),
+        _dsum4(F.col("c_acctbal"), "totacctbal"),
+    )
+
+
 def _tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -980,6 +1067,15 @@ def _dedup_lines_cms(spark, sf_dir):
 def _dedup_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     out = S.cosine_near_dup_pairs(emb, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _dedup_embedding_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: multi-table sign-LSH bucket
+    join over the FULL embeddings table (the O(n²) exact variant above
+    runs on a 1/10 subset by necessity) + exact cosine verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.lsh_near_dup_pairs(emb, threshold=0.3, n_planes=2, n_tables=4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1149,6 +1245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": _tpch_q14,
         "tpch_q18_large_orders": _tpch_q18,
         "tpch_q19_brackets": _tpch_q19,
+        "tpch_q4_order_priority": _tpch_q4,
+        "tpch_q12_priority_counts": _tpch_q12,
+        "tpch_q16_supplier_cnt": _tpch_q16,
+        "tpch_q22_idle_customers": _tpch_q22,
         "dedup_exact": _dedup_exact,
         "dedup_exact_hashed": _dedup_exact_hashed,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -1156,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_cosine,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_lines": _dedup_lines,
         "dedup_lines_cms": _dedup_lines_cms,
         "sim_topk_bruteforce": _sim_topk,
@@ -1357,6 +1458,50 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND l_quantity BETWEEN 20 AND 50)""",
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority""",
+        "tpch_q12_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag""",
+        "tpch_q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size BETWEEN 1 AND 10
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_name LIKE '%7')
+            GROUP BY p_brand, p_type, p_size""",
+        "tpch_q22_idle_customers": f"""
+            WITH thr AS (
+              SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) / (100.0 * count(*)) AS t
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+                   count(*) AS numcust,
+                   {_dsum4_sql('c_acctbal', 'totacctbal')}
+            FROM customer c, thr
+            WHERE c.c_acctbal > thr.t
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1""",
         "tpch_q14_promo_share": """
             SELECT round(100.0
                    * CAST((CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) AS DOUBLE)
@@ -1578,6 +1723,9 @@ def oracle_sql() -> dict[str, str]:
             "ann_lsh_topk": PQ.lsh_topk_sql(_QUERY_VEC, k=10, n_planes=4),
             "dedup_lines_cms": PQ.line_dedup_cms_sql(
                 max_repeats=2, depth=4, width=8192
+            ),
+            "dedup_embedding_lsh": PQ.lsh_near_dup_pairs_sql(
+                threshold=0.3, n_planes=2, n_tables=4
             ),
             "q9_tile_extents": PQ.tile_extents_sql(
                 k=8, leaf_max=10, max_levels=3

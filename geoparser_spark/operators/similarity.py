@@ -235,3 +235,60 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.3,
+                       n_planes: int = 2, n_tables: int = 4, seed: int = 42,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-dup pairs via multi-table sign-LSH — the scale
+    path that replaces :func:`cosine_near_dup_pairs`'s O(n²) self-join.
+
+    Candidates are pairs whose bucket key matches in ANY of n_tables
+    independent plane sets (seeds seed..seed+n_tables-1) — the same
+    banding idea as MinHash-LSH: per-table collision probability for
+    angle θ is (1-θ/π)^n_planes, and tables are OR-ed for recall.  The
+    band join carries IDS ONLY (vectors would ride the exchange
+    n_tables-fold otherwise); after dropDuplicates on the pair, each
+    side's vector is re-attached and the exact cosine filter runs.
+    Shuffle is proportional to vectors × tables, never to pairs.
+    Recall < 1 by design; the pairs it does emit are exactly verified.
+    """
+    first = embeddings.select(F.size(vec_col)).first()
+    dim = first[0] if first else 0
+    v = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"),
+                             _norm(v).alias("nrm"))
+    buckets = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket_col(F.col("v"), _hyperplanes(dim, n_planes, seed + t))
+             .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    banded = base.select("id", F.explode(buckets).alias("tb")) \
+                 .select("id", "tb.tbl", "tb.bucket")
+    a = banded.select(F.col("tbl").alias("t_a"), F.col("bucket").alias("b_a"),
+                      F.col("id").alias("id_a"))
+    b = banded.select(F.col("tbl").alias("t_b"), F.col("bucket").alias("b_b"),
+                      F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, (F.col("t_a") == F.col("t_b"))
+               & (F.col("b_a") == F.col("b_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    left = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                       F.col("nrm").alias("n_a"))
+    right = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("nrm").alias("n_b"))
+    return (
+        cand.join(left, "id_a").join(right, "id_b")
+        .withColumn("cosine",
+                    _dot(F.col("v_a"), F.col("v_b"))
+                    / (F.col("n_a") * F.col("n_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -260,6 +260,42 @@ def lsh_topk_sql(query: list[float], k: int = 10, n_planes: int = 4,
         FROM hit ORDER BY cos_raw DESC, vec_id ASC LIMIT {k}"""
 
 
+def lsh_near_dup_pairs_sql(threshold: float = 0.3, n_planes: int = 2,
+                           n_tables: int = 4, seed: int = 42) -> str:
+    """Expected output of similarity.lsh_near_dup_pairs over the full
+    embeddings table: per-table sign buckets with the same sequential
+    fold-left dot product Spark's aggregate() uses (sign flips near
+    zero make summation order part of the contract), OR-ed candidate
+    pairs, exact cosine verify."""
+    rows = read_table("embeddings", "vec_id, embedding", order="vec_id")
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+    if not vecs:
+        return values_sql([], ["id_a", "id_b", "cosine"])
+    dim = len(next(iter(vecs.values())))
+    cands: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        planes = np.random.RandomState(seed + t).normal(size=(n_planes, dim))
+        buckets: dict[str, list[int]] = defaultdict(list)
+        for i, v in vecs.items():
+            key = "".join(
+                "1" if _fold_dot([float(x) for x in p], v) >= 0 else "0"
+                for p in planes
+            )
+            buckets[key].append(i)
+        for ids in buckets.values():
+            for a in ids:
+                for b in ids:
+                    if a < b:
+                        cands.add((a, b))
+    out = []
+    for a, b in sorted(cands):
+        va, vb = vecs[a], vecs[b]
+        c = _fold_dot(va, vb) / (_fold_norm(va) * _fold_norm(vb))
+        if c >= threshold:
+            out.append((a, b, spark_round(c, 6)))
+    return values_sql(out, ["id_a", "id_b", "cosine"])
+
+
 # ------------------------------------------------------------------ tiles
 
 def _pmod_d(x: float, m: float) -> float:

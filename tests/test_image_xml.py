@@ -149,3 +149,27 @@ def test_image_and_xml_kinds_through_extract_dispatch():
         {"kind": "text", "text": "embedded caption", "media_ref": None,
          "order": 2},
     ]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_image_parser_never_throws_on_random_bytes(raw):
+    # degrade contract: arbitrary bytes parse to None/[] — no exception
+    got = parse_image_meta(raw)
+    assert got is None or isinstance(got, tuple)
+    extract_image_spans(raw)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400),
+       st.sampled_from([b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a"]))
+def test_image_parser_never_throws_on_corrupt_headers(raw, sig):
+    # valid magic + garbage body must also degrade, never raise
+    got = parse_image_meta(sig + raw)
+    assert got is None or isinstance(got, tuple)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=0, max_size=300))
+def test_xml_extractor_never_throws_on_random_text(s):
+    assert isinstance(extract_xml_text_blocks(s), list)
