@@ -934,6 +934,28 @@ def _tpch_q16(spark, sf_dir):
         F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
 
 
+def _tpch_q13(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution (adapted: the
+    o_comment NOT LIKE filter becomes an o_orderpriority exclusion):
+    LEFT OUTER join with the filter inside the join condition — rows
+    with zero matches still count with c_count = 0 — then a second
+    aggregation over the first's output."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 def _tpch_q22(spark, sf_dir):
     """TPC-H Q22-style global-sales-opportunity (adapted: cntrycode is
     c_nationkey % 5; the anti condition is 'no orders since 2000').
@@ -1247,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_brackets": _tpch_q19,
         "tpch_q4_order_priority": _tpch_q4,
         "tpch_q12_priority_counts": _tpch_q12,
+        "tpch_q13_order_distribution": _tpch_q13,
         "tpch_q16_supplier_cnt": _tpch_q16,
         "tpch_q22_idle_customers": _tpch_q22,
         "dedup_exact": _dedup_exact,
@@ -1477,6 +1500,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY l_returnflag""",
+        "tpch_q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count""",
         "tpch_q16_supplier_cnt": """
             SELECT p_brand, p_type, p_size,
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
