@@ -1095,9 +1095,16 @@ def _dedup_cosine(spark, sf_dir):
 def _dedup_embedding_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: multi-table sign-LSH bucket
     join over the FULL embeddings table (the O(n²) exact variant above
-    runs on a 1/10 subset by necessity) + exact cosine verify."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = S.lsh_near_dup_pairs(emb, threshold=0.3, n_planes=2, n_tables=4)
+    runs on a 1/10 subset by necessity) UNION planted duplicates (every
+    %5 vector copied under vec_id+1e6), + exact cosine verify.  With 8
+    planes the candidate join touches ~n²/2^8 random pairs per table —
+    the planted duplicates land in the same bucket in EVERY table and
+    must all be recovered at threshold 0.99."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding")
+    out = S.lsh_near_dup_pairs(emb.unionByName(planted), threshold=0.99,
+                               n_planes=8, n_tables=2, dim=64)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1758,7 +1765,7 @@ def oracle_sql() -> dict[str, str]:
                 max_repeats=2, depth=4, width=8192
             ),
             "dedup_embedding_lsh": PQ.lsh_near_dup_pairs_sql(
-                threshold=0.3, n_planes=2, n_tables=4
+                threshold=0.99, n_planes=8, n_tables=2
             ),
             "q9_tile_extents": PQ.tile_extents_sql(
                 k=8, leaf_max=10, max_levels=3

@@ -126,6 +126,7 @@ def main() -> int:
         "tpch_q3_shipping", "q4_semi_join", "dedup_exact",
         "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
         "text_quality_score", "text_fingerprint",
+        "dedup_lines_cms", "dedup_embedding_lsh", "text_pii_scrub",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}

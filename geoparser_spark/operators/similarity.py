@@ -62,14 +62,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-of-dot-product bucket key as a bit string — native."""
-    bits = [
-        F.when(
-            _dot(vec_col, F.array(*[F.lit(float(v)) for v in p])) >= 0, "1"
-        ).otherwise("0")
+    """Sign-of-dot-product bucket key as a bit string — native.
+
+    The planes ship as ONE SQL array-of-arrays literal (a single parsed
+    expression) instead of n_planes x dim individual F.lit Column
+    objects: at 8 planes x 64 dims the literal-by-literal construction
+    was ~1000 py4j round trips of driver-side plan-building per query
+    (measured ~1.5 s) for identical semantics — the per-plane dot is
+    still the same left-fold _dot, so bucket strings are bit-identical."""
+    rows = ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D" for x in p) + ")"
         for p in planes
-    ]
-    return F.concat(*bits)
+    )
+    planes_lit = F.expr(f"array({rows})")
+    return F.array_join(
+        F.transform(
+            planes_lit,
+            lambda p: F.when(_dot(vec_col, p) >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
 
 
 def lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
@@ -237,10 +249,11 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
-def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.3,
-                       n_planes: int = 2, n_tables: int = 4, seed: int = 42,
+def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
+                       n_planes: int = 8, n_tables: int = 2, seed: int = 42,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id",
+                       dim: int | None = None) -> DataFrame:
     """Embedding near-dup pairs via multi-table sign-LSH — the scale
     path that replaces :func:`cosine_near_dup_pairs`'s O(n²) self-join.
 
@@ -253,9 +266,11 @@ def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.3,
     side's vector is re-attached and the exact cosine filter runs.
     Shuffle is proportional to vectors × tables, never to pairs.
     Recall < 1 by design; the pairs it does emit are exactly verified.
+    Pass ``dim`` when known to skip the one-row dimension probe job.
     """
-    first = embeddings.select(F.size(vec_col)).first()
-    dim = first[0] if first else 0
+    if dim is None:
+        first = embeddings.select(F.size(vec_col)).first()
+        dim = first[0] if first else 0
     v = F.col(vec_col).cast("array<double>")
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"),
                              _norm(v).alias("nrm"))

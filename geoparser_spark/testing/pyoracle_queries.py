@@ -260,15 +260,18 @@ def lsh_topk_sql(query: list[float], k: int = 10, n_planes: int = 4,
         FROM hit ORDER BY cos_raw DESC, vec_id ASC LIMIT {k}"""
 
 
-def lsh_near_dup_pairs_sql(threshold: float = 0.3, n_planes: int = 2,
-                           n_tables: int = 4, seed: int = 42) -> str:
+def lsh_near_dup_pairs_sql(threshold: float = 0.99, n_planes: int = 8,
+                           n_tables: int = 2, seed: int = 42) -> str:
     """Expected output of similarity.lsh_near_dup_pairs over the full
-    embeddings table: per-table sign buckets with the same sequential
+    embeddings table plus planted duplicates (every %5 vector copied
+    under vec_id + PLANT_ID_OFFSET): per-table sign buckets with the same sequential
     fold-left dot product Spark's aggregate() uses (sign flips near
     zero make summation order part of the contract), OR-ed candidate
     pairs, exact cosine verify."""
     rows = read_table("embeddings", "vec_id, embedding", order="vec_id")
     vecs = {int(i): [float(x) for x in v] for i, v in rows}
+    vecs.update({i + PLANT_ID_OFFSET: v for i, v in list(vecs.items())
+                 if i % 5 == 0})
     if not vecs:
         return values_sql([], ["id_a", "id_b", "cosine"])
     dim = len(next(iter(vecs.values())))
