@@ -721,6 +721,60 @@ def _mm_media_features(spark, sf_dir):
     )
 
 
+def _mm_image_meta(spark, sf_dir):
+    """Multimodal metadata decode, REAL end-to-end (no stub anywhere):
+    each documents row becomes an actual PNG/JPEG/GIF byte stream
+    (doc_id-derived dimensions, the text embedded as a caption field),
+    and extract_media_meta parses format/dims/caption-count back out of
+    the binary column; the oracle recomputes all of it from doc_id
+    arithmetic alone."""
+    from geoparser_spark.operators.multimodal import extract_media_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def wrap(batches):
+        import pandas as pd
+
+        from geoparser_spark.operators.image_meta import (
+            make_mini_gif,
+            make_mini_jpeg,
+            make_mini_png,
+        )
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                m = int(doc_id) % 3
+                w, h = int(doc_id) % 7 + 1, int(doc_id) % 4 + 1
+                if m == 0:
+                    raw = make_mini_png(w, h, [text])
+                elif m == 1:
+                    raw = make_mini_jpeg(w, h, [text])
+                else:
+                    raw = make_mini_gif(w, h, [text])
+                refs.append(f"img://{doc_id}")
+                blobs.append(raw)
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
+    return extract_media_meta(media)
+
+
+_MM_META_SQL = """
+SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'image/gif' END AS mime,
+       CAST(doc_id % 7 + 1 AS INT) AS width,
+       CAST(doc_id % 4 + 1 AS INT) AS height,
+       CAST(1 AS INT) AS n_texts,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
 def _tpch_q5(spark, sf_dir):
     """TPC-H Q5-style local-supplier revenue: 6-way join; small dims
     broadcast, big fact joins shuffle on their keys."""
@@ -1265,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "multimodal_frame_plan": _mm_frame_plan,
         "multimodal_media_features": _mm_media_features,
+        "multimodal_image_meta": _mm_image_meta,
         "tpch_q1_pricing": _tpch_q1,
         "tpch_q3_shipping": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
@@ -1412,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    CAST(round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id""",
+        "multimodal_image_meta": _MM_META_SQL,
         "multimodal_frame_plan": """
             WITH m AS (
               SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,

@@ -79,6 +79,59 @@ def extract_media_features(media: DataFrame, dim: int = 16,
     return media.select(ref_col, bytes_col).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_texts", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_media_meta(media: DataFrame,
+                       bytes_col: str = "media_bytes",
+                       ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes) → (media_ref, mime, width, height,
+    n_texts, decode_ok).
+
+    Unlike the featurizer (whose pixel decode is a sandbox stub), this
+    path is REAL end-to-end: PNG/JPEG/GIF container headers carry
+    dimensions and embedded text without any codec
+    (operators/image_meta parses them from the public specs).  This is
+    the Tika image-metadata surface of the reference
+    (geoparser_app/views.py:125) as an Arrow-batched stage."""
+    from geoparser_spark.operators.image_meta import parse_image_meta
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, ws, hs, nt, ok = [], [], [], [], []
+            for b in pdf[bytes_col]:
+                meta = (parse_image_meta(bytes(b))
+                        if isinstance(b, (bytes, bytearray)) else None)
+                if meta is None:
+                    mimes.append(None); ws.append(None); hs.append(None)
+                    nt.append(None); ok.append(False)
+                else:
+                    fmt, w, h, texts = meta
+                    mimes.append(f"image/{fmt}"); ws.append(w); hs.append(h)
+                    nt.append(len(texts)); ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col],
+                    "mime": mimes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_texts": pd.array(nt, dtype="Int32"),
+                    "decode_ok": ok,
+                }
+            )
+
+    return media.select(ref_col, bytes_col).mapInPandas(kernel, schema=META_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

@@ -662,3 +662,24 @@ def test_pii_redaction_passes_never_rematch_tags(spark):
     )
     r = pii_scrub(df).collect()[0]
     assert r.redacted == "id <PHONE>, 415-555-0000x <EMAIL> <IP>"
+
+
+def test_extract_media_meta_real_headers_and_degrade(spark):
+    from geoparser_spark.operators.image_meta import make_mini_jpeg, make_mini_png
+    from geoparser_spark.operators.multimodal import extract_media_meta
+
+    rows = [
+        ("p", make_mini_png(6, 2, ["cap a", "cap b"])),
+        ("j", make_mini_jpeg(3, 9)),
+        ("bad", b"not an image"),
+        ("empty", b""),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, media_bytes binary")
+    got = {r.media_ref: r for r in extract_media_meta(df).collect()}
+    assert (got["p"].mime, got["p"].width, got["p"].height, got["p"].n_texts,
+            got["p"].decode_ok) == ("image/png", 6, 2, 2, True)
+    assert (got["j"].mime, got["j"].width, got["j"].height,
+            got["j"].n_texts) == ("image/jpeg", 3, 9, 0)
+    for k in ("bad", "empty"):
+        assert got[k].decode_ok is False and got[k].mime is None
+        assert got[k].width is None and got[k].n_texts is None
