@@ -330,7 +330,13 @@ def line_dedup_cms(docs: DataFrame, max_repeats: int = 2,
     by the sketch dimensions.
 
     Same output contract as :func:`line_dedup`."""
-    sketch = line_freq_sketch(docs, depth, width, text_col, id_col)
+    # The sketch is persisted (and materialized) before the estimate
+    # joins: each sk_d filter below otherwise drives an INDEPENDENT
+    # subtree — depth full corpus scans + depth distinct shuffles
+    # instead of one (observed in the committed plan before this fix).
+    # The cache is bounded at depth x width rows (~32 K at 4x8192).
+    sketch = line_freq_sketch(docs, depth, width, text_col, id_col).persist()
+    sketch.count()
     lines = _sentence_lines(docs, text_col, id_col)
     est_cols = []
     out = lines

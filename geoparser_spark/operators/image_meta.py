@@ -214,13 +214,16 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 def make_mini_png(width: int, height: int, texts: list[str] = ()) -> bytes:
     """A complete, spec-valid grayscale PNG (real zlib IDAT, real CRCs)
-    with one tEXt chunk per entry in ``texts``."""
+    with one uncompressed iTXt chunk per entry in ``texts`` — iTXt is
+    UTF-8 by spec, so any caption round-trips exactly (tEXt is latin-1
+    and would silently corrupt wider characters to '?')."""
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     rows = b"".join(b"\x00" + bytes(width) for _ in range(height))
     out = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
     for t in texts:
         out.append(_png_chunk(
-            b"tEXt", b"Description\x00" + t.encode("latin-1", "replace")))
+            b"iTXt",
+            b"Description\x00\x00\x00\x00\x00" + t.encode("utf-8")))
     out.append(_png_chunk(b"IDAT", zlib.compress(rows)))
     out.append(_png_chunk(b"IEND", b""))
     return b"".join(out)
@@ -229,12 +232,23 @@ def make_mini_png(width: int, height: int, texts: list[str] = ()) -> bytes:
 def make_mini_jpeg(width: int, height: int, comments: list[str] = ()) -> bytes:
     """Minimal JPEG header stream: SOI, JFIF APP0, COM per comment,
     SOF0 frame header, EOI.  Header-complete (dims + comments parse);
-    carries no entropy-coded scan, which header consumers never read."""
+    carries no entropy-coded scan, which header consumers never read.
+    A comment longer than the 65533-byte COM payload limit is split
+    across consecutive COM segments (JPEG has no continuation marker,
+    so each chunk surfaces as its own comment on parse — mirroring what
+    any spec-conforming writer must do)."""
+    _COM_MAX = 65533  # 2-byte segment length includes itself
+
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    coms = b"".join(seg(0xFE, c.encode("utf-8")) for c in comments)
+    coms = b"".join(
+        seg(0xFE, enc[i:i + _COM_MAX])
+        for c in comments
+        for enc in (c.encode("utf-8"),)
+        for i in (range(0, len(enc), _COM_MAX) if enc else (0,))
+    )
     sof0 = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
     return b"\xff\xd8" + app0 + coms + sof0 + b"\xff\xd9"
 

@@ -272,8 +272,22 @@ def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
         first = embeddings.select(F.size(vec_col)).first()
         dim = first[0] if first else 0
     v = F.col(vec_col).cast("array<double>")
-    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"),
-                             _norm(v).alias("nrm"))
+    # Hard-fail on a dim mismatch: zip_with null-pads a shorter vector,
+    # the dot folds to NULL, every sign test yields '0' and ALL vectors
+    # share one bucket — silently degenerating to the O(n²) cross join
+    # this function exists to avoid.
+    # (as a WHERE clause — a projected-then-dropped assert column gets
+    # pruned by Catalyst and never evaluates; assert_true returns NULL
+    # on success, so the filter passes every valid row and throws on
+    # the first invalid one)
+    guarded = embeddings.where(
+        F.assert_true(
+            F.size(vec_col) == F.lit(dim),
+            F.lit(f"lsh_near_dup_pairs: embedding size != dim={dim}"),
+        ).isNull()
+    )
+    base = guarded.select(F.col(id_col).alias("id"), v.alias("v"),
+                          _norm(v).alias("nrm"))
     buckets = F.array(*[
         F.struct(
             F.lit(t).alias("tbl"),

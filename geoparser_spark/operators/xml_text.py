@@ -25,10 +25,25 @@ import re
 import xml.etree.ElementTree as ET
 
 _ENTITY_DECL = re.compile(r"<!DOCTYPE[^>]*\[", re.S)
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_ROOT_START = re.compile(r"<(?=[A-Za-z_:])")
 
 
 def _norm(s: str) -> str:
     return " ".join(s.split())
+
+
+def _prolog_declares_entities(s: str) -> bool:
+    """True if the document PROLOG (everything before the root element
+    start) contains a DOCTYPE with an internal subset.  Scoping the
+    scan to the prolog — not a fixed head window — means a DOCTYPE
+    pushed past 4 KB by a long comment is still caught, while body
+    text/CDATA that merely CONTAINS the literal '<!DOCTYPE ... ['
+    (after the root) is not a false positive.  Comments are stripped
+    first so commented-out declarations don't trip it either."""
+    m = _ROOT_START.search(s)
+    prolog = s[:m.start()] if m else s
+    return bool(_ENTITY_DECL.search(_COMMENT.sub("", prolog)))
 
 
 def extract_xml_text_blocks(s: str) -> list[str]:
@@ -38,7 +53,7 @@ def extract_xml_text_blocks(s: str) -> list[str]:
     head = s.lstrip("﻿ \t\r\n")
     if not head.startswith("<"):
         return []
-    if _ENTITY_DECL.search(s[:4096]):
+    if _prolog_declares_entities(s):
         return []  # internal DTD subset: entity-expansion guard
     try:
         root = ET.fromstring(s)

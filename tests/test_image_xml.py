@@ -173,3 +173,29 @@ def test_image_parser_never_throws_on_corrupt_headers(raw, sig):
 @given(st.text(min_size=0, max_size=300))
 def test_xml_extractor_never_throws_on_random_text(s):
     assert isinstance(extract_xml_text_blocks(s), list)
+
+
+def test_xml_entity_guard_not_evaded_by_long_comment_prolog():
+    evil = ("<!-- " + "x" * 5000 + " -->"
+            '<!DOCTYPE a [<!ENTITY x "y">]><a>&x;</a>')
+    assert extract_xml_text_blocks(evil) == []
+
+
+def test_xml_doctype_literal_in_body_is_not_a_false_positive():
+    ok = "<a><![CDATA[<!DOCTYPE x [ ]]]></a>"
+    assert extract_xml_text_blocks(ok) == ["<!DOCTYPE x [ ]"]
+    commented = "<!-- <!DOCTYPE a [ --><a>fine</a>"
+    assert extract_xml_text_blocks(commented) == ["fine"]
+
+
+def test_png_caption_utf8_round_trip():
+    raw = make_mini_png(2, 2, ["İstanbul 北京 café"])
+    assert extract_image_spans(raw)[1] == ("text", "İstanbul 北京 café", None)
+
+
+def test_jpeg_long_comment_chunks_instead_of_crashing():
+    long = "y" * 70000
+    raw = make_mini_jpeg(3, 3, [long])
+    got = parse_image_meta(raw)
+    assert got is not None and (got[1], got[2]) == (3, 3)
+    assert "".join(got[3]) == long and len(got[3]) == 2  # two COM chunks

@@ -212,6 +212,10 @@ def test_line_dedup_cms_estimate_pass_is_broadcast_map_only(spark):
     assert plan.count("BroadcastHashJoin") == 4, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
+    # the sketch must come from the persisted materialization — each
+    # broadcast side reading the cache, never re-deriving the sketch
+    # subtree (depth extra corpus scans + distinct shuffles otherwise)
+    assert plan.count("InMemoryTableScan") == 4, plan
 
 
 def test_line_dedup_cms_matches_exact_and_drops_heavy_hitter(spark):
