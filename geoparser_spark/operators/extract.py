@@ -35,7 +35,7 @@ from geoparser_spark.operators.office_text import (
     extract_xlsx_b64_text_blocks,
 )
 from geoparser_spark.operators.image_meta import extract_image_b64_spans
-from geoparser_spark.operators.pdf_text import extract_pdf_b64_text_blocks
+from geoparser_spark.operators.pdf_text import extract_pdf_b64_spans
 from geoparser_spark.operators.xml_text import extract_xml_text_blocks
 from geoparser_spark.schemas import EXTRACTED
 
@@ -60,7 +60,7 @@ def _as_text_spans(fn):
 # span's declared kind).
 _SPAN_EXTRACTORS: dict = {
     "html": extract_html_blocks,  # emits (kind, text, media_ref) itself
-    "pdf_bytes": _as_text_spans(extract_pdf_b64_text_blocks),
+    "pdf_bytes": extract_pdf_b64_spans,  # text + image-XObject media spans
     "docx_bytes": _as_text_spans(extract_docx_b64_text_blocks),
     "doc_bytes": _as_text_spans(extract_doc_b64_text_blocks),
     "pptx_bytes": _as_text_spans(extract_pptx_b64_text_blocks),

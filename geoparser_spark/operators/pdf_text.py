@@ -146,6 +146,10 @@ def _cmap_decode(raw: bytes, cmap: dict[bytes, str], width: int) -> str:
     return "".join(out)
 
 
+_IMG_W_RE = re.compile(rb"/Width\s+(\d+)")
+_IMG_H_RE = re.compile(rb"/Height\s+(\d+)")
+
+
 def _stream_bodies(pdf_bytes: bytes):
     """Yield (stream_dict, decoded_body) for every stream object."""
     for m in _STREAM_HDR_RE.finditer(pdf_bytes):
@@ -167,9 +171,14 @@ def _stream_bodies(pdf_bytes: bytes):
         yield sdict, body
 
 
-def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
-    """Extract ordered text blocks (one per content stream) from a PDF
-    byte string.  Unknown/undecodable streams contribute nothing."""
+def extract_pdf_spans(pdf_bytes: bytes) -> list[tuple]:
+    """Ordered (kind, text, media_ref) spans from a PDF byte string:
+    one text span per content stream (decode rules below) and one
+    ("image", None, "img://{codec}/{w}x{h}") media span per image
+    XObject (PDF 32000-1 §8.9.5 — /Subtype /Image stream dicts with
+    /Width /Height), in byte-stream order, so documents with pictures
+    between pages extract as genuinely interleaved text + media.
+    Unknown/undecodable streams contribute nothing."""
     # pass 1: collect every embedded ToUnicode CMap (bfchar/bfrange)
     cmap: dict[bytes, str] = {}
     for _, body in _stream_bodies(pdf_bytes):
@@ -178,8 +187,17 @@ def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
     cmap_width = max((len(k) for k in cmap), default=0)
     identity_h = b"Identity-H" in pdf_bytes
 
-    blocks: list[str] = []
+    out: list[tuple] = []
     for sdict, body in _stream_bodies(pdf_bytes):
+        if b"/Subtype" in sdict and b"/Image" in sdict:
+            wm = _IMG_W_RE.search(sdict)
+            hm = _IMG_H_RE.search(sdict)
+            if wm and hm:
+                codec = "jpeg" if b"DCTDecode" in sdict else "raw"
+                out.append(
+                    ("image", None,
+                     f"img://{codec}/{int(wm.group(1))}x{int(hm.group(1))}"))
+            continue
         if b"beginbfchar" in body or b"beginbfrange" in body:
             continue  # the CMap stream itself carries no page text
         lines: list[str] = []
@@ -217,8 +235,25 @@ def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
                 lines.append(line)
         text = " ".join(" ".join(lines).split())
         if text:
-            blocks.append(text)
-    return blocks
+            out.append(("text", text, None))
+    return out
+
+
+def extract_pdf_text_blocks(pdf_bytes: bytes) -> list[str]:
+    """Text-only view of :func:`extract_pdf_spans` (the original
+    contract; media spans dropped)."""
+    return [t for k, t, _ in extract_pdf_spans(pdf_bytes) if k == "text"]
+
+
+def extract_pdf_b64_spans(b64: str) -> list[tuple]:
+    """Base64-wrapped variant of :func:`extract_pdf_spans` — the
+    ``pdf_bytes`` span payload carries the byte stream base64-encoded
+    in ``text`` (FIXTURES.md §1)."""
+    try:
+        raw = base64.b64decode(b64, validate=False)
+    except (binascii.Error, ValueError):
+        return []
+    return extract_pdf_spans(raw)
 
 
 def extract_pdf_b64_text_blocks(b64: str) -> list[str]:
@@ -231,7 +266,8 @@ def extract_pdf_b64_text_blocks(b64: str) -> list[str]:
     return extract_pdf_text_blocks(raw)
 
 
-def make_mini_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+def make_mini_pdf(pages: list[list[str]], compress: bool = False,
+                  images: list[tuple[int, int]] = ()) -> bytes:
     """Build a minimal valid-enough PDF byte stream for fixtures: one
     content stream per page, one BT..ET text object per line.  Used by
     the deterministic corpus generator (testing/corpus.py) — the parser
@@ -250,6 +286,19 @@ def make_mini_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             filt = b" /Filter /FlateDecode"
         out += b"%d 0 obj\n<< /Length %d%s >>\nstream\n" % (pi + 1, len(body), filt)
         out += body
+        out += b"\nendstream\nendobj\n"
+    for ii, (w, h) in enumerate(images):
+        # a REAL JPEG byte stream as the DCTDecode payload
+        from geoparser_spark.operators.image_meta import make_mini_jpeg
+
+        payload = make_mini_jpeg(w, h)
+        out += (
+            b"%d 0 obj\n<< /Type /XObject /Subtype /Image /Width %d"
+            b" /Height %d /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /DCTDecode /Length %d >>\nstream\n"
+            % (len(pages) + ii + 1, w, h, len(payload))
+        )
+        out += payload
         out += b"\nendstream\nendobj\n"
     out += b"%%EOF\n"
     return bytes(out)

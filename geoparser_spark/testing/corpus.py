@@ -102,8 +102,16 @@ def _pdf_span(rng: random.Random, mentions: list[str]):
         for _ in range(rng.randint(1, 2))
     ]
     compress = rng.random() < 0.5
-    b64 = base64.b64encode(make_mini_pdf(pages, compress=compress)).decode("ascii")
+    # ~1/3 of PDFs carry an embedded image XObject (real JPEG payload);
+    # the writer appends image objects after the page streams, so the
+    # extractor's byte-order walk yields text blocks then media spans
+    images = []
+    if rng.random() < 0.34:
+        images = [(rng.randint(1, 64), rng.randint(1, 64))]
+    b64 = base64.b64encode(
+        make_mini_pdf(pages, compress=compress, images=images)).decode("ascii")
     truth = [("text", " ".join(" ".join(lines).split()), None) for lines in pages]
+    truth += [("image", None, f"img://jpeg/{w}x{h}") for w, h in images]
     return b64, truth
 
 

@@ -163,3 +163,30 @@ def test_plain_hex_still_latin1_without_cmap():
     pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n")
     assert extract_pdf_text_blocks(pdf) == ["Hello"]
+
+
+def test_pdf_image_xobjects_emit_interleaved_media_spans():
+    from geoparser_spark.operators.pdf_text import (
+        extract_pdf_spans,
+        make_mini_pdf,
+    )
+
+    pdf = make_mini_pdf([["Page one text."]], images=[(12, 9)])
+    assert extract_pdf_spans(pdf) == [
+        ("text", "Page one text.", None),
+        ("image", None, "img://jpeg/12x9"),
+    ]
+    # the DCT payload is a real JPEG whose header matches the XObject dims
+    from geoparser_spark.operators.image_meta import parse_image_meta
+    i = pdf.index(b"\xff\xd8")
+    j = pdf.index(b"\xff\xd9", i) + 2
+    assert parse_image_meta(pdf[i:j])[:3] == ("jpeg", 12, 9)
+
+
+def test_pdf_image_without_dims_is_skipped():
+    from geoparser_spark.operators.pdf_text import extract_pdf_spans
+
+    raw = (b"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image"
+           b" /Filter /DCTDecode /Length 4 >>\nstream\nabcd\nendstream\n"
+           b"endobj\n%%EOF\n")
+    assert extract_pdf_spans(raw) == []
