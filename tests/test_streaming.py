@@ -163,3 +163,27 @@ def test_stateful_running_counts_across_restarts(spark, dirs):
     assert got["a"] == (3, 13.0)   # cumulative across the restart
     assert got["c"] == (1, 7.0)
     assert got["b"] == (1, 5.0)    # untouched key keeps its state row
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, dirs):
+    """Re-delivered doc_ids inside the watermark horizon are
+    suppressed; output carries each doc exactly once per delivery
+    epoch, with state bounded by the watermark instead of corpus
+    size."""
+    from geoparser_spark.streaming.incremental import run_streaming_dedup
+
+    rows = [
+        ("d1", "2024-01-01 10:00:00", "alpha"),
+        ("d2", "2024-01-01 10:00:10", "beta"),
+        ("d1", "2024-01-01 10:00:20", "alpha"),   # re-delivery: dropped
+        ("d3", "2024-01-01 10:05:00", "gamma"),
+        ("d2", "2024-01-01 10:05:01", "beta"),    # re-delivery: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts string, text string") \
+        .select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+    df.write.mode("append").parquet(dirs["docs"])
+    q = run_streaming_dedup(spark, dirs["docs"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == ["d1", "d2", "d3"]
