@@ -134,7 +134,7 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
                  "pdf_bytes", "rtf", "eml", "doc_bytes",
-                 "xml", "image_bytes")
+                 "xml", "image_bytes", "csv")
 
 
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +169,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 9
+                m = int(doc_id) % 10
                 kind = _BREADTH_FMTS[m]
                 if m == 0:
                     payload = b64mod.b64encode(make_mini_docx([text])).decode()
@@ -195,7 +195,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     from geoparser_spark.operators.xml_text import make_mini_xml
 
                     payload = make_mini_xml([text])
-                else:
+                elif m == 8:
                     from geoparser_spark.operators.image_meta import (
                         make_mini_png,
                     )
@@ -203,6 +203,12 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h = int(doc_id) % 5 + 1, int(doc_id) % 3 + 1
                     payload = b64mod.b64encode(
                         make_mini_png(w, h, [text])).decode()
+                else:
+                    from geoparser_spark.operators.csv_text import (
+                        make_mini_csv,
+                    )
+
+                    payload = make_mini_csv([[text]])
                 ids.append(doc_id)
                 spans.append([{"kind": kind, "text": payload,
                                "media_ref": None, "offset": 0}])
@@ -212,7 +218,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
-        (F.col("doc_id").cast("long") % 9 + 1).cast("int"),
+        (F.col("doc_id").cast("long") % 10 + 1).cast("int"),
     )
     return ex.select(
         "doc_id",
@@ -225,7 +231,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_SQL = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 9 AS m,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 10 AS m,
          CAST(doc_id AS BIGINT) AS id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
   FROM documents
@@ -234,7 +240,8 @@ SELECT doc_id,
        CASE m WHEN 0 THEN 'docx_bytes' WHEN 1 THEN 'pptx_bytes'
               WHEN 2 THEN 'xlsx_bytes' WHEN 3 THEN 'pdf_bytes'
               WHEN 4 THEN 'rtf' WHEN 5 THEN 'eml' WHEN 6 THEN 'doc_bytes'
-              WHEN 7 THEN 'xml' ELSE 'image_bytes' END AS fmt,
+              WHEN 7 THEN 'xml' WHEN 8 THEN 'image_bytes'
+              ELSE 'csv' END AS fmt,
        t AS text,
        CAST(NULL AS VARCHAR) AS media_ref,
        CAST(CASE WHEN m IN (5, 8) THEN 1 ELSE 0 END AS INT) AS ord

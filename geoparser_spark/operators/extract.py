@@ -34,6 +34,7 @@ from geoparser_spark.operators.office_text import (
     extract_rtf_text_blocks,
     extract_xlsx_b64_text_blocks,
 )
+from geoparser_spark.operators.csv_text import extract_csv_text_blocks
 from geoparser_spark.operators.image_meta import extract_image_b64_spans
 from geoparser_spark.operators.pdf_text import extract_pdf_b64_spans
 from geoparser_spark.operators.xml_text import extract_xml_text_blocks
@@ -69,6 +70,7 @@ _SPAN_EXTRACTORS: dict = {
     "rtf": _as_text_spans(extract_rtf_text_blocks),
     "eml": _as_text_spans(extract_eml_text_blocks),
     "xml": _as_text_spans(extract_xml_text_blocks),
+    "csv": _as_text_spans(extract_csv_text_blocks),
     "image_bytes": extract_image_b64_spans,  # media span + embedded text
 }
 

@@ -191,6 +191,20 @@ def _xml_span(rng: random.Random, mentions: list[str]):
     return xml, truth
 
 
+def _csv_span(rng: random.Random, mentions: list[str]):
+    from geoparser_spark.operators.csv_text import make_mini_csv
+
+    rows = [
+        [_sentence(rng, mentions).rstrip(".")
+         for _ in range(rng.randint(1, 3))]
+        for _ in range(rng.randint(1, 3))
+    ]
+    delim = rng.choice([",", "\t"])
+    doc = make_mini_csv(rows, delimiter=delim)
+    truth = [("text", " ".join(" ".join(r).split()), None) for r in rows]
+    return doc, truth
+
+
 def _image_span(rng: random.Random, mentions: list[str]):
     from geoparser_spark.operators.image_meta import (
         make_mini_gif,
@@ -231,8 +245,8 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         kind = rng.choices(
             ["html", "text", "pdf_bytes", "docx_bytes", "doc_bytes",
              "pptx_bytes", "xlsx_bytes", "epub_bytes", "rtf", "eml",
-             "xml", "image_bytes", "image", "video"],
-            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+             "xml", "image_bytes", "csv", "image", "video"],
+            weights=[4, 4, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
         )[0]
         if kind == "html":
             html, t = _html_span(rng, doc_id, i, mentions)
@@ -281,6 +295,10 @@ def generate_doc(doc_index: int, seed: int = 42, mega_every: int = 1000,
         elif kind == "image_bytes":
             b64, t = _image_span(rng, mentions)
             spans_in.append({"kind": "image_bytes", "text": b64, "media_ref": None, "offset": i})
+            truth.extend(t)
+        elif kind == "csv":
+            doc, t = _csv_span(rng, mentions)
+            spans_in.append({"kind": "csv", "text": doc, "media_ref": None, "offset": i})
             truth.extend(t)
         else:
             ref = f"{kind[:3]}://{doc_id}/{i}"
