@@ -769,6 +769,65 @@ def _mm_image_meta(spark, sf_dir):
     return extract_media_meta(media)
 
 
+def _mm_image_gps(spark, sf_dir):
+    """EXIF GPS extraction, REAL end-to-end: every third document
+    becomes a JPEG WITHOUT GPS (has_gps=false), the rest carry a GPS
+    IFD with doc_id-derived integer D-M-S (south of the equator when
+    doc_id % 2 = 1); the oracle recomputes d + m/60 + s/3600 in the
+    same left-to-right double arithmetic."""
+    from geoparser_spark.operators.multimodal import extract_image_gps
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def wrap(batches):
+        import pandas as pd
+
+        from geoparser_spark.operators.image_meta import make_mini_jpeg
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 3 == 0:
+                    raw = make_mini_jpeg(2, 2)
+                else:
+                    lat = (i % 90, i % 60, float(i % 60))
+                    lon = (i % 180, (i * 7) % 60, float((i * 11) % 60))
+                    raw = make_mini_jpeg(2, 2, gps=(lat, lon, i % 2 == 1,
+                                                    i % 5 == 0))
+                refs.append(f"img://{i}")
+                blobs.append(raw)
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
+    out = extract_image_gps(media)
+    return out.select(
+        "media_ref",
+        F.round("latitude", 6).alias("lat6"),
+        F.round("longitude", 6).alias("lon6"),
+        "has_gps",
+    )
+
+
+_MM_GPS_SQL = """
+SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
+         round((CASE WHEN doc_id % 2 = 1 THEN -1.0 ELSE 1.0 END)
+               * ((doc_id % 90) + (doc_id % 60) / 60.0
+                  + (doc_id % 60) / 3600.0), 6)
+       END AS lat6,
+       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE
+         round((CASE WHEN doc_id % 5 = 0 THEN -1.0 ELSE 1.0 END)
+               * ((doc_id % 180) + ((doc_id * 7) % 60) / 60.0
+                  + ((doc_id * 11) % 60) / 3600.0), 6)
+       END AS lon6,
+       doc_id % 3 <> 0 AS has_gps
+FROM documents
+"""
+
+
 _MM_META_SQL = """
 SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        CASE doc_id % 3 WHEN 0 THEN 'image/png'
@@ -1327,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": _mm_frame_plan,
         "multimodal_media_features": _mm_media_features,
         "multimodal_image_meta": _mm_image_meta,
+        "multimodal_image_gps": _mm_image_gps,
         "tpch_q1_pricing": _tpch_q1,
         "tpch_q3_shipping": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
@@ -1475,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id""",
         "multimodal_image_meta": _MM_META_SQL,
+        "multimodal_image_gps": _MM_GPS_SQL,
         "multimodal_frame_plan": """
             WITH m AS (
               SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,

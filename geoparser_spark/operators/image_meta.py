@@ -229,7 +229,8 @@ def make_mini_png(width: int, height: int, texts: list[str] = ()) -> bytes:
     return b"".join(out)
 
 
-def make_mini_jpeg(width: int, height: int, comments: list[str] = ()) -> bytes:
+def make_mini_jpeg(width: int, height: int, comments: list[str] = (),
+                   gps: tuple | None = None) -> bytes:
     """Minimal JPEG header stream: SOI, JFIF APP0, COM per comment,
     SOF0 frame header, EOI.  Header-complete (dims + comments parse);
     carries no entropy-coded scan, which header consumers never read.
@@ -243,6 +244,10 @@ def make_mini_jpeg(width: int, height: int, comments: list[str] = ()) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    app1 = b""
+    if gps is not None:
+        lat_dms, lon_dms, south, west = gps
+        app1 = make_exif_gps_app1(lat_dms, lon_dms, south, west)
     coms = b"".join(
         seg(0xFE, enc[i:i + _COM_MAX])
         for c in comments
@@ -250,7 +255,7 @@ def make_mini_jpeg(width: int, height: int, comments: list[str] = ()) -> bytes:
         for i in (range(0, len(enc), _COM_MAX) if enc else (0,))
     )
     sof0 = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
-    return b"\xff\xd8" + app0 + coms + sof0 + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + app1 + coms + sof0 + b"\xff\xd9"
 
 
 def make_mini_gif(width: int, height: int, comments: list[str] = ()) -> bytes:
@@ -266,3 +271,127 @@ def make_mini_gif(width: int, height: int, comments: list[str] = ()) -> bytes:
         out.append(b"\x21\xfe" + sub + b"\x00")
     out.append(b"\x3b")
     return b"".join(out)
+
+
+# ------------------------------------------------------------- EXIF GPS
+
+def _exif_u16(b: bytes, i: int, e: str) -> int:
+    return struct.unpack(e + "H", b[i:i + 2])[0]
+
+
+def _exif_u32(b: bytes, i: int, e: str) -> int:
+    return struct.unpack(e + "I", b[i:i + 4])[0]
+
+
+def _exif_rational3(tiff: bytes, off: int, e: str) -> tuple[float, float, float]:
+    vals = []
+    for k in range(3):
+        num = _exif_u32(tiff, off + 8 * k, e)
+        den = _exif_u32(tiff, off + 8 * k + 4, e) or 1
+        vals.append(num / den)
+    return tuple(vals)
+
+
+def parse_exif_gps(raw: bytes) -> tuple[float, float] | None:
+    """JPEG EXIF GPS → (lat, lon) decimal degrees, or None.
+
+    Walks APP1 'Exif\\0\\0' → TIFF header (II/MM endianness) → IFD0 →
+    GPSInfo IFD pointer (tag 0x8825) → GPSLatitudeRef/GPSLatitude/
+    GPSLongitudeRef/GPSLongitude (tags 1-4, D-M-S rationals), the
+    standard EXIF 2.x layout Tika surfaces as geo metadata.  The
+    reference geotags whatever Tika hands it; GPS-bearing photos are
+    the one media type that carries ground truth directly.  Degrades to
+    None on anything malformed."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(raw)
+    seg = None
+    while i + 4 <= n:
+        if raw[i] != 0xFF:
+            break
+        marker = raw[i + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        (seglen,) = struct.unpack(">H", raw[i + 2:i + 4])
+        if marker == 0xE1 and raw[i + 4:i + 10] == b"Exif\x00\x00":
+            seg = raw[i + 10:i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if seg is None:
+        return None
+    try:
+        tiff = seg
+        e = {"II": "<", "MM": ">"}.get(tiff[:2].decode("ascii", "replace"))
+        if e is None or _exif_u16(tiff, 2, e) != 42:
+            return None
+        ifd0 = _exif_u32(tiff, 4, e)
+        gps_off = None
+        cnt = _exif_u16(tiff, ifd0, e)
+        for k in range(cnt):
+            ei = ifd0 + 2 + 12 * k
+            if _exif_u16(tiff, ei, e) == 0x8825:
+                gps_off = _exif_u32(tiff, ei + 8, e)
+        if gps_off is None:
+            return None
+        lat = lon = None
+        lat_sign = lon_sign = 1.0
+        cnt = _exif_u16(tiff, gps_off, e)
+        for k in range(cnt):
+            ei = gps_off + 2 + 12 * k
+            tag = _exif_u16(tiff, ei, e)
+            val_off = ei + 8
+            if tag == 1:  # GPSLatitudeRef, ASCII inline
+                if tiff[val_off:val_off + 1] == b"S":
+                    lat_sign = -1.0
+            elif tag == 3:
+                if tiff[val_off:val_off + 1] == b"W":
+                    lon_sign = -1.0
+            elif tag == 2:
+                d, m, s = _exif_rational3(tiff, _exif_u32(tiff, val_off, e), e)
+                lat = d + m / 60.0 + s / 3600.0
+            elif tag == 4:
+                d, m, s = _exif_rational3(tiff, _exif_u32(tiff, val_off, e), e)
+                lon = d + m / 60.0 + s / 3600.0
+        if lat is None or lon is None:
+            return None
+        return lat_sign * lat, lon_sign * lon
+    except (struct.error, IndexError):
+        return None
+
+
+def make_exif_gps_app1(lat_dms: tuple[int, int, float],
+                       lon_dms: tuple[int, int, float],
+                       south: bool = False, west: bool = False) -> bytes:
+    """Spec-shaped APP1 segment: Exif TIFF (big-endian) with an IFD0
+    holding only the GPSInfo pointer and a GPS IFD with D-M-S
+    rationals (seconds at denominator 10000)."""
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack(">HHII", tag, typ, count, value)
+
+    def ascii_inline(tag: int, ch: bytes) -> bytes:
+        return struct.pack(">HHI4s", tag, 2, 2, ch + b"\x00\x00\x00")
+
+    def rat3(dms: tuple[int, int, float]) -> bytes:
+        d, m, s = dms
+        return struct.pack(">IIIIII", d, 1, m, 1, round(s * 10000), 10000)
+
+    # layout: TIFF header (8) | IFD0 (2 + 12 + 4) | GPS IFD
+    ifd0_off = 8
+    gps_off = ifd0_off + 2 + 12 + 4
+    # GPS IFD: 4 entries + next ptr, then two rational blocks
+    lat_val_off = gps_off + 2 + 4 * 12 + 4
+    lon_val_off = lat_val_off + 24
+    tiff = (
+        b"MM\x00\x2a" + struct.pack(">I", ifd0_off)
+        + struct.pack(">H", 1) + entry(0x8825, 4, 1, gps_off)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 4)
+        + ascii_inline(1, b"S" if south else b"N")
+        + entry(2, 5, 3, lat_val_off)
+        + ascii_inline(3, b"W" if west else b"E")
+        + entry(4, 5, 3, lon_val_off)
+        + struct.pack(">I", 0)
+        + rat3(lat_dms) + rat3(lon_dms)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload

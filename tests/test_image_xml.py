@@ -245,3 +245,65 @@ def test_csv_writer_reader_roundtrip(rows, delim):
         if b:
             expect.append(b)
     assert extract_csv_text_blocks(make_mini_csv(rows, delim)) == expect
+
+
+# ------------------------------------------------------------- exif gps
+
+def test_exif_gps_round_trip_all_hemispheres():
+    from geoparser_spark.operators.image_meta import (
+        make_mini_jpeg,
+        parse_exif_gps,
+        parse_image_meta,
+    )
+
+    ne = make_mini_jpeg(5, 4, ["cap"], gps=((48, 51, 29.52), (2, 17, 40.2),
+                                            False, False))
+    lat, lon = parse_exif_gps(ne)
+    assert abs(lat - (48 + 51 / 60 + 29.52 / 3600)) < 1e-9
+    assert abs(lon - (2 + 17 / 60 + 40.2 / 3600)) < 1e-9
+    # EXIF APP1 must not disturb the dims/comment walk
+    assert parse_image_meta(ne)[:3] == ("jpeg", 5, 4)
+    sw = make_mini_jpeg(2, 2, gps=((33, 52, 4.0), (151, 12, 36.0),
+                                   True, True))
+    lat, lon = parse_exif_gps(sw)
+    assert lat < 0 and lon < 0
+
+
+def test_exif_gps_degrade_contract():
+    from geoparser_spark.operators.image_meta import (
+        make_mini_jpeg,
+        parse_exif_gps,
+    )
+
+    assert parse_exif_gps(make_mini_jpeg(2, 2)) is None  # no APP1
+    assert parse_exif_gps(b"") is None
+    assert parse_exif_gps(b"\xff\xd8\xff\xe1\x00\x04Ex") is None
+    # truncated TIFF inside a well-formed APP1 wrapper
+    bad = b"\xff\xd8\xff\xe1\x00\x0cExif\x00\x00MM\x00\x2a\xff\xd9"
+    assert parse_exif_gps(bad) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_exif_gps_never_throws(raw):
+    from geoparser_spark.operators.image_meta import parse_exif_gps
+
+    parse_exif_gps(b"\xff\xd8\xff\xe1" + raw)
+
+
+def test_extract_image_gps_spark_operator(spark):
+    from geoparser_spark.operators.image_meta import make_mini_jpeg
+    from geoparser_spark.operators.multimodal import extract_image_gps
+
+    rows = [
+        ("with", make_mini_jpeg(2, 2, gps=((10, 30, 0.0), (20, 0, 0.0),
+                                           False, False))),
+        ("without", make_mini_jpeg(2, 2)),
+        ("junk", b"junk"),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, media_bytes binary")
+    got = {r.media_ref: r for r in extract_image_gps(df).collect()}
+    assert got["with"].has_gps and abs(got["with"].latitude - 10.5) < 1e-9
+    assert abs(got["with"].longitude - 20.0) < 1e-9
+    assert not got["without"].has_gps and got["without"].latitude is None
+    assert not got["junk"].has_gps
