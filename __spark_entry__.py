@@ -134,14 +134,14 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
                  "pdf_bytes", "rtf", "eml", "doc_bytes",
-                 "xml", "image_bytes", "csv")
+                 "xml", "image_bytes", "csv", "audio_bytes")
 
 
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 format breadth, value-verified end-to-end: each documents row
-    is wrapped into a container format chosen by doc_id % 9 (DOCX /
-    PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / PNG fixture
-    writers), pushed through the REAL Arrow extract kernel, and the
+    is wrapped into a container format chosen by doc_id % 11 (DOCX /
+    PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / PNG / CSV /
+    WAV fixture writers), pushed through the REAL Arrow kernel, and the
     oracle recomputes the expected blocks (and the PNG media_ref dims)
     from the raw text alone — no parser on the oracle side, so the
     check is non-tautological.  The wrap stage is Arrow-batched
@@ -169,7 +169,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 10
+                m = int(doc_id) % 11
                 kind = _BREADTH_FMTS[m]
                 if m == 0:
                     payload = b64mod.b64encode(make_mini_docx([text])).decode()
@@ -203,12 +203,21 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h = int(doc_id) % 5 + 1, int(doc_id) % 3 + 1
                     payload = b64mod.b64encode(
                         make_mini_png(w, h, [text])).decode()
-                else:
+                elif m == 9:
                     from geoparser_spark.operators.csv_text import (
                         make_mini_csv,
                     )
 
                     payload = make_mini_csv([[text]])
+                else:
+                    from geoparser_spark.operators.audio_meta import (
+                        make_mini_wav,
+                    )
+
+                    payload = b64mod.b64encode(make_mini_wav(
+                        sample_rate=8000, channels=1, bits=8,
+                        n_frames=int(doc_id) % 997 + 1,
+                        comments=[text])).decode()
                 ids.append(doc_id)
                 spans.append([{"kind": kind, "text": payload,
                                "media_ref": None, "offset": 0}])
@@ -218,7 +227,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
-        (F.col("doc_id").cast("long") % 10 + 1).cast("int"),
+        (F.col("doc_id").cast("long") % 11 + 1).cast("int"),
     )
     return ex.select(
         "doc_id",
@@ -231,7 +240,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_SQL = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 10 AS m,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 11 AS m,
          CAST(doc_id AS BIGINT) AS id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
   FROM documents
@@ -241,10 +250,10 @@ SELECT doc_id,
               WHEN 2 THEN 'xlsx_bytes' WHEN 3 THEN 'pdf_bytes'
               WHEN 4 THEN 'rtf' WHEN 5 THEN 'eml' WHEN 6 THEN 'doc_bytes'
               WHEN 7 THEN 'xml' WHEN 8 THEN 'image_bytes'
-              ELSE 'csv' END AS fmt,
+              WHEN 9 THEN 'csv' ELSE 'audio_bytes' END AS fmt,
        t AS text,
        CAST(NULL AS VARCHAR) AS media_ref,
-       CAST(CASE WHEN m IN (5, 8) THEN 1 ELSE 0 END AS INT) AS ord
+       CAST(CASE WHEN m IN (5, 8, 10) THEN 1 ELSE 0 END AS INT) AS ord
 FROM d
 UNION ALL
 SELECT doc_id, 'eml' AS fmt, 'mail ' || doc_id AS text,
@@ -255,6 +264,12 @@ SELECT doc_id, 'image_bytes' AS fmt, CAST(NULL AS VARCHAR) AS text,
        'img://png/' || (id % 5 + 1) || 'x' || (id % 3 + 1) AS media_ref,
        CAST(0 AS INT) AS ord
 FROM d WHERE m = 8
+UNION ALL
+SELECT doc_id, 'audio_bytes' AS fmt, CAST(NULL AS VARCHAR) AS text,
+       'aud://wav/8000Hz/1ch/' || ((id % 997 + 1) * 1000 // 8000) || 'ms'
+         AS media_ref,
+       CAST(0 AS INT) AS ord
+FROM d WHERE m = 10
 """
 
 
@@ -809,6 +824,105 @@ def _mm_image_gps(spark, sf_dir):
         F.round("longitude", 6).alias("lon6"),
         "has_gps",
     )
+
+
+def _mm_audio_meta(spark, sf_dir):
+    """Audio metadata decode, REAL end-to-end (no stub anywhere): each
+    documents row becomes an actual WAV (even doc_id) or FLAC (odd)
+    byte stream with doc_id-derived stream parameters and one embedded
+    tag, and extract_audio_meta parses them back out of the binary
+    column; the oracle recomputes everything from doc_id arithmetic
+    alone (duration is integer floor division on both sides)."""
+    from geoparser_spark.operators.multimodal import extract_audio_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def wrap(batches):
+        import pandas as pd
+
+        from geoparser_spark.operators.audio_meta import (
+            make_mini_flac,
+            make_mini_wav,
+        )
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                if i % 2 == 0:
+                    raw = make_mini_wav(
+                        sample_rate=8000 + (i % 5) * 2000,
+                        channels=2 if i % 4 == 0 else 1,
+                        bits=8,
+                        n_frames=i % 997 + 1,
+                        comments=[str(text)[:40]],
+                    )
+                else:
+                    raw = make_mini_flac(
+                        sample_rate=16000 + (i % 7) * 1000,
+                        channels=i % 8 + 1,
+                        bits=16,
+                        n_samples=i % 4999 + 1,
+                        comments=[str(text)[:40]],
+                    )
+                refs.append(f"aud://{i}")
+                blobs.append(raw)
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
+    return extract_audio_meta(media)
+
+
+def _mm_clip_plan(spark, sf_dir):
+    """Multimodal: audio clip-sampling plan from duration metadata —
+    pure SQL, one row per planned 5 s clip, last clip truncated to the
+    stream end, zero-duration streams get one empty probe clip."""
+    from geoparser_spark.operators.multimodal import clip_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("aud://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.struct(
+            F.lit("audio/x-wav").alias("mime"),
+            F.pmod(F.col("n_chars") * 37, F.lit(23_000)).cast("int").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    return clip_sample_plan(media, clip_ms=5000)
+
+
+_MM_AUDIO_META_SQL = """
+SELECT 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/x-wav' ELSE 'audio/flac' END AS mime,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 2000
+                 ELSE 16000 + (doc_id % 7) * 1000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
+                 ELSE doc_id % 8 + 1 END AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN ((doc_id % 997 + 1) * 1000) // (8000 + (doc_id % 5) * 2000)
+                 ELSE ((doc_id % 4999 + 1) * 1000) // (16000 + (doc_id % 7) * 1000)
+            END AS BIGINT) AS duration_ms,
+       CAST(1 AS INT) AS n_texts,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
+_MM_CLIP_SQL = """
+WITH m AS (
+  SELECT 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref,
+         CAST((n_chars * 37) % 23000 AS BIGINT) AS dur
+  FROM documents
+)
+SELECT media_ref, CAST(i AS INT) AS clip_idx,
+       CAST(i * 5000 AS BIGINT) AS start_ms,
+       CAST(least(i * 5000 + 5000, dur) AS BIGINT) AS end_ms
+FROM (SELECT media_ref, dur,
+             unnest(range(0, greatest(CAST(ceil(dur / 5000.0) AS BIGINT), 1))) AS i
+      FROM m)
+"""
 
 
 _MM_GPS_SQL = """
@@ -1387,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_features": _mm_media_features,
         "multimodal_image_meta": _mm_image_meta,
         "multimodal_image_gps": _mm_image_gps,
+        "multimodal_audio_meta": _mm_audio_meta,
+        "multimodal_clip_plan": _mm_clip_plan,
         "tpch_q1_pricing": _tpch_q1,
         "tpch_q3_shipping": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
@@ -1536,6 +1652,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id""",
         "multimodal_image_meta": _MM_META_SQL,
         "multimodal_image_gps": _MM_GPS_SQL,
+        "multimodal_audio_meta": _MM_AUDIO_META_SQL,
+        "multimodal_clip_plan": _MM_CLIP_SQL,
         "multimodal_frame_plan": """
             WITH m AS (
               SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,

@@ -1,0 +1,245 @@
+"""Audio byte-stream parsing: container metadata + embedded text, no codec.
+
+Reference parity: GeoParser feeds any uploaded file through Tika
+auto-detect (/root/reference/geoparser_app/views.py:125); for audio
+containers Tika surfaces stream metadata (sample rate, channels,
+duration) and embedded tags, which flow into the index like any other
+document field.  This module reproduces that surface from the public
+container specs — WAV (RIFF/WAVE, the Microsoft/IBM multimedia spec:
+``fmt `` / ``data`` / ``LIST INFO`` chunks) and FLAC (xiph.org format
+spec: STREAMINFO + VORBIS_COMMENT metadata blocks) — with pure stdlib
+parsing.  The PCM/FLAC frame codec itself is NOT needed for any of it.
+
+Span contract for an ``audio_bytes`` input span (base64 payload):
+  * one media span ("audio", None, "aud://{fmt}/{rate}Hz/{ch}ch/{ms}ms")
+    carrying the parsed stream parameters in the media_ref, then
+  * one text span per embedded tag value, in byte order: WAV LIST-INFO
+    values (INAM/IART/ICMT/...), FLAC Vorbis-comment values.  This is
+    the channel a production transcription stage (the audio analogue of
+    OCR) would also write into — see :func:`transcribe_audio`.
+Degrade contract: unrecognized or truncated payloads yield [] — never
+an exception out of the extract stage.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import struct
+
+# LIST-INFO sub-chunks whose payload is human text (RIFF spec §INFO).
+_INFO_TEXT_IDS = frozenset(
+    {b"INAM", b"IART", b"ICMT", b"ICOP", b"ISBJ", b"IGNR", b"IKEY"}
+)
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+def parse_wav(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
+    """RIFF/WAVE chunk walk → (sample_rate, channels, bits, duration_ms,
+    texts) or None.
+
+    Duration comes from the declared ``data`` size over the ``fmt ``
+    byte rate (what ffprobe/Tika report), so a truncated payload still
+    yields the stream's nominal duration.  Chunk sizes are word-aligned
+    per the RIFF spec (odd sizes are followed by a pad byte).
+    """
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    sample_rate = channels = bits = byte_rate = None
+    data_size = 0
+    texts: list[str] = []
+    i = 12
+    n = len(raw)
+    while i + 8 <= n:
+        cid = raw[i:i + 4]
+        (size,) = struct.unpack("<I", raw[i + 4:i + 8])
+        body = raw[i + 8:i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            (_fmt_tag, channels, sample_rate, byte_rate,
+             _block_align, bits) = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = size
+        elif cid == b"LIST" and body[:4] == b"INFO":
+            j = 4
+            while j + 8 <= len(body):
+                scid = body[j:j + 4]
+                (ssz,) = struct.unpack("<I", body[j + 4:j + 8])
+                val = body[j + 8:j + 8 + ssz].split(b"\x00")[0]
+                if scid in _INFO_TEXT_IDS:
+                    t = val.decode("utf-8", "replace")
+                    if t:
+                        texts.append(t)
+                j += 8 + ssz + (ssz & 1)
+        i += 8 + size + (size & 1)
+    if not sample_rate or not byte_rate:
+        return None
+    duration_ms = data_size * 1000 // byte_rate
+    return int(sample_rate), int(channels), int(bits), int(duration_ms), texts
+
+
+def parse_flac(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
+    """FLAC metadata-block walk → (sample_rate, channels, bits,
+    duration_ms, texts) or None.
+
+    STREAMINFO packs sample-rate(20) channels-1(3) bits-1(5)
+    total-samples(36) big-endian in bytes 10..17; VORBIS_COMMENT is the
+    little-endian Vorbis tag list ("KEY=value" UTF-8 entries).
+    """
+    if len(raw) < 8 or raw[:4] != b"fLaC":
+        return None
+    sr = ch = bits = None
+    total_samples = 0
+    texts: list[str] = []
+    i = 4
+    n = len(raw)
+    while i + 4 <= n:
+        hdr = raw[i]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        blen = int.from_bytes(raw[i + 1:i + 4], "big")
+        body = raw[i + 4:i + 4 + blen]
+        if len(body) < blen:
+            break  # truncated block: keep what we have
+        if btype == 0 and blen >= 18:  # STREAMINFO
+            packed = int.from_bytes(body[10:18], "big")
+            sr = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total_samples = packed & ((1 << 36) - 1)
+        elif btype == 4 and blen >= 8:  # VORBIS_COMMENT
+            (vlen,) = struct.unpack("<I", body[0:4])
+            j = 4 + vlen
+            if j + 4 <= blen:
+                (cnt,) = struct.unpack("<I", body[j:j + 4])
+                j += 4
+                for _ in range(cnt):
+                    if j + 4 > blen:
+                        break
+                    (clen,) = struct.unpack("<I", body[j:j + 4])
+                    j += 4
+                    entry = body[j:j + clen]
+                    j += clen
+                    _k, _, v = entry.partition(b"=")
+                    t = v.decode("utf-8", "replace")
+                    if t:
+                        texts.append(t)
+        i += 4 + blen
+        if last:
+            break
+    if not sr:
+        return None
+    duration_ms = total_samples * 1000 // sr
+    return int(sr), int(ch), int(bits), int(duration_ms), texts
+
+
+def parse_audio_meta(
+    raw: bytes,
+) -> tuple[str, int, int, int, int, list[str]] | None:
+    """(format, sample_rate, channels, bits, duration_ms, texts) or
+    None if the stream is not a recognized audio container."""
+    for fmt, parser in (("wav", parse_wav), ("flac", parse_flac)):
+        try:
+            got = parser(raw)
+        except (struct.error, IndexError):
+            got = None
+        if got is not None:
+            return (fmt, *got)
+    return None
+
+
+def extract_audio_spans(raw: bytes) -> list[tuple[str, str | None, str | None]]:
+    """Audio bytes → extract-stage span triples (kind, text, media_ref)."""
+    meta = parse_audio_meta(raw)
+    if meta is None:
+        return []
+    fmt, sr, ch, _bits, ms, texts = meta
+    out: list[tuple[str, str | None, str | None]] = [
+        ("audio", None, f"aud://{fmt}/{sr}Hz/{ch}ch/{ms}ms")
+    ]
+    for t in texts:
+        t = _norm(t)
+        if t:
+            out.append(("text", t, None))
+    return out
+
+
+def extract_audio_b64_spans(b64: str) -> list[tuple[str, str | None, str | None]]:
+    """Base64-wrapped variant — ``audio_bytes`` span payloads carry the
+    byte stream base64-encoded in ``text`` (FIXTURES.md §1)."""
+    try:
+        raw = base64.b64decode(b64, validate=False)
+    except (binascii.Error, ValueError):
+        return []
+    return extract_audio_spans(raw)
+
+
+def transcribe_audio(raw: bytes) -> str:
+    """Real speech-to-text — NOT AVAILABLE in this container (no ASR
+    engine).
+
+    Raises NotImplementedError by design; a deployment wires an ASR
+    model here and appends the result as a text span next to the
+    embedded-tag spans above.  The batch plumbing that would carry its
+    output is exactly the embedded-text path, which IS tested."""
+    raise NotImplementedError("ASR engine not present in sandbox; see docstring")
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def make_mini_wav(sample_rate: int = 8000, channels: int = 1,
+                  bits: int = 8, n_frames: int = 0,
+                  comments: list[str] = (), title: str | None = None) -> bytes:
+    """Deterministic PCM WAV: fmt + optional LIST/INFO + silence data."""
+    block_align = channels * (bits // 8)
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    chunks = _riff_chunk(b"fmt ", fmt)
+    info = b""
+    if title is not None:
+        info += _riff_chunk(b"INAM", title.encode("utf-8") + b"\x00")
+    for c in comments:
+        info += _riff_chunk(b"ICMT", c.encode("utf-8") + b"\x00")
+    if info:
+        chunks += _riff_chunk(b"LIST", b"INFO" + info)
+    chunks += _riff_chunk(b"data", b"\x00" * (n_frames * block_align))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _flac_block(btype: int, body: bytes, last: bool) -> bytes:
+    return bytes([btype | (0x80 if last else 0)]) + len(body).to_bytes(3, "big") + body
+
+
+def make_mini_flac(sample_rate: int = 8000, channels: int = 1,
+                   bits: int = 16, n_samples: int = 0,
+                   comments: list[str] = ()) -> bytes:
+    """Deterministic FLAC metadata stream: STREAMINFO (+ VORBIS_COMMENT).
+
+    Metadata-only (no audio frames): every field the parser reads lives
+    in the metadata blocks, mirroring how tag readers treat FLAC."""
+    packed = ((sample_rate << 44) | ((channels - 1) << 41)
+              | ((bits - 1) << 36) | (n_samples & ((1 << 36) - 1)))
+    streaminfo = (struct.pack(">HH", 16, 16) + b"\x00" * 6
+                  + packed.to_bytes(8, "big") + b"\x00" * 16)
+    blocks = []
+    if comments:
+        vendor = b"geoparser_spark"
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", len(comments))
+        for c in comments:
+            entry = ("COMMENT=" + c).encode("utf-8")
+            body += struct.pack("<I", len(entry)) + entry
+        blocks.append((4, body))
+    out = b"fLaC" + _flac_block(0, streaminfo, last=not blocks)
+    for k, (btype, body) in enumerate(blocks):
+        out += _flac_block(btype, body, last=(k == len(blocks) - 1))
+    return out

@@ -251,3 +251,93 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_idx", "ts_ms"),
     )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_texts", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_audio_meta(media: DataFrame,
+                       bytes_col: str = "media_bytes",
+                       ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes) → (media_ref, mime, sample_rate,
+    channels, bits, duration_ms, n_texts, decode_ok).
+
+    Like :func:`extract_media_meta` this path is REAL end-to-end: WAV
+    (RIFF) and FLAC container metadata carries stream parameters and
+    embedded tags without any codec (operators/audio_meta parses them
+    from the public specs).  This is the Tika audio-metadata surface of
+    the reference (geoparser_app/views.py:125) as an Arrow-batched
+    stage."""
+    from geoparser_spark.operators.audio_meta import parse_audio_meta
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, srs, chs, bts, durs, nt, ok = [], [], [], [], [], [], []
+            for b in pdf[bytes_col]:
+                meta = (parse_audio_meta(bytes(b))
+                        if isinstance(b, (bytes, bytearray)) else None)
+                if meta is None:
+                    mimes.append(None); srs.append(None); chs.append(None)
+                    bts.append(None); durs.append(None); nt.append(None)
+                    ok.append(False)
+                else:
+                    fmt, sr, ch, bits, ms, texts = meta
+                    mimes.append("audio/x-wav" if fmt == "wav" else "audio/flac")
+                    srs.append(sr); chs.append(ch); bts.append(bits)
+                    durs.append(ms); nt.append(len(texts)); ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col],
+                    "mime": mimes,
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "bits": pd.array(bts, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "n_texts": pd.array(nt, dtype="Int32"),
+                    "decode_ok": ok,
+                }
+            )
+
+    return media.select(ref_col, bytes_col).mapInPandas(
+        kernel, schema=AUDIO_META_SCHEMA)
+
+
+def clip_sample_plan(media: DataFrame, clip_ms: int = 5000) -> DataFrame:
+    """Audio clip-sampling *plan*: one output row per planned clip
+    (media_ref, clip_idx, start_ms, end_ms) from duration metadata —
+    pure SQL, the audio analogue of :func:`frame_sample_plan`.  The
+    last clip is truncated to the stream end; zero-length streams get
+    one empty probe clip (an ASR stage still wants one batch entry per
+    stream to record its verdict)."""
+    from pyspark.sql import functions as F
+
+    dur = F.col("media_meta.duration_ms").cast("long")
+    n_clips = F.greatest(
+        F.ceil(dur / F.lit(clip_ms)).cast("int"), F.lit(1)
+    )
+    return media.select(
+        "media_ref",
+        dur.alias("_dur"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_clips - 1),
+                lambda i: (i * clip_ms).cast("long"),
+            )
+        ).alias("clip_idx", "start_ms"),
+    ).select(
+        "media_ref",
+        "clip_idx",
+        "start_ms",
+        F.least(F.col("start_ms") + clip_ms, F.col("_dur")).alias("end_ms"),
+    )

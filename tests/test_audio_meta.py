@@ -1,0 +1,136 @@
+"""Audio container parsing (WAV/RIFF + FLAC): spec round-trips, degrade
+contract, extract-dispatch integration.  Pure Python — no Spark session.
+"""
+
+import base64
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoparser_spark.operators.audio_meta import (
+    extract_audio_b64_spans,
+    extract_audio_spans,
+    make_mini_flac,
+    make_mini_wav,
+    parse_audio_meta,
+    parse_flac,
+    parse_wav,
+)
+from geoparser_spark.operators.extract import extract_doc_spans
+
+
+def test_wav_params_and_duration_floor():
+    raw = make_mini_wav(sample_rate=8000, channels=1, bits=8, n_frames=4001)
+    sr, ch, bits, ms, texts = parse_wav(raw)
+    assert (sr, ch, bits) == (8000, 1, 8)
+    assert ms == 4001 * 1000 // 8000  # floor, not round
+    assert texts == []
+
+
+def test_wav_stereo_16bit_byte_rate():
+    raw = make_mini_wav(sample_rate=44100, channels=2, bits=16, n_frames=44100)
+    sr, ch, bits, ms, _ = parse_wav(raw)
+    assert (sr, ch, bits, ms) == (44100, 2, 16, 1000)
+
+
+def test_wav_list_info_texts_in_byte_order():
+    raw = make_mini_wav(comments=["second", "third"], title="first")
+    *_, texts = parse_wav(raw)
+    assert texts == ["first", "second", "third"]
+
+
+def test_wav_odd_sized_info_chunk_is_word_aligned():
+    # "abc" + NUL = 4 bytes (even), "ab" + NUL = 3 (odd -> pad byte);
+    # the chunk after the odd one must still be found
+    raw = make_mini_wav(comments=["ab", "next"], n_frames=10)
+    sr, _, _, _, texts = parse_wav(raw)
+    assert sr == 8000 and texts == ["ab", "next"]
+
+
+def test_flac_streaminfo_bit_unpack():
+    raw = make_mini_flac(sample_rate=96000, channels=8, bits=24, n_samples=96000)
+    sr, ch, bits, ms, _ = parse_flac(raw)
+    assert (sr, ch, bits, ms) == (96000, 8, 24, 1000)
+
+
+def test_flac_vorbis_comment_values():
+    raw = make_mini_flac(comments=["alpha", "beta"])
+    *_, texts = parse_flac(raw)
+    assert texts == ["COMMENT=alpha".split("=", 1)[1], "beta"]
+
+
+def test_audio_spans_media_ref_format():
+    raw = make_mini_wav(sample_rate=8000, channels=1, bits=8, n_frames=8000,
+                        comments=["a  b"])
+    spans = extract_audio_spans(raw)
+    assert spans[0] == ("audio", None, "aud://wav/8000Hz/1ch/1000ms")
+    assert spans[1] == ("text", "a b", None)  # whitespace-normalized
+
+
+def test_audio_degrade_contract():
+    assert parse_audio_meta(b"") is None
+    assert parse_audio_meta(b"RIFFxxxx") is None
+    assert parse_audio_meta(b"fLa") is None
+    assert extract_audio_spans(b"\x00" * 64) == []
+    assert extract_audio_b64_spans("not base64 !!!") == []
+
+
+def test_wav_truncated_data_still_reports_nominal_duration():
+    raw = make_mini_wav(sample_rate=1000, channels=1, bits=8, n_frames=500)
+    assert parse_wav(raw)[3] == 500
+    # chop the payload: declared size (ffprobe/Tika behavior) still wins
+    assert parse_wav(raw[:-400])[3] == 500
+
+
+def test_audio_kind_through_extract_dispatch():
+    wav = make_mini_wav(comments=["embedded caption"], n_frames=100)
+    spans = extract_doc_spans([
+        {"kind": "text", "text": "before", "offset": 0},
+        {"kind": "audio_bytes",
+         "text": base64.b64encode(wav).decode(), "offset": 1},
+    ])
+    kinds = [(s["kind"], s["media_ref"]) for s in spans]
+    assert kinds == [
+        ("text", None),
+        ("audio", "aud://wav/8000Hz/1ch/12ms"),
+        ("text", None),
+    ]
+    assert spans[2]["text"] == "embedded caption"
+    assert [s["order"] for s in spans] == [0, 1, 2]
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_audio_parser_never_throws_on_random_bytes(raw):
+    parse_audio_meta(raw)
+
+
+@given(st.binary(max_size=300), st.sampled_from([b"RIFF", b"fLaC"]))
+@settings(max_examples=200, deadline=None)
+def test_audio_parser_never_throws_on_corrupt_headers(raw, sig):
+    parse_audio_meta(sig + raw)
+    if sig == b"RIFF":
+        parse_audio_meta(b"RIFF" + raw[:4] + b"WAVE" + raw)
+
+
+@given(
+    st.sampled_from([8000, 11025, 44100, 96000]),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=100_000),
+    st.sampled_from(["wav", "flac"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_audio_params_roundtrip(sr, ch, n, fmt):
+    if fmt == "wav":
+        ch = min(ch, 2)
+        raw = make_mini_wav(sample_rate=sr, channels=ch, bits=8,
+                            n_frames=min(n, 2000))
+        got = parse_wav(raw)
+        assert got[:2] == (sr, ch)
+        assert got[3] == min(n, 2000) * 1000 // sr
+    else:
+        raw = make_mini_flac(sample_rate=sr, channels=ch, bits=16, n_samples=n)
+        got = parse_flac(raw)
+        assert got[:2] == (sr, ch)
+        assert got[3] == n * 1000 // sr

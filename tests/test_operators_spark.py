@@ -683,3 +683,48 @@ def test_extract_media_meta_real_headers_and_degrade(spark):
     for k in ("bad", "empty"):
         assert got[k].decode_ok is False and got[k].mime is None
         assert got[k].width is None and got[k].n_texts is None
+
+
+def test_extract_audio_meta_real_headers_and_degrade(spark):
+    from geoparser_spark.operators.audio_meta import make_mini_flac, make_mini_wav
+    from geoparser_spark.operators.multimodal import extract_audio_meta
+
+    rows = [
+        ("w", make_mini_wav(44100, 2, 16, 22050, comments=["c1"])),
+        ("f", make_mini_flac(48000, 1, 16, 96000)),
+        ("bad", b"not audio"),
+        ("empty", b""),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, media_bytes binary")
+    got = {r.media_ref: r for r in extract_audio_meta(df).collect()}
+    w = got["w"]
+    assert (w.mime, w.sample_rate, w.channels, w.bits, w.duration_ms,
+            w.n_texts, w.decode_ok) == ("audio/x-wav", 44100, 2, 16, 500, 1, True)
+    f = got["f"]
+    assert (f.mime, f.sample_rate, f.channels, f.duration_ms,
+            f.n_texts) == ("audio/flac", 48000, 1, 2000, 0)
+    for k in ("bad", "empty"):
+        assert got[k].decode_ok is False and got[k].mime is None
+        assert got[k].sample_rate is None and got[k].duration_ms is None
+
+
+def test_clip_sample_plan_truncation_and_zero_duration(spark):
+    from geoparser_spark.operators.multimodal import clip_sample_plan
+
+    df = spark.createDataFrame(
+        [("a", ("audio/x-wav", 12_001)), ("z", ("audio/x-wav", 0)),
+         ("e", ("audio/x-wav", 10_000))],
+        "media_ref string, media_meta struct<mime:string,duration_ms:int>",
+    )
+    got = {(r.media_ref, r.clip_idx): (r.start_ms, r.end_ms)
+           for r in clip_sample_plan(df, clip_ms=5000).collect()}
+    # 12,001 ms -> 3 clips, last truncated
+    assert got[("a", 0)] == (0, 5000)
+    assert got[("a", 1)] == (5000, 10000)
+    assert got[("a", 2)] == (10000, 12001)
+    # exact multiple -> exactly 2 clips, no empty tail clip
+    assert got[("e", 1)] == (5000, 10000)
+    assert ("e", 2) not in got
+    # zero duration -> one empty probe clip
+    assert got[("z", 0)] == (0, 0)
+    assert len(got) == 6
