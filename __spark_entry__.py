@@ -1218,6 +1218,129 @@ def _tpch_q22(spark, sf_dir):
     )
 
 
+def _tpch_q2(spark, sf_dir):
+    """TPC-H Q2-style min-cost supplier (adapted: lineitem is the
+    part-supplier bridge, 'cost' is the min observed unit price).  The
+    correlated min-subquery decorrelates into groupBy + join-back on
+    the same key — AQE coalesces the two shuffles; no window sort.
+    Unit price is the same IEEE double division in both engines, so
+    the equality join against the per-part min is exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"))
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    supp = _t(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.min("unit").alias("cost"))
+    pmin = ps.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        ps.join(pmin, "l_partkey")
+        .where(F.col("cost") == F.col("min_cost"))
+        .join(part, F.col("l_partkey") == part["p_partkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select("p_partkey", "p_brand", "s_name",
+                F.round("cost", 6).alias("min_cost6"))
+    )
+
+
+def _tpch_q11(spark, sf_dir):
+    """TPC-H Q11-style important parts (adapted: lineitem value, no
+    partsupp; the TPC fraction scales with SF, here it is relative —
+    parts above HALF THE AVERAGE part share, which discriminates at
+    every scale).  All sides are exact integer-micros decimals so the
+    threshold comparison (m * n_parts * 2 > total) is pure integer
+    arithmetic — no double-threshold boundary drift; the 1-row total
+    derives from the per-part aggregate (no second corpus pass) and
+    rides as a broadcast crossJoin, never a collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = li.groupBy("l_partkey").agg(
+        _micros(val).alias("m"), _dsum4(val, "value"))
+    tot = per.agg(F.sum("m").alias("mt"), F.count("*").alias("np"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("m") * F.col("np") * F.lit(2) > F.col("mt"))
+        .select("l_partkey", "value")
+    )
+
+
+def _tpch_q15(spark, sf_dir):
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    keep the max-revenue supplier(s).  The scalar max-subquery is a
+    1-row broadcast crossJoin over exact decimal-micros revenue, so
+    the equality is exact (a double tie would be engine-dependent in
+    the last bit)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = li.groupBy("l_suppkey").agg(
+        _micros(rev).alias("m"), _dsum4(rev, "total_revenue"))
+    mx = per.agg(F.max("m").alias("mmax"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .where(F.col("m") == F.col("mmax"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _tpch_q17(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: the correlated per-part
+    avg-quantity subquery decorrelates into groupBy + join-back; the
+    l_quantity < 0.2 * avg(l_quantity) filter is exact long
+    arithmetic (qty_micros * cnt * 5 < sum_qty_micros — |qty| <= 1e5
+    and cnt <= 1e9 stay far inside long range), so no double-avg
+    boundary drift.  avg_yearly divides the exact micros sum in
+    double, identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    qm = F.round(F.col("l_quantity") * F.lit(1000000.0)).cast("long")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(qm).alias("sum_qm"), F.count("*").alias("cnt"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(per, "l_partkey")
+        .where(qm * F.col("cnt") * F.lit(5) < F.col("sum_qm"))
+        .agg(F.round(
+            _micros(F.col("l_extendedprice")).cast("double") / 7000000.0, 4
+        ).alias("avg_yearly"))
+    )
+
+
+def _tpch_q21(spark, sf_dir):
+    """TPC-H Q21-style waiting suppliers (adapted: 'late' means
+    l_shipdate > o_orderdate + 60 days).  The exists / not-exists pair
+    decorrelates into ONE per-order aggregate (distinct suppliers,
+    distinct late suppliers) joined back to the late rows — two
+    shuffles of per-order aggregates instead of two self-joins of the
+    fact table.  Top-10 is TakeOrderedAndProject on the total order
+    (numwait desc, s_name asc)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"))
+    waits = (
+        lo.where(late)
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(per, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        waits.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
 def _tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1517,6 +1640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_order_distribution": _tpch_q13,
         "tpch_q16_supplier_cnt": _tpch_q16,
         "tpch_q22_idle_customers": _tpch_q22,
+        "tpch_q2_min_cost_supplier": _tpch_q2,
+        "tpch_q11_important_parts": _tpch_q11,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q17_small_qty_revenue": _tpch_q17,
+        "tpch_q21_waiting_suppliers": _tpch_q21,
         "dedup_exact": _dedup_exact,
         "dedup_exact_hashed": _dedup_exact_hashed,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -1784,6 +1912,78 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1""",
+        "tpch_q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), pm AS (
+              SELECT l_partkey, min(cost) AS min_cost FROM ps GROUP BY l_partkey
+            )
+            SELECT p_partkey, p_brand, s_name, round(cost, 6) AS min_cost6
+            FROM ps JOIN pm USING (l_partkey)
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE cost = min_cost AND p_size <= 15""",
+        "tpch_q11_important_parts": f"""
+            WITH per AS (
+              SELECT l_partkey,
+                     {_micros_sql('l_extendedprice * (1 - l_discount)')} AS m,
+                     {_dsum4_sql('l_extendedprice * (1 - l_discount)', 'value')}
+              FROM lineitem GROUP BY l_partkey
+            ), tot AS (
+              SELECT sum(m) AS mt, count(*) AS np FROM per
+            )
+            SELECT l_partkey, value FROM per, tot
+            WHERE m * np * 2 > mt""",
+        "tpch_q15_top_supplier": f"""
+            WITH per AS (
+              SELECT l_suppkey,
+                     {_micros_sql('l_extendedprice * (1 - l_discount)')} AS m,
+                     {_dsum4_sql('l_extendedprice * (1 - l_discount)',
+                                 'total_revenue')}
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM per JOIN supplier ON l_suppkey = s_suppkey
+            WHERE m = (SELECT max(m) FROM per)""",
+        "tpch_q17_small_qty_revenue": f"""
+            WITH per AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS sum_qm,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(round(CAST({_micros_sql('l_extendedprice')} AS DOUBLE)
+                              / 7000000.0, 4) AS DOUBLE) AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN per USING (l_partkey)
+            WHERE p_brand = 'Brand#23'
+              AND CAST(round(l_quantity * 1000000) AS BIGINT) * cnt * 5 < sum_qm""",
+        "tpch_q21_waiting_suppliers": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            ), per AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+              FROM lo GROUP BY l_orderkey
+            ), waits AS (
+              SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+              FROM lo JOIN per USING (l_orderkey)
+              WHERE lo.late AND per.n_supp > 1 AND per.n_late = 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM waits JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC LIMIT 10""",
         "tpch_q14_promo_share": """
             SELECT round(100.0
                    * CAST((CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) AS DOUBLE)
