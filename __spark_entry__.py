@@ -1599,6 +1599,35 @@ FROM planted
 """
 
 
+def _sample_hash(spark, sf_dir):
+    """Deterministic keyed sampling (operators/sampling.py): keep
+    ~1/10 of documents by pmod(xxhash64(doc_id), 10), bucket surfaced
+    for the oracle.  Map-only — the filter is a codegen'd column
+    expression at the scan; value-checked against a pure-Python
+    xxhash64 replica."""
+    from geoparser_spark.operators.sampling import hash_bucket, hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return hash_sample(d, "doc_id", num=1, den=10).select(
+        "doc_id", "n_chars", hash_bucket("doc_id", 10).alias("bucket"))
+
+
+def _split_hash(spark, sf_dir):
+    """Deterministic train/val/test split (8/1/1 on xxhash64 buckets),
+    aggregated per split so the oracle check covers every assignment
+    (count + exact total chars) without shipping 100 TB of rows."""
+    from geoparser_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        hash_split(d, "doc_id", weights=(8, 1, 1),
+                   labels=("train", "val", "test"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract_spans": _flagship_extract,
@@ -1667,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_repetition_signals": _text_repetition,
         "text_pii_scrub": _text_pii_scrub,
+        "sample_hash": _sample_hash,
+        "split_hash": _split_hash,
     }
 
 
@@ -2214,6 +2245,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             "q11_viewport_tiles": PQ.viewport_tiles_sql(
                 0.0, 45.0, 0.0, 90.0, k=8, leaf_max=10, max_levels=3
+            ),
+            "sample_hash": PQ.hash_sample_sql(num=1, den=10),
+            "split_hash": PQ.hash_split_sql(
+                weights=(8, 1, 1), labels=("train", "val", "test")
             ),
         }
     )

@@ -1,0 +1,73 @@
+"""Deterministic corpus sampling and splitting keyed on stable ids.
+
+Training-data pipelines carve corpora into samples and train/val/test
+splits constantly; at 100 TB the only acceptable shape is a map-only
+column expression — no shuffle, no state, no driver round-trip.  Keyed
+hashing (``xxhash64`` on the document id, Spark's fixed seed 42) gives
+three properties ``rand()`` cannot:
+
+* **stable** — the same doc lands in the same sample/split on every
+  run, every cluster size, every partitioning (rand() is per-task and
+  re-rolls under retries/AQE re-plans, silently leaking val docs into
+  train between runs);
+* **joinable** — two tables sampled on the same key stay aligned
+  (documents and their embeddings survive or drop together);
+* **pushdown-friendly** — the predicate is a pure column expression
+  that rides into codegen next to the scan; nothing materializes.
+
+Reference parity: GeoParser has no sampling operator (it processes
+whole uploads); this family belongs to the "operations a large-scale
+training-data pipeline would need" mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str, den: int) -> Column:
+    """The shared bucket expression: ``pmod(xxhash64(id), den)`` (pmod,
+    not %: xxhash64 is signed and % keeps the sign in Spark).  Public
+    because callers that need the bucket surfaced (stratified audits,
+    oracle checks) must use the exact same expression the filter
+    pushes down."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(den))
+
+
+_bucket = hash_bucket
+
+
+def hash_sample(df: DataFrame, id_col: str = "doc_id",
+                num: int = 1, den: int = 10) -> DataFrame:
+    """Keep a deterministic ~num/den fraction of rows keyed on
+    ``id_col``.  Map-only; the filter is a codegen'd column expression
+    evaluated at the scan."""
+    if not 0 <= num <= den:
+        raise ValueError(f"need 0 <= num <= den, got {num}/{den}")
+    return df.where(_bucket(id_col, den) < num)
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               weights: tuple[int, ...] = (8, 1, 1),
+               labels: tuple[str, ...] = ("train", "val", "test"),
+               split_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic split label with relative
+    integer ``weights``.  One hash, one CASE chain — map-only, and the
+    assignment is exhaustive (buckets partition [0, sum(weights)))."""
+    if len(weights) != len(labels) or not weights:
+        raise ValueError("weights and labels must be same non-zero length")
+    if any(w <= 0 for w in weights):
+        raise ValueError(f"weights must be positive, got {weights}")
+    den = sum(weights)
+    b = _bucket(id_col, den)
+    # build: b < w0 -> l0, elif b < w0+w1 -> l1, ..., else last label
+    bounds = []
+    acc = 0
+    for w, lab in zip(weights[:-1], labels[:-1]):
+        acc += w
+        bounds.append((acc, lab))
+    expr = F.lit(labels[-1])
+    for bnd, lab in reversed(bounds):
+        expr = F.when(b < bnd, F.lit(lab)).otherwise(expr)
+    return df.withColumn(split_col, expr)

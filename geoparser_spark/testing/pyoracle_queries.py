@@ -430,3 +430,38 @@ def viewport_tiles_sql(min_lat: float, max_lat: float,
     return values_sql(
         out, ["level", "cluster_path", "latitude", "longitude", "label"]
     )
+
+
+# ---------------------------------------------------------- sampling family
+
+
+def hash_sample_sql(num: int = 1, den: int = 10) -> str:
+    """Expected output of sampling.hash_sample(documents): rows whose
+    pmod(xxhash64(doc_id), den) < num, with the bucket exposed."""
+    rows = read_table("documents", "doc_id, n_chars")
+    out = []
+    for i, n_chars in rows:
+        b = spark_xxhash64(int(i)) % den  # python % is pmod for den > 0
+        if b < num:
+            out.append((int(i), int(n_chars), int(b)))
+    return values_sql(sorted(out), ["doc_id", "n_chars", "bucket"])
+
+
+def hash_split_sql(weights=(8, 1, 1), labels=("train", "val", "test")) -> str:
+    """Expected output of sampling.hash_split(documents) aggregated per
+    split: counts and exact total characters."""
+    rows = read_table("documents", "doc_id, n_chars")
+    den = sum(weights)
+    bounds = []
+    acc = 0
+    for w, lab in zip(weights, labels):
+        acc += w
+        bounds.append((acc, lab))
+    agg: dict[str, list[int]] = {lab: [0, 0] for lab in labels}
+    for i, n_chars in rows:
+        b = spark_xxhash64(int(i)) % den
+        lab = next(l for bnd, l in bounds if b < bnd)
+        agg[lab][0] += 1
+        agg[lab][1] += int(n_chars)
+    out = [(lab, c, t) for lab, (c, t) in agg.items() if c]
+    return values_sql(sorted(out), ["split", "n_docs", "total_chars"])

@@ -1,0 +1,92 @@
+"""Deterministic keyed sampling / splitting (operators/sampling.py).
+
+The properties below are exactly the ones rand()-based sampling lacks
+and a 100 TB pipeline needs: stability under re-partitioning, split
+exhaustiveness/disjointness, cross-table alignment on the shared key,
+and a map-only physical plan (no Exchange, filter at the scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoparser_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.range(0, 2000)
+        .select(F.col("id").alias("doc_id"),
+                (F.col("id") * 7 % 997).alias("n_chars"))
+        .cache()
+    )
+
+
+def test_sample_stable_under_repartitioning(spark, docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 1, 10).collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(17, "n_chars"), "doc_id", 1, 10).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sample_fraction_close(spark, docs):
+    n = hash_sample(docs, "doc_id", 3, 10).count()
+    assert 0.2 < n / 2000 < 0.4  # ~0.3 with hash variance
+
+
+def test_sample_edge_fractions(spark, docs):
+    assert hash_sample(docs, "doc_id", 0, 10).count() == 0
+    assert hash_sample(docs, "doc_id", 10, 10).count() == 2000
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 11, 10)
+
+
+def test_split_exhaustive_and_disjoint(spark, docs):
+    out = hash_split(docs, "doc_id", (8, 1, 1), ("train", "val", "test"))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row gets exactly one label
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_matches_bucket_arithmetic(spark, docs):
+    out = hash_split(docs, "doc_id", (8, 1, 1), ("train", "val", "test"))
+    bad = out.withColumn("b", hash_bucket("doc_id", 10)).where(
+        ((F.col("b") < 8) & (F.col("split") != "train"))
+        | ((F.col("b") >= 8) & (F.col("b") < 9) & (F.col("split") != "val"))
+        | ((F.col("b") >= 9) & (F.col("split") != "test"))
+    )
+    assert bad.count() == 0
+
+
+def test_sample_aligns_across_tables(spark, docs):
+    """Two tables sampled on the same key keep the same rows — the
+    documents/embeddings alignment property rand() cannot give."""
+    other = docs.select("doc_id", (F.col("doc_id") + 1).alias("payload"))
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 1, 4).collect()}
+    b = {r.doc_id for r in hash_sample(other, "doc_id", 1, 4).collect()}
+    assert a == b
+
+
+def test_split_validation(spark, docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", (8, 1), ("a", "b", "c"))
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", (8, 0, 1), ("a", "b", "c"))
+
+
+def test_sample_plan_is_map_only(spark, docs):
+    """No Exchange anywhere: the sample filter must ride next to the
+    scan inside one codegen stage."""
+    plan = hash_sample(docs, "doc_id", 1, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2
