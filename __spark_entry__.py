@@ -1414,6 +1414,36 @@ def _dedup_minhash_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _dedup_cluster(spark, sf_dir):
+    """Full near-dup dedup chain: MinHash-LSH pairs (same planted
+    corpus as dedup_minhash_lsh) -> alternating-star connected
+    components -> every doc labeled with its component-min id.
+    Value-checked against a pure-Python LSH + union-find replica —
+    proves the pair list is transitively closed into clusters, not
+    just enumerated."""
+    from geoparser_spark.operators.components import (
+        assign_components,
+        connected_components,
+    )
+    from geoparser_spark.testing.pyoracle_queries import (
+        PLANT_ID_OFFSET,
+        PLANT_SUFFIX,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") % 5 == 0
+    )
+    copies = docs.select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    pairs = D.minhash_lsh_pairs(corpus, num_hashes=32, bands=16, threshold=0.5)
+    comp = connected_components(pairs)
+    return assign_components(corpus.select("doc_id"), comp).select(
+        "doc_id", "component")
+
+
 def _dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return D.simhash(docs).select("id", "simhash")
@@ -1678,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_hashed": _dedup_exact_hashed,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_cluster": _dedup_cluster,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_cosine,
@@ -2245,6 +2276,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "q11_viewport_tiles": PQ.viewport_tiles_sql(
                 0.0, 45.0, 0.0, 90.0, k=8, leaf_max=10, max_levels=3
+            ),
+            "dedup_cluster": PQ.minhash_cluster_sql(
+                modulus=5, num_hashes=32, bands=16, threshold=0.5
             ),
             "sample_hash": PQ.hash_sample_sql(num=1, den=10),
             "split_hash": PQ.hash_split_sql(

@@ -43,12 +43,10 @@ def _docs_with_planted(modulus: int) -> list[tuple[int, str]]:
     return base + [(i + PLANT_ID_OFFSET, t + PLANT_SUFFIX) for i, t in base]
 
 
-def minhash_lsh_pairs_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
-                          bands: int = 16, threshold: float = 0.5) -> str:
-    """Expected output of dedup.minhash_lsh_pairs over the planted
-    corpus: full replica — shingling, per-seed min xxhash64, banded
-    bucket join, exact Jaccard verify."""
-    docs = _docs_with_planted(modulus)
+def _minhash_pairs(docs: list[tuple[int, str]], n: int, num_hashes: int,
+                   bands: int, threshold: float) -> list[tuple[int, int, float]]:
+    """Shared replica of dedup.minhash_lsh_pairs — shingling, per-seed
+    min xxhash64, banded bucket join, exact Jaccard verify."""
     rows_per_band = num_hashes // bands
     sigs: dict[int, tuple[set, list[int]]] = {}
     for i, t in docs:
@@ -75,7 +73,40 @@ def minhash_lsh_pairs_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
         j = len(sa & sc) / len(sa | sc)
         if j >= threshold:
             out.append((a, c, spark_round(j, 6)))
+    return out
+
+
+def minhash_lsh_pairs_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
+                          bands: int = 16, threshold: float = 0.5) -> str:
+    """Expected output of dedup.minhash_lsh_pairs over the planted
+    corpus (see _minhash_pairs)."""
+    docs = _docs_with_planted(modulus)
+    out = _minhash_pairs(docs, n, num_hashes, bands, threshold)
     return values_sql(out, ["id_a", "id_b", "jaccard"])
+
+
+def minhash_cluster_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
+                        bands: int = 16, threshold: float = 0.5) -> str:
+    """Expected output of the full dedup chain: LSH pairs -> connected
+    components (union-find here; alternating stars on Spark) -> every
+    doc of the planted corpus labeled with its component min (isolated
+    docs label themselves)."""
+    docs = _docs_with_planted(modulus)
+    pairs = _minhash_pairs(docs, n, num_hashes, bands, threshold)
+    parent = {int(i): int(i) for i, _ in docs}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = sorted((i, find(i)) for i in parent)
+    return values_sql(out, ["doc_id", "component"])
 
 
 def line_dedup_cms_sql(max_repeats: int = 2, depth: int = 4,
