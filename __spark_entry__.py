@@ -1341,6 +1341,123 @@ def _tpch_q21(spark, sf_dir):
     )
 
 
+def _tpch_q8(spark, sf_dir):
+    """TPC-H Q8-style national market share: NATION_1's share of
+    ECONOMY-part volume sold to ASIA customers, per order year.  The
+    share is a ratio of two exact decimal-micros sums computed in the
+    SAME groupBy (one aggregate pass); only the final division runs in
+    double (both engines divide the same two exactly-representable
+    values — the q14-proven pattern).  Dim legs (part filter, both
+    nation maps, region) broadcast; the fact side shuffles once for
+    the 3-fact join chain, then once for the year rollup."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_nat = (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nat = nation.select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation"))
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31"))
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cust_nat), cust["c_nationkey"] == F.col("c_nk"),
+              "left_semi")
+        .join(_t(spark, sf_dir, "supplier").alias("s"),
+              li["l_suppkey"] == F.col("s.s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s.s_nationkey") == F.col("s_nk"))
+    )
+    num = _micros(
+        F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+    den = _micros(vol)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(num.cast("double") / den.cast("double"), 6)
+             .alias("mkt_share"))
+    )
+
+
+def _tpch_q9(spark, sf_dir):
+    """TPC-H Q9-style product-type profit (adapted: no partsupp table,
+    so supply cost is proxied as half the part's retail price —
+    amount = ext*(1-disc) - 0.5*p_retailprice*l_quantity, which keeps
+    the query's join/agg shape and exercises NEGATIVE amounts through
+    the sign-safe split-long sum).  Filter p_name contains 'widget'
+    broadcasts; nation map broadcasts; one fact shuffle for the
+    orders join, one for the (nation, year) rollup."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains("widget")).select("p_partkey",
+                                                   "p_retailprice")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == F.col("s_nk"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum4(amount, "sum_profit"))
+    )
+
+
+def _tpch_q20(spark, sf_dir):
+    """TPC-H Q20-style part promotion (adapted: no partsupp/availqty —
+    'excess stock' becomes 'this supplier shipped > 30% of the part's
+    1996 volume').  The correlated subquery chain decorrelates into
+    per-(part,supplier) and per-part aggregates — the second shuffle
+    moves only already-aggregated (part,supplier) rows, never the
+    fact table twice; the
+    threshold compare is pure integer arithmetic on quantity-cents
+    (10*s > 3*total), no double boundary.  EUROPE suppliers selected
+    via broadcast semi-joins both ways."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("small")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    li = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"],
+                 "left_semi")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qc).alias("sq"))
+    tot = ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    cand = (
+        ps.join(tot, "l_partkey")
+        .where(ps["sq"] * 10 > F.col("tq") * 3)
+        .select("l_suppkey").distinct()
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nat = (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_nationkey").alias("s_nk"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == F.col("s_nk"),
+                  "left_semi")
+        .join(cand, supp["s_suppkey"] == cand["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def _tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1699,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_order_distribution": _tpch_q13,
         "tpch_q16_supplier_cnt": _tpch_q16,
         "tpch_q22_idle_customers": _tpch_q22,
+        "tpch_q8_market_share": _tpch_q8,
+        "tpch_q9_product_profit": _tpch_q9,
+        "tpch_q20_part_promotion": _tpch_q20,
         "tpch_q2_min_cost_supplier": _tpch_q2,
         "tpch_q11_important_parts": _tpch_q11,
         "tpch_q15_top_supplier": _tpch_q15,
@@ -2046,6 +2166,63 @@ def oracle_sql() -> dict[str, str]:
             FROM waits JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC LIMIT 10""",
+        "tpch_q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(CAST({_micros_sql(
+                       "CASE WHEN sn.n_name = 'NATION_1'"
+                       " THEN l_extendedprice * (1 - l_discount)"
+                       " ELSE 0.0 END")} AS DOUBLE)
+                         / CAST({_micros_sql(
+                             "l_extendedprice * (1 - l_discount)")} AS DOUBLE),
+                         6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+            GROUP BY 1""",
+        "tpch_q9_product_profit": f"""
+            SELECT nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                   {_dsum4_sql(
+                       "l_extendedprice * (1 - l_discount)"
+                       " - 0.5 * p_retailprice * l_quantity", "sum_profit")}
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+                     AND contains(p_name, 'widget')
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN (SELECT n_nationkey, n_name AS nation FROM nation) n
+                 ON s_nationkey = n_nationkey
+            GROUP BY 1, 2""",
+        "tpch_q20_part_promotion": """
+            WITH li96 AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS qc
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+                AND l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+            ), ps AS (
+              SELECT l_partkey, l_suppkey, sum(qc) AS sq
+              FROM li96 GROUP BY 1, 2
+            ), tot AS (
+              SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1
+            ), cand AS (
+              SELECT DISTINCT l_suppkey
+              FROM ps JOIN tot USING (l_partkey)
+              WHERE ps.sq * 10 > tot.tq * 3
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_nationkey IN (
+                    SELECT n_nationkey FROM nation JOIN region
+                      ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+              AND s_suppkey IN (SELECT l_suppkey FROM cand)""",
         "tpch_q14_promo_share": """
             SELECT round(100.0
                    * CAST((CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) AS DOUBLE)
