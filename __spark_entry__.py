@@ -1746,6 +1746,84 @@ FROM planted
 """
 
 
+def _curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py): the eval set
+    is every doc_id % 25 == 0 document; each corpus doc is scored by
+    how many of its 8-grams appear in the eval set.  Eval grams
+    broadcast; the corpus side explodes map-side and re-aggregates —
+    the one shuffle carries per-doc counters."""
+    from geoparser_spark.operators.curation import ngram_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 25 == 0)
+    return ngram_overlap(d, ev, n=8)
+
+
+def _curation_familiarity(spark, sf_dir):
+    """Unigram corpus-frequency familiarity (integer-exact core of a
+    perplexity filter): vocabulary = tokens seen >= 5 times corpus-wide
+    (broadcast map), per-doc familiarity = sum of token frequencies,
+    OOV counted.  See operators/curation.py for why no ln()."""
+    from geoparser_spark.operators.curation import token_familiarity
+
+    return token_familiarity(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+def _curation_source_filter(spark, sf_dir):
+    """Domain/source blocklist: broadcast LEFT-ANTI against a 3-entry
+    blocklist, returning surviving (doc_id, source)."""
+    from geoparser_spark.operators.curation import source_filter
+
+    d = _t(spark, sf_dir, "documents")
+    blocked = d.sparkSession.createDataFrame(
+        [("src1",), ("src4",), ("src7",)], "source: string")
+    return source_filter(d, blocked).select("doc_id", "source")
+
+
+_DECON_SQL = """
+    WITH t AS (
+      SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 8 THEN
+               list_transform(range(0, len(toks) - 7),
+                              i -> array_to_string(toks[i+1:i+8], ' '))
+             ELSE [] END AS grams
+      FROM t
+    ), eg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0
+    ), dg AS (
+      SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+    ), h AS (
+      SELECT doc_id, count(*) AS n FROM dg
+      WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_gram_hits,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+_FAMILIARITY_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({norm}, ' ')) AS t FROM documents
+    ), v AS (
+      SELECT t, count(*) AS freq FROM tok GROUP BY t HAVING count(*) >= 5
+    ), s AS (
+      SELECT tok.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+             CAST(sum(coalesce(v.freq, 0)) AS BIGINT) AS familiarity
+      FROM tok LEFT JOIN v USING (t) GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(coalesce(s.familiarity, 0) AS BIGINT) AS familiarity
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def _sample_hash(spark, sf_dir):
     """Deterministic keyed sampling (operators/sampling.py): keep
     ~1/10 of documents by pmod(xxhash64(doc_id), 10), bucket surfaced
@@ -1849,6 +1927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _text_pii_scrub,
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
+        "curation_decontaminate": _curation_decontaminate,
+        "curation_familiarity": _curation_familiarity,
+        "curation_source_filter": _curation_source_filter,
     }
 
 
@@ -2457,6 +2538,13 @@ def oracle_sql() -> dict[str, str]:
             "dedup_cluster": PQ.minhash_cluster_sql(
                 modulus=5, num_hashes=32, bands=16, threshold=0.5
             ),
+            "curation_decontaminate": _DECON_SQL.format(
+                norm=_NORM_SQL.format(c="text")),
+            "curation_familiarity": _FAMILIARITY_SQL.format(
+                norm=_NORM_SQL.format(c="text")),
+            "curation_source_filter": (
+                "SELECT doc_id, source FROM documents "
+                "WHERE source NOT IN ('src1', 'src4', 'src7')"),
             "sample_hash": PQ.hash_sample_sql(num=1, den=10),
             "split_hash": PQ.hash_split_sql(
                 weights=(8, 1, 1), labels=("train", "val", "test")

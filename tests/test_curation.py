@@ -1,0 +1,99 @@
+"""Curation operators (operators/curation.py): decontamination,
+familiarity scoring, source blocklist — behavior plus the plan
+invariants (small side broadcasts, corpus side never shuffles for the
+probe join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoparser_spark.operators.curation import (
+    ngram_overlap,
+    source_filter,
+    token_familiarity,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base),                               # contains the eval 8-gram
+        (2, "x " + base),                        # shifted, still contains it
+        (3, "unrelated words only here nothing matches at all today ok"),
+        (4, "alpha bravo charlie"),              # < 8 tokens: clean
+        (5, ""),                                 # empty: clean
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string").cache()
+
+
+def test_ngram_overlap_plants(spark, docs):
+    ev = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: (r.n_gram_hits, r.contaminated)
+           for r in ngram_overlap(docs, ev, n=8).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    assert got[5] == (0, False)
+
+
+def test_ngram_overlap_counts_distinct_per_doc(spark):
+    # the same eval gram repeated in one doc counts once
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h a b c d e f g h")],
+        "doc_id: long, text: string",
+    )
+    ev = spark.createDataFrame([(9, "a b c d e f g h")],
+                               "doc_id: long, text: string")
+    [r] = ngram_overlap(d, ev, n=8).collect()
+    # grams of the doubled doc include the eval gram plus shifted ones;
+    # the eval gram itself contributes exactly one hit
+    assert r.n_gram_hits == 1
+
+
+def test_ngram_probe_join_is_broadcast(spark, docs):
+    ev = docs.where(F.col("doc_id") == 1)
+    plan = (
+        ngram_overlap(docs, ev, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_familiarity_integer_exact(spark):
+    d = spark.createDataFrame(
+        [(1, "cat cat cat dog"), (2, "cat bird"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.familiarity)
+           for r in token_familiarity(d, min_count=2).collect()}
+    # corpus freqs: cat=4, dog=1(oov), bird=1(oov), ''=1(oov)
+    assert got[1] == (4, 1, 12)   # 3 cats * 4 + dog oov
+    assert got[2] == (2, 1, 4)
+    assert got[3] == (1, 1, 0)    # '' token, oov
+
+
+def test_familiarity_deterministic_across_partitioning(spark):
+    rows = [(i, f"w{i % 7} w{i % 3} common common") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    a = sorted(map(tuple, token_familiarity(d, 5).collect()))
+    b = sorted(map(tuple, token_familiarity(d.repartition(13), 5).collect()))
+    assert a == b
+
+
+def test_source_filter_anti_join(spark):
+    d = spark.createDataFrame(
+        [(1, "a", "good.com"), (2, "b", "spam.com"), (3, "c", "good.com")],
+        "doc_id: long, text: string, source: string",
+    )
+    blocked = spark.createDataFrame([("spam.com",)], "source: string")
+    kept = sorted(r.doc_id for r in source_filter(d, blocked).collect())
+    assert kept == [1, 3]
+    plan = source_filter(d, blocked)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
