@@ -102,6 +102,28 @@ def main() -> int:
             "tables), never O(pairs).",
             _fmt(qs["dedup_embedding_lsh"](spark, sf_dir)),
         ),
+        (
+            "curation_decontaminate",
+            "Benchmark decontamination: eval-set 8-grams broadcast; the "
+            "corpus side explodes grams map-side and LEFT-SEMI-probes "
+            "the broadcast — the only corpus shuffle carries per-doc "
+            "counters (map-side combined), never the gram stream.",
+            _fmt(qs["curation_decontaminate"](spark, sf_dir)),
+        ),
+        (
+            "curation_familiarity",
+            "Unigram familiarity: the vocab aggregate shuffles at "
+            "VOCABULARY grain (map-side combine collapses each "
+            "partition to its distinct tokens) and broadcasts back; "
+            "the per-doc rollup is the only corpus-grain shuffle.",
+            _fmt(qs["curation_familiarity"](spark, sf_dir)),
+        ),
+        (
+            "sample_hash",
+            "Keyed sampling: the xxhash64 bucket filter is a codegen'd "
+            "column expression at the scan — zero exchanges.",
+            _fmt(qs["sample_hash"](spark, sf_dir)),
+        ),
     ]
 
     with open("PLANS.md", "w") as f:
