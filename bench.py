@@ -132,6 +132,8 @@ def main() -> int:
         "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
         "text_quality_score", "text_fingerprint",
         "dedup_lines_cms", "dedup_embedding_lsh", "text_pii_scrub",
+        "curation_decontaminate", "curation_familiarity", "sample_hash",
+        "dedup_cluster",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}
