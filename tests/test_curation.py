@@ -66,6 +66,16 @@ def test_ngram_probe_join_is_broadcast(spark, docs):
     assert "SortMergeJoin" not in plan
 
 
+def test_hashed_and_string_grams_agree(spark, docs):
+    """The xxhash64 fingerprint probe must give the same hit counts as
+    the byte-exact string-gram join (the DuckDB oracle mirrors the
+    string formulation)."""
+    ev = docs.where(F.col("doc_id").isin(1, 3))
+    a = sorted(map(tuple, ngram_overlap(docs, ev, n=8, hashed=True).collect()))
+    b = sorted(map(tuple, ngram_overlap(docs, ev, n=8, hashed=False).collect()))
+    assert a == b
+
+
 def test_familiarity_integer_exact(spark):
     d = spark.createDataFrame(
         [(1, "cat cat cat dog"), (2, "cat bird"), (3, "")],
