@@ -18,7 +18,7 @@ aggregate); zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from geoparser_spark.operators.geotag import normalize_text
@@ -359,6 +359,28 @@ def line_dedup_cms(docs: DataFrame, max_repeats: int = 2,
     return _rebuild_docs(marked, id_col)
 
 
+def simhash_col(text_col: str = "text", bits: int = 64) -> Column:
+    """The SimHash fingerprint as a pure COLUMN expression — usable in
+    any projection, batch or streaming (streaming/incremental.py keys
+    its bounded dedup state on it).  See :func:`simhash` for the
+    design notes."""
+    norm_sql = (
+        f"split(trim(lower(regexp_replace({text_col},"
+        f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' '))), ' ')"
+    )
+    bit_legs = ", ".join(
+        f"""CASE WHEN 2 * aggregate(hs, 0,
+                 (acc, h) -> acc + CAST(shiftright(h, {j}) & 1L AS INT))
+                 > size(hs) THEN '1' ELSE '0' END"""
+        for j in range(bits)
+    )
+    return F.expr(
+        f"""transform(array(array_distinct({norm_sql})), toks ->
+              transform(array(transform(toks, t -> xxhash64(t))), hs ->
+                concat({bit_legs}))[0])[0]"""
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint per doc: each distinct token votes ±1
@@ -373,22 +395,10 @@ def simhash(docs: DataFrame, text_col: str = "text",
     previous formulation shuffled the corpus at TOKEN grain into a
     64-column aggregate — at 100 TB that shuffles ~#tokens rows; this
     one shuffles nothing."""
-    norm_sql = (
-        f"split(trim(lower(regexp_replace({text_col},"
-        f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' '))), ' ')"
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        simhash_col(text_col, bits).alias("simhash"),
     )
-    bit_legs = ", ".join(
-        f"""CASE WHEN 2 * aggregate(hs, 0,
-                 (acc, h) -> acc + CAST(shiftright(h, {j}) & 1L AS INT))
-                 > size(hs) THEN '1' ELSE '0' END"""
-        for j in range(bits)
-    )
-    packed = F.expr(
-        f"""transform(array(array_distinct({norm_sql})), toks ->
-              transform(array(transform(toks, t -> xxhash64(t))), hs ->
-                concat({bit_legs}))[0])[0]"""
-    )
-    out = docs.select(F.col(id_col).alias("id"), packed.alias("simhash"))
     for band in range(4):
         out = out.withColumn(
             f"band{band}", F.substring("simhash", band * 16 + 1, 16)

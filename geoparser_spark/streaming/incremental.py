@@ -152,3 +152,46 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_content_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id string, ts timestamp, text string",
+    watermark: str = "30 minutes",
+) -> StreamingQuery:
+    """Streaming CONTENT dedup: suppress re-posts of the same text
+    under a different doc_id (mirror feeds, syndication) by deduping on
+    the 64-bit SimHash fingerprint within the watermark horizon.
+
+    The signature is the batch family's shuffle-free higher-order
+    expression (operators/dedup.simhash_col), evaluated map-side per
+    micro-batch; ``dropDuplicatesWithinWatermark`` then keys state on
+    the 64-bit signature — bounded by the watermark, never by corpus
+    size.  Recall boundary, stated plainly: only hamming-distance-0
+    collisions dedup here (identical or near-identically tokenized
+    text — SimHash maps small edits to the same fingerprint with high
+    probability but not certainty); hamming 1..k near-dups pass through
+    and are the batch ``simhash_near_dup_pairs`` / MinHash-LSH
+    pipeline's job downstream.  A streaming hamming-ball dedup would
+    need per-band cross-row state (doc drops if ANY band matched any
+    earlier doc) — not expressible with bounded per-key state without
+    accepting band-level false drops."""
+    from geoparser_spark.operators.dedup import simhash_col
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    deduped = (
+        stream.withColumn("simhash", simhash_col("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -187,3 +187,28 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, dirs):
     out = spark.read.parquet(dirs["out"])
     got = sorted(r.doc_id for r in out.collect())
     assert got == ["d1", "d2", "d3"]
+
+
+def test_streaming_content_dedup_suppresses_reposts(spark, dirs):
+    """Re-posts of the same TEXT under different doc_ids dedup on the
+    SimHash signature; distinct content passes.  The signature is a
+    pure projection (no shuffle before the stateful dedup)."""
+    from geoparser_spark.streaming.incremental import run_streaming_content_dedup
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("d1", "2024-01-01 10:00:00", body),
+        ("d2", "2024-01-01 10:00:10", body),              # repost: dropped
+        ("d3", "2024-01-01 10:00:20", "entirely different content here " * 3),
+        ("d4", "2024-01-01 10:05:00", body + "!!"),       # same tokens: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts string, text string") \
+        .select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+    df.write.mode("append").parquet(dirs["docs"])
+    q = run_streaming_content_dedup(spark, dirs["docs"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    kept_texts = sorted(r.text[:10] for r in out.collect())
+    assert out.count() == 2
+    # one of the body reposts survives (either id), plus the distinct doc
+    assert any(t.startswith("entirely") for t in kept_texts)
