@@ -36,7 +36,28 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--partitions", type=int, default=None)
     run.add_argument("--n-logical-parts", type=int, default=256)
     run.add_argument("--tiles", action="store_true")
+    comp = sub.add_parser(
+        "compact",
+        help="rewrite a small-file parquet dir into ~target-sized files "
+             "(plans/filesizing.py; on Iceberg use rewrite_data_files)")
+    comp.add_argument("--src", required=True)
+    comp.add_argument("--dst", required=True)
+    comp.add_argument("--target-file-mb", type=int, default=256)
+    comp.add_argument("--range-key", default=None)
     args = p.parse_args(argv)
+
+    if args.cmd == "compact":
+        from geoparser_spark.plans.filesizing import compact_parquet
+
+        spark = get_spark(app_name="geoparser-compact")
+        stats = compact_parquet(
+            spark, args.src, args.dst,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+            range_key=args.range_key,
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return 0
 
     spark = get_spark(app_name="geoparser-job")
     t0 = time.monotonic()
