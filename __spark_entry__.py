@@ -1746,6 +1746,25 @@ FROM planted
 """
 
 
+def _text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-100 (count desc, token asc — fully
+    deterministic ordering so rank-boundary ties can't flap).  The agg
+    shuffles at VOCABULARY grain after map-side combine; top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from geoparser_spark.operators.geotag import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(
+        normalize_text(F.col("text")), " ")).alias("t"))
+    return (
+        toks.where(F.col("t") != "")
+        .groupBy("t").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("t").asc())
+        .limit(100)
+        .select(F.col("t").alias("token"), "freq")
+    )
+
+
 def _curation_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/curation.py): the eval set
     is every doc_id % 25 == 0 document; each corpus doc is scored by
@@ -1927,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _text_pii_scrub,
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
+        "text_vocab_topk": _text_vocab_topk,
         "curation_decontaminate": _curation_decontaminate,
         "curation_familiarity": _curation_familiarity,
         "curation_source_filter": _curation_source_filter,
@@ -2538,6 +2558,14 @@ def oracle_sql() -> dict[str, str]:
             "dedup_cluster": PQ.minhash_cluster_sql(
                 modulus=5, num_hashes=32, bands=16, threshold=0.5
             ),
+            "text_vocab_topk": f"""
+                SELECT t AS token, count(*) AS freq
+                FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},
+                                    ' ')) AS t
+                      FROM documents)
+                WHERE t <> ''
+                GROUP BY t
+                ORDER BY freq DESC, t ASC LIMIT 100""",
             "curation_decontaminate": _DECON_SQL.format(
                 norm=_NORM_SQL.format(c="text")),
             "curation_familiarity": _FAMILIARITY_SQL.format(
