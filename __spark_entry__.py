@@ -706,6 +706,48 @@ def _viewport_tiles(spark, sf_dir):
     )
 
 
+def _q13_radius_search(spark, sf_dir):
+    """Q13 — great-circle radius search over the events-derived points
+    (the map UI's "near me"; rectangular sibling is Q11).  One
+    codegen'd haversine per row behind a safe bounding-box
+    short-circuit; value-checked against DuckDB's trig on the same
+    fixed data."""
+    from geoparser_spark.operators.serve import radius_search
+
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
+        (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
+    )
+    return radius_search(pts, 10.0, 20.0, 2000.0).select(
+        "event_id",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "dist_km",
+    )
+
+
+_RADIUS_SQL = """
+    WITH pts AS (
+      SELECT event_id,
+             (((value * 37) % 180.0 + 180.0) % 180.0) - 90 AS plat,
+             (((value * 91) % 360.0 + 360.0) % 360.0) - 180 AS plon
+      FROM events
+    ), d AS (
+      SELECT event_id, plat, plon,
+             round(2 * 6371.0088 * asin(sqrt(
+                 pow(sin((radians(plat) - radians(10.0)) / 2), 2)
+                 + cos(radians(10.0)) * cos(radians(plat))
+                   * pow(sin((radians(plon) - radians(20.0)) / 2), 2)
+             )), 6) AS dist_km
+      FROM pts
+    )
+    SELECT event_id, round(plat, 6) AS latitude,
+           round(plon, 6) AS longitude, dist_km
+    FROM d WHERE dist_km <= 2000.0
+"""
+
+
 def _mm_frame_plan(spark, sf_dir):
     """Multimodal: video frame-sampling plan from duration metadata —
     pure SQL, one row per planned frame."""
@@ -1891,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_extent_agg": _q10_extent,
         "q11_viewport_tiles": _viewport_tiles,
         "q12_topn": _q12_topn,
+        "q13_radius_search": _q13_radius_search,
         "events_windowed_agg": _events_windowed_agg,
         "events_sessionize": _events_sessionize,
         "multimodal_frame_plan": _mm_frame_plan,
@@ -2558,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_cluster": PQ.minhash_cluster_sql(
                 modulus=5, num_hashes=32, bands=16, threshold=0.5
             ),
+            "q13_radius_search": _RADIUS_SQL,
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

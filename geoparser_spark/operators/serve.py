@@ -78,3 +78,35 @@ def keyword_match_total(docs: DataFrame, keywords: list[str],
         F.sum("n_hits").alias("total_hits"),
         F.count(F.when(F.col("n_hits") > 0, 1)).alias("docs_with_hits"),
     )
+
+
+def radius_search(points: DataFrame, lat: float, lon: float,
+                  radius_km: float,
+                  lat_col: str = "latitude",
+                  lon_col: str = "longitude") -> DataFrame:
+    """Q13 — all points within ``radius_km`` of (lat, lon): the map
+    UI's "near me" query, the great-circle sibling of the rectangular
+    viewport filter (Q11).  Haversine as one codegen'd expression —
+    a map-only filter that pushes past the scan like any predicate; at
+    serving scale the cheap bounding-box pre-filter (|Δlat| ≤ r/111.0,
+    a strict OVER-approximation of the sphere's 111.195 km/degree so it
+    can never exclude a true hit) short-circuits the trig for the
+    overwhelming majority of rows.
+
+    Adds ``dist_km`` (rounded to 6 decimals).  Both engines evaluate
+    the same IEEE-double formula; the oracle comparison is stable
+    because the test data is fixed (a point landing within 1e-6 km of
+    the boundary would be a one-time data property, not run noise)."""
+    rlat1, rlon1 = F.radians(F.lit(lat)), F.radians(F.lit(lon))
+    rlat2, rlon2 = F.radians(F.col(lat_col)), F.radians(F.col(lon_col))
+    h = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    dist = 2 * F.lit(6371.0088) * F.asin(F.sqrt(h))
+    box = (F.abs(F.col(lat_col) - F.lit(lat)) <= F.lit(radius_km / 111.0))
+    return (
+        points.where(box)
+        .withColumn("dist_km", F.round(dist, 6))
+        .where(F.col("dist_km") <= radius_km)
+    )
