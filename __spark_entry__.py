@@ -748,6 +748,55 @@ _RADIUS_SQL = """
 """
 
 
+def _q14_nearest_place(spark, sf_dir):
+    """Q14 — reverse geocoding: each events-derived point's EXACT
+    nearest gazetteer place (grid filter + provable refine + fallback,
+    operators/geojoin.py).  Value-checked against a DuckDB brute-force
+    cross join over the same 202-place table."""
+    from geoparser_spark.operators.geojoin import nearest_place
+
+    pts = _t(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
+        (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
+    )
+    places = gazetteer_df(spark).select(
+        "geonameid", "name", "latitude", "longitude")
+    return nearest_place(pts, places, cell_deg=5.0)
+
+
+def _nearest_place_sql() -> str:
+    places = ", ".join(
+        f"({r['geonameid']}, '{r['name'].replace(chr(39), chr(39) * 2)}', "
+        f"{r['latitude']!r}, {r['longitude']!r})"
+        for r in gazetteer_rows()
+    )
+    return f"""
+    WITH pts AS (
+      SELECT event_id,
+             (((value * 37) % 180.0 + 180.0) % 180.0) - 90 AS plat,
+             (((value * 91) % 360.0 + 360.0) % 360.0) - 180 AS plon
+      FROM events WHERE event_id % 20 = 0
+    ), places(geonameid, name, glat, glon) AS (VALUES {places}),
+    d AS (
+      SELECT p.event_id, pl.geonameid, pl.name,
+             2 * 6371.0088 * asin(sqrt(least(1.0,
+                 pow(sin((radians(pl.glat) - radians(p.plat)) / 2), 2)
+                 + cos(radians(p.plat)) * cos(radians(pl.glat))
+                   * pow(sin((radians(pl.glon) - radians(p.plon)) / 2), 2)
+             ))) AS dist
+      FROM pts p CROSS JOIN places pl
+    ), r AS (
+      SELECT event_id, geonameid, name, dist,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY dist, geonameid) AS rn
+      FROM d
+    )
+    SELECT event_id, geonameid, name, round(dist, 3) AS dist_km
+    FROM r WHERE rn = 1
+"""
+
+
 def _mm_frame_plan(spark, sf_dir):
     """Multimodal: video frame-sampling plan from duration metadata —
     pure SQL, one row per planned frame."""
@@ -1934,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_viewport_tiles": _viewport_tiles,
         "q12_topn": _q12_topn,
         "q13_radius_search": _q13_radius_search,
+        "q14_nearest_place": _q14_nearest_place,
         "events_windowed_agg": _events_windowed_agg,
         "events_sessionize": _events_sessionize,
         "multimodal_frame_plan": _mm_frame_plan,
@@ -2602,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
                 modulus=5, num_hashes=32, bands=16, threshold=0.5
             ),
             "q13_radius_search": _RADIUS_SQL,
+            "q14_nearest_place": _nearest_place_sql(),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

@@ -97,13 +97,10 @@ def radius_search(points: DataFrame, lat: float, lon: float,
     the same IEEE-double formula; the oracle comparison is stable
     because the test data is fixed (a point landing within 1e-6 km of
     the boundary would be a one-time data property, not run noise)."""
-    rlat1, rlon1 = F.radians(F.lit(lat)), F.radians(F.lit(lon))
-    rlat2, rlon2 = F.radians(F.col(lat_col)), F.radians(F.col(lon_col))
-    h = (
-        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
-        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
-    )
-    dist = 2 * F.lit(6371.0088) * F.asin(F.sqrt(h))
+    from geoparser_spark.operators.geojoin import haversine_km
+
+    dist = haversine_km(F.lit(lat), F.lit(lon),
+                        F.col(lat_col), F.col(lon_col))
     box = (F.abs(F.col(lat_col) - F.lit(lat)) <= F.lit(radius_km / 111.0))
     return (
         points.where(box)
