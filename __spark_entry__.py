@@ -658,6 +658,28 @@ def _events_sessionize(spark, sf_dir):
     )
 
 
+def _events_asof_state(spark, sf_dir):
+    """As-of join: each event picks up the latest 'profile state' (a
+    right table derived from every 50th event) at or before its
+    timestamp, per user — then rolls up events per state so the value
+    check covers every assignment without shipping the event stream.
+    Oracle: DuckDB's NATIVE ASOF LEFT JOIN — the union-and-sweep
+    implementation must agree with a reference engine's built-in."""
+    from geoparser_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    right = (
+        ev.where(F.col("event_id") % 50 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("state_id"))
+    )
+    joined = asof_join(ev, right, ["user_id"], "ts")
+    return (
+        joined.groupBy("state_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def _tile_extents(spark, sf_dir):
     """Q9/Q10 — deterministic k-means tile pyramid over points derived
     from events; returns the extent manifest (dict.csv replacement).
@@ -1986,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_nearest_place": _q14_nearest_place,
         "events_windowed_agg": _events_windowed_agg,
         "events_sessionize": _events_sessionize,
+        "events_asof_state": _events_asof_state,
         "multimodal_frame_plan": _mm_frame_plan,
         "multimodal_media_features": _mm_media_features,
         "multimodal_image_meta": _mm_image_meta,
@@ -2154,6 +2177,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    CAST(round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id""",
+        "events_asof_state": """
+            WITH r AS (
+              SELECT user_id, ts, max(event_id) AS state_id
+              FROM events WHERE event_id % 50 = 0 GROUP BY user_id, ts
+            )
+            SELECT r.state_id, count(*) AS n_events
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.ts
+            GROUP BY r.state_id""",
         "multimodal_image_meta": _MM_META_SQL,
         "multimodal_image_gps": _MM_GPS_SQL,
         "multimodal_audio_meta": _MM_AUDIO_META_SQL,
