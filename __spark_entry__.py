@@ -680,6 +680,31 @@ def _events_asof_state(spark, sf_dir):
     )
 
 
+def _event_points(spark, sf_dir, modulus: int | None = None):
+    """SINGLE SOURCE of the synthetic events -> (lat, lon) point
+    derivation used by the tile/radius/nearest queries; the SQL twin is
+    _PTS_SQL.  Changing either formula requires changing both — and
+    only these two places."""
+    ev = _t(spark, sf_dir, "events")
+    if modulus is not None:
+        ev = ev.where(F.col("event_id") % modulus == 0)
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("info"),
+        (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
+        (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
+    )
+
+
+def _pts_sql(where: str = "") -> str:
+    """DuckDB twin of _event_points (pmod spelled as ((x%m)+m)%m)."""
+    return f"""
+      SELECT event_id,
+             (((value * 37) % 180.0 + 180.0) % 180.0) - 90 AS plat,
+             (((value * 91) % 360.0 + 360.0) % 360.0) - 180 AS plon
+      FROM events {where}"""
+
+
 def _tile_extents(spark, sf_dir):
     """Q9/Q10 — deterministic k-means tile pyramid over points derived
     from events; returns the extent manifest (dict.csv replacement).
@@ -687,15 +712,8 @@ def _tile_extents(spark, sf_dir):
     pinned by tests/test_operators_spark.py."""
     from geoparser_spark.operators.tiles import build_tile_pyramid
 
-    pts = (
-        _t(spark, sf_dir, "events")
-        .where(F.col("event_id") % 20 == 0)
-        .select(
-            (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
-            (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
-            F.col("event_type").alias("info"),
-        )
-    )
+    pts = _event_points(spark, sf_dir, modulus=20).select(
+        "latitude", "longitude", "info")
     _, extents = build_tile_pyramid(pts, k=8, leaf_max=10, max_levels=3)
     return extents.select(
         "level", "cluster_path",
@@ -709,15 +727,8 @@ def _viewport_tiles(spark, sf_dir):
     over the extent manifest).  Rows-only (depends on k-means tiles)."""
     from geoparser_spark.operators.tiles import build_tile_pyramid, viewport_tiles
 
-    pts = (
-        _t(spark, sf_dir, "events")
-        .where(F.col("event_id") % 20 == 0)
-        .select(
-            (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
-            (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
-            F.col("event_type").alias("info"),
-        )
-    )
+    pts = _event_points(spark, sf_dir, modulus=20).select(
+        "latitude", "longitude", "info")
     tiles, extents = build_tile_pyramid(pts, k=8, leaf_max=10, max_levels=3)
     vt = viewport_tiles(tiles, extents, 0.0, 45.0, 0.0, 90.0)
     return vt.select(
@@ -736,11 +747,8 @@ def _q13_radius_search(spark, sf_dir):
     fixed data."""
     from geoparser_spark.operators.serve import radius_search
 
-    pts = _t(spark, sf_dir, "events").select(
-        "event_id",
-        (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
-        (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
-    )
+    pts = _event_points(spark, sf_dir).select(
+        "event_id", "latitude", "longitude")
     return radius_search(pts, 10.0, 20.0, 2000.0).select(
         "event_id",
         F.round("latitude", 6).alias("latitude"),
@@ -749,12 +757,8 @@ def _q13_radius_search(spark, sf_dir):
     )
 
 
-_RADIUS_SQL = """
-    WITH pts AS (
-      SELECT event_id,
-             (((value * 37) % 180.0 + 180.0) % 180.0) - 90 AS plat,
-             (((value * 91) % 360.0 + 360.0) % 360.0) - 180 AS plon
-      FROM events
+_RADIUS_SQL_TPL = """
+    WITH pts AS ({PTS}
     ), d AS (
       SELECT event_id, plat, plon,
              round(2 * 6371.0088 * asin(sqrt(
@@ -777,11 +781,8 @@ def _q14_nearest_place(spark, sf_dir):
     cross join over the same 202-place table."""
     from geoparser_spark.operators.geojoin import nearest_place
 
-    pts = _t(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0).select(
-        "event_id",
-        (F.pmod(F.col("value") * 37, F.lit(180.0)) - 90).alias("latitude"),
-        (F.pmod(F.col("value") * 91, F.lit(360.0)) - 180).alias("longitude"),
-    )
+    pts = _event_points(spark, sf_dir, modulus=20).select(
+        "event_id", "latitude", "longitude")
     places = gazetteer_df(spark).select(
         "geonameid", "name", "latitude", "longitude")
     return nearest_place(pts, places, cell_deg=5.0)
@@ -794,11 +795,7 @@ def _nearest_place_sql() -> str:
         for r in gazetteer_rows()
     )
     return f"""
-    WITH pts AS (
-      SELECT event_id,
-             (((value * 37) % 180.0 + 180.0) % 180.0) - 90 AS plat,
-             (((value * 91) % 360.0 + 360.0) % 360.0) - 180 AS plon
-      FROM events WHERE event_id % 20 = 0
+    WITH pts AS ({_pts_sql('WHERE event_id % 20 = 0')}
     ), places(geonameid, name, glat, glon) AS (VALUES {places}),
     d AS (
       SELECT p.event_id, pl.geonameid, pl.name,
@@ -2683,7 +2680,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_cluster": PQ.minhash_cluster_sql(
                 modulus=5, num_hashes=32, bands=16, threshold=0.5
             ),
-            "q13_radius_search": _RADIUS_SQL,
+            "q13_radius_search": _RADIUS_SQL_TPL.format(PTS=_pts_sql()),
             "q14_nearest_place": _nearest_place_sql(),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
@@ -2698,8 +2695,11 @@ def oracle_sql() -> dict[str, str]:
             "curation_familiarity": _FAMILIARITY_SQL.format(
                 norm=_NORM_SQL.format(c="text")),
             "curation_source_filter": (
+                # OR IS NULL pins the anti-join's keep-NULL semantics:
+                # NOT IN alone drops NULL sources, left_anti keeps them
                 "SELECT doc_id, source FROM documents "
-                "WHERE source NOT IN ('src1', 'src4', 'src7')"),
+                "WHERE source NOT IN ('src1', 'src4', 'src7') "
+                "OR source IS NULL"),
             "sample_hash": PQ.hash_sample_sql(num=1, den=10),
             "split_hash": PQ.hash_split_sql(
                 weights=(8, 1, 1), labels=("train", "val", "test")

@@ -46,23 +46,37 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     for c in payload_cols:
         if c in left.columns:
             raise ValueError(f"payload column {c!r} collides with a left column")
-    l_tag = left.withColumn("_side", F.lit(1))
-    for c in payload_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tag = right.select(*key_cols, time_col, *payload_cols).withColumn(
-        "_side", F.lit(0))
+    for c in ("_side", "_payload"):
+        if c in left.columns or c in right.columns:
+            raise ValueError(f"column name {c!r} is reserved by asof_join")
+    # the sweep carries ONE struct of all payloads, not per-column
+    # values: last(col, ignorenulls) per column would skip a matched
+    # right row whose payload is legitimately NULL (resurrecting stale
+    # state) and could stitch fields from DIFFERENT right rows.  The
+    # struct is non-null exactly when the row IS a right row, so
+    # ignorenulls skips only left rows, and all fields travel together
+    # — matching DuckDB ASOF's whole-row semantics.
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_payload",
+        F.lit(None).cast(
+            right.select(payload.alias("_p")).schema["_p"].dataType),
+    )
+    r_tag = right.select(*key_cols, time_col, payload.alias("_payload")) \
+        .withColumn("_side", F.lit(0))
     for c in left.columns:
         if c not in key_cols and c != time_col:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    cols = [*key_cols, time_col, "_side",
-            *[c for c in left.columns if c not in key_cols and c != time_col],
-            *payload_cols]
+    cols = [*key_cols, time_col, "_side", "_payload",
+            *[c for c in left.columns if c not in key_cols and c != time_col]]
     both = l_tag.select(*cols).unionByName(r_tag.select(*cols))
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(time_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    both = both.withColumn("_payload", F.last("_payload", ignorenulls=True).over(w))
+    out = both.where(F.col("_side") == 1)
     for c in payload_cols:
-        both = both.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return both.where(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(c, F.col("_payload")[c])
+    return out.drop("_side", "_payload")

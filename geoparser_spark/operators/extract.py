@@ -268,17 +268,22 @@ def extract_with_skew_split(docs: DataFrame, num_partitions: int,
 
     if redistribute not in ("mega-only", "all"):
         raise ValueError(f"redistribute must be 'mega-only' or 'all', got {redistribute!r}")
-    chunks = split_mega_docs(docs, max_spans)
     salt = F.pmod(
         F.xxhash64(F.col("doc_id"), F.col("chunk_id"), F.lit(seed)),
         F.lit(num_partitions),
     )
     if redistribute == "all":
-        chunks = chunks.repartition(num_partitions, salt)
+        chunks = split_mega_docs(docs, max_spans).repartition(num_partitions, salt)
         return reassemble_chunks(extract(chunks, passthrough=("chunk_id",)))
-    singles = chunks.where(F.col("n_chunks") == 1).drop("chunk_id", "n_chunks")
+    # singles skip the chunking machinery entirely: n_chunks == 1 iff
+    # size(spans) <= max_spans (F.size is -1 for NULL — still single),
+    # and the extract kernel itself processes spans in offset order, so
+    # the split's pre-sort adds nothing for an unsplit doc.  (Relative
+    # order of EQUAL offsets is unspecified either way — the documented
+    # stable-sort caveat on extract_doc_spans.)
+    singles = docs.where(F.size("spans") <= max_spans)
     mega = (
-        chunks.where(F.col("n_chunks") > 1)
+        split_mega_docs(docs.where(F.size("spans") > max_spans), max_spans)
         .repartition(num_partitions, salt)
     )
     ex_mega = reassemble_chunks(extract(mega, passthrough=("chunk_id",)))

@@ -42,12 +42,17 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     jsc = spark._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    root = fs.getFileStatus(hpath).getPath().toString().rstrip("/")
     it = fs.listFiles(hpath, True)
     n, total = 0, 0
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        # exclude hidden/commit artifacts by EVERY path component under
+        # the root, not the leaf alone: an in-flight writer's
+        # .spark-staging-*/part-*.parquet or _temporary/... subtree
+        # must not count as table data
+        rel = st.getPath().toString()[len(root):].lstrip("/")
+        if any(p.startswith(("_", ".")) for p in rel.split("/")):
             continue
         n += 1
         total += st.getLen()
@@ -67,10 +72,10 @@ def write_sized(df: DataFrame, path: str, max_records_per_file: int,
     row groups by min/max stats."""
     if max_records_per_file <= 0:
         raise ValueError("max_records_per_file must be positive")
+    if (range_key is None) != (num_files is None):
+        raise ValueError("range_key and num_files must be given together")
     out = df
     if range_key is not None:
-        if num_files is None:
-            raise ValueError("num_files is required with range_key")
         out = df.repartitionByRange(num_files, range_key)
     (
         out.write.mode(mode)
@@ -89,9 +94,12 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     correctness hazard on every filesystem (the caller swaps
     directories/table pointers after validating — on Iceberg this whole
     function is `rewrite_data_files` and the swap is a snapshot
-    commit).  One shuffle when range_key is given (clustered compaction)
-    or a coalesce-only plan without it (no shuffle: coalesce merges
-    existing splits map-side)."""
+    commit).  One shuffle when range_key is given (clustered
+    compaction).  Without it: coalesce (no shuffle) when MERGING down
+    to fewer partitions suffices; a round-robin repartition when the
+    scan yields fewer partitions than the target (coalesce can only
+    reduce — a few giant single-row-group files would otherwise come
+    out as one oversized file per task)."""
     if src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("compact_parquet requires dst != src")
     n_before, total = table_file_stats(spark, src)
@@ -101,7 +109,10 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
         df.repartitionByRange(n_files, range_key).write.mode(
             "overwrite").parquet(dst)
     else:
-        df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+        scan_parts = df.rdd.getNumPartitions()
+        out = df.coalesce(n_files) if n_files <= scan_parts \
+            else df.repartition(n_files)
+        out.write.mode("overwrite").parquet(dst)
     n_after, total_after = table_file_stats(spark, dst)
     return {
         "files_before": n_before, "files_after": n_after,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from geoparser_spark.operators.extract import extract
@@ -182,8 +183,19 @@ def run_streaming_content_dedup(
     from geoparser_spark.operators.dedup import simhash_col
 
     stream = spark.readStream.schema(schema).parquet(docs_dir)
+    # docs whose text is NULL or normalizes to zero tokens all share
+    # one degenerate signature — deduping them against each other would
+    # silently DROP unrelated documents ('!!!' vs '???').  Key those on
+    # their own doc_id instead, so they pass through unconditionally.
+    normalized = F.trim(F.lower(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"[^\p{L}\p{N}]+", " ")))
     deduped = (
-        stream.withColumn("simhash", simhash_col("text"))
+        stream.withColumn(
+            "simhash",
+            F.when(normalized == "",
+                   F.concat(F.lit("uniq:"), F.col("doc_id")))
+            .otherwise(simhash_col("text")),
+        )
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["simhash"])
     )

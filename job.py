@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--partitions", type=int, default=None)
     run.add_argument("--n-logical-parts", type=int, default=256)
     run.add_argument("--tiles", action="store_true")
+    run.add_argument(
+        "--redistribute", choices=("mega-only", "all"), default="mega-only",
+        help="'mega-only' (default) shuffles only mega-doc chunks; "
+             "'all' restores the full-corpus salted repartition for "
+             "sources whose own partitioning cannot provide parallelism")
     comp = sub.add_parser(
         "compact",
         help="rewrite a small-file parquet dir into ~target-sized files "
@@ -66,7 +71,9 @@ def main(argv: list[str] | None = None) -> int:
     n_part = args.partitions or spark.sparkContext.defaultParallelism * 4
 
     extracted = resumable_stage(
-        spark, docs, lambda df: extract_with_skew_split(df, n_part),
+        spark, docs,
+        lambda df: extract_with_skew_split(df, n_part,
+                                           redistribute=args.redistribute),
         output_dir=os.path.join(args.output, "extracted"),
         manifest_dir=os.path.join(args.output, "manifest"),
         run_id=args.run_id, n_parts=args.n_logical_parts,

@@ -50,6 +50,25 @@ def test_random_matches_brute_force(spark):
     assert got == _brute(left, right)
 
 
+def test_null_payload_not_resurrected(spark):
+    """A matched right row whose payload IS NULL must win — per-column
+    ignorenulls sweeps would resurrect the older non-null state and
+    stitch fields from different rows; DuckDB ASOF returns the matched
+    row's values wholesale."""
+    l = spark.createDataFrame([(1, 30, "e")], "k: long, t: long, ev: string")
+    r = spark.createDataFrame(
+        [(1, 10, 5, 50), (1, 20, None, 70)], "k: long, t: long, a: long, b: long")
+    [row] = asof_join(l, r, ["k"], "t").collect()
+    assert (row.a, row.b) == (None, 70)   # the t=20 row, intact
+
+
+def test_reserved_names_rejected(spark):
+    l = spark.createDataFrame([(1, 1, 0)], "k: long, t: long, _side: long")
+    r = spark.createDataFrame([(1, 1, 9)], "k: long, t: long, v: long")
+    with pytest.raises(ValueError):
+        asof_join(l, r, ["k"], "t")
+
+
 def test_payload_collision_rejected(spark):
     l = spark.createDataFrame([(1, 1, "x")], "k: long, t: long, v: string")
     r = spark.createDataFrame([(1, 1, 9)], "k: long, t: long, v: long")

@@ -63,6 +63,38 @@ def test_write_sized_validation(spark, df, tmp_path):
         write_sized(df, str(tmp_path / "x"), 0)
     with pytest.raises(ValueError):
         write_sized(df, str(tmp_path / "x"), 10, range_key="doc_id")
+    with pytest.raises(ValueError):
+        # num_files without range_key would be silently ignored
+        write_sized(df, str(tmp_path / "x"), 10, num_files=64)
+
+
+def test_compact_splits_oversized_inputs(spark, df, tmp_path):
+    """coalesce can only merge; when the scan yields fewer partitions
+    than the byte-derived target, compaction must repartition to SPLIT
+    (the few-giant-files layout is exactly what compaction targets)."""
+    src, dst = str(tmp_path / "giant"), str(tmp_path / "split")
+    df.coalesce(1).write.parquet(src)
+    assert len(_data_files(src)) == 1
+    _, total = table_file_stats(spark, src)
+    stats = compact_parquet(spark, src, dst, target_file_bytes=total // 4)
+    assert stats["files_after"] >= 4
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+
+
+def test_stats_ignore_hidden_subtrees(spark, df, tmp_path):
+    import shutil
+    p = str(tmp_path / "withstaging")
+    df.coalesce(2).write.parquet(p)
+    n0, t0 = table_file_stats(spark, p)
+    # simulate an in-flight writer's staging subtree
+    staged = tmp_path / "withstaging" / ".spark-staging-xyz"
+    staged.mkdir()
+    shutil.copy(next(iter((tmp_path / "withstaging").glob("part-*.parquet"))),
+                staged / "part-stray.parquet")
+    n1, t1 = table_file_stats(spark, p)
+    assert (n1, t1) == (n0, t0)
 
 
 def test_compact_parquet_merges_small_files(spark, df, tmp_path):

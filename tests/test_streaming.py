@@ -212,3 +212,24 @@ def test_streaming_content_dedup_suppresses_reposts(spark, dirs):
     assert out.count() == 2
     # one of the body reposts survives (either id), plus the distinct doc
     assert any(t.startswith("entirely") for t in kept_texts)
+
+
+def test_streaming_content_dedup_keeps_degenerate_texts(spark, dirs):
+    """Docs whose text is NULL or normalizes to zero tokens must NOT
+    dedup against each other — '!!!' and '???' are unrelated documents
+    sharing a degenerate signature."""
+    from geoparser_spark.streaming.incremental import run_streaming_content_dedup
+
+    rows = [
+        ("p1", "2024-01-01 10:00:00", "!!!"),
+        ("p2", "2024-01-01 10:00:05", "???"),
+        ("p3", "2024-01-01 10:00:10", None),
+        ("p4", "2024-01-01 10:00:15", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts string, text string") \
+        .select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+    df.write.mode("append").parquet(dirs["docs"])
+    q = run_streaming_content_dedup(spark, dirs["docs"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    out = spark.read.parquet(dirs["out"])
+    assert sorted(r.doc_id for r in out.collect()) == ["p1", "p2", "p3", "p4"]
