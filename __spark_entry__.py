@@ -1875,6 +1875,49 @@ def _text_vocab_topk(spark, sf_dir):
     )
 
 
+def _warc_roundtrip(spark, sf_dir):
+    """WARC source proof under the driver gate: per document (%10
+    subset), a full WARC response record (WARC headers + HTTP envelope
+    + the doc text as body) is synthesized as BINARY via pure column
+    concat, then parsed back through the production
+    sources/warc.parse_warc_records kernel.  The oracle re-derives the
+    expected (url, status, content_type, body length) arithmetically —
+    so header parsing, Content-Length honoring, and HTTP envelope
+    stripping are all value-gated."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geoparser_spark.sources.warc import parse_warc_records
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    url = F.concat(F.lit("http://doc.example/"), F.col("doc_id").cast("string"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+    blobs = d.select(F.encode(rec, "UTF-8").alias("raw"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["raw"]:
+                for r in parse_warc_records(bytes(raw)):
+                    rows.append((r["url"], r["http_status"],
+                                 r["content_type"], len(r["body"])))
+            yield pd.DataFrame(
+                rows, columns=["url", "http_status", "content_type", "body_len"])
+
+    return blobs.mapInPandas(
+        kernel,
+        schema="url string, http_status int, content_type string, body_len long")
+
+
 def _curation_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/curation.py): the eval set
     is every doc_id % 25 == 0 document; each corpus doc is scored by
@@ -2060,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
         "text_vocab_topk": _text_vocab_topk,
+        "warc_roundtrip": _warc_roundtrip,
         "curation_decontaminate": _curation_decontaminate,
         "curation_familiarity": _curation_familiarity,
         "curation_source_filter": _curation_source_filter,
@@ -2690,6 +2734,12 @@ def oracle_sql() -> dict[str, str]:
                 WHERE t <> ''
                 GROUP BY t
                 ORDER BY freq DESC, t ASC LIMIT 100""",
+            "warc_roundtrip": """
+                SELECT 'http://doc.example/' || CAST(doc_id AS VARCHAR) AS url,
+                       CAST(200 AS INT) AS http_status,
+                       'text/plain' AS content_type,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+                FROM documents WHERE doc_id % 10 = 0""",
             "curation_decontaminate": _DECON_SQL.format(
                 norm=_NORM_SQL.format(c="text")),
             "curation_familiarity": _FAMILIARITY_SQL.format(

@@ -1,0 +1,97 @@
+"""WARC source (sources/warc.py): record parsing, gzip members,
+HTTP payload split, malformed degrade, and the docs-schema bridge
+feeding the production extract operator end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoparser_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    warc_to_docs,
+)
+
+
+def _record(warc_type: str, url: str, payload: bytes,
+            date: str = "2024-01-01T00:00:00Z") -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype: str = "text/html", status: int = 200) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+HTML = b"<html><body><article><p>Paris is lovely in spring.</p></article></body></html>"
+
+
+def _mini_warc() -> bytes:
+    return (
+        _record("warcinfo", "", b"software: test\r\n")
+        + _record("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n")
+        + _record("response", "http://a.example/", _http(HTML))
+        + _record("response", "http://b.example/x.bin",
+                  _http(b"\x00\x01\x02", ctype="application/octet-stream"))
+    )
+
+
+def test_parse_plain_records():
+    recs = parse_warc_records(_mini_warc(), "f.warc")
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response"]
+    resp = recs[2]
+    assert resp["url"] == "http://a.example/"
+    assert resp["http_status"] == 200
+    assert resp["content_type"].startswith("text/html")
+    assert resp["body"] == HTML          # HTTP envelope stripped
+
+
+def test_parse_gzip_members():
+    gz = b"".join(gzip.compress(_record(
+        "response", f"http://{i}.example/", _http(HTML))) for i in range(3))
+    recs = parse_warc_records(gz, "f.warc.gz")
+    assert len(recs) == 3
+    assert all(r["body"] == HTML for r in recs)
+
+
+def test_malformed_record_skipped_not_fatal():
+    raw = (_record("response", "http://ok.example/", _http(HTML))
+           + b"WARC/1.0\r\nContent-Length: notanumber\r\n\r\ngarbage"
+           + _record("response", "http://ok2.example/", _http(HTML)))
+    recs = parse_warc_records(raw)
+    assert [r["url"] for r in recs if r["warc_type"] == "response"] == [
+        "http://ok.example/", "http://ok2.example/"]
+    assert parse_warc_records(b"\x1f\x8bnot really gzip") == []
+
+
+def test_read_warc_and_extract_end_to_end(spark, tmp_path):
+    p = tmp_path / "crawl"
+    p.mkdir()
+    (p / "a.warc").write_bytes(_mini_warc())
+    (p / "b.warc.gz").write_bytes(
+        gzip.compress(_record("response", "http://c.example/", _http(HTML))))
+    warc = read_warc(spark, str(p))
+    rows = warc.collect()
+    assert len(rows) == 3  # response_only drops warcinfo/request
+    docs = warc_to_docs(warc)
+    from geoparser_spark.operators.extract import extract
+
+    out = {r.doc_id: r.spans for r in extract(docs).collect()}
+    html_docs = [s for k, s in out.items() if k.startswith("http://a.example/")]
+    assert len(html_docs) == 1
+    texts = [sp["text"] for sp in html_docs[0] if sp["kind"] == "text"]
+    assert any("Paris is lovely" in t for t in texts)
+    # the binary response rides as an opaque media span
+    bin_docs = [s for k, s in out.items() if k.startswith("http://b.example/")]
+    assert bin_docs and bin_docs[0][0]["media_ref"] == "warc://http://b.example/x.bin"
