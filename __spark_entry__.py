@@ -680,6 +680,29 @@ def _events_asof_state(spark, sf_dir):
     )
 
 
+def _events_interval_join(spark, sf_dir):
+    """Binned interval join: every 100th event opens a 2-hour window
+    for its user; count events falling in each window (half-open,
+    per-user equi key).  The bin trick keeps this an equi-join — the
+    plan test pins no-nested-loop; oracle is DuckDB's native range
+    join."""
+    from geoparser_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    win = (
+        ev.where(F.col("event_id") % 100 == 0)
+        .select(F.col("user_id").alias("w_user"),
+                F.col("event_id").alias("win_id"),
+                F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"))
+    )
+    joined = interval_join(
+        ev.withColumnRenamed("user_id", "w_user"), win,
+        "ts", "w_start", "w_end",
+        bin_width=1_800_000_000, keys=["w_user"])
+    return joined.groupBy("win_id").agg(F.count("*").alias("n_events"))
+
+
 def _event_points(spark, sf_dir, modulus: int | None = None):
     """SINGLE SOURCE of the synthetic events -> (lat, lon) point
     derivation used by the tile/radius/nearest queries; the SQL twin is
@@ -2049,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _events_windowed_agg,
         "events_sessionize": _events_sessionize,
         "events_asof_state": _events_asof_state,
+        "events_interval_join": _events_interval_join,
         "multimodal_frame_plan": _mm_frame_plan,
         "multimodal_media_features": _mm_media_features,
         "multimodal_image_meta": _mm_image_meta,
@@ -2218,6 +2242,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    CAST(round((CAST(sum(CAST(round((value) * 1000000) AS BIGINT) >> 20) AS DECIMAL(38,0)) * 1048576 + CAST(sum(CAST(round((value) * 1000000) AS BIGINT) & 1048575) AS DECIMAL(38,0))) / 1000000, 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id""",
+        "events_interval_join": """
+            WITH w AS (
+              SELECT user_id, event_id AS win_id, ts AS s,
+                     ts + INTERVAL 2 HOUR AS e
+              FROM events WHERE event_id % 100 = 0
+            )
+            SELECT w.win_id, count(*) AS n_events
+            FROM events ev JOIN w
+              ON ev.user_id = w.user_id AND ev.ts >= w.s AND ev.ts < w.e
+            GROUP BY w.win_id""",
         "events_asof_state": """
             WITH r AS (
               SELECT user_id, ts, max(event_id) AS state_id
