@@ -41,6 +41,15 @@ def main(argv: list[str] | None = None) -> int:
         help="'mega-only' (default) shuffles only mega-doc chunks; "
              "'all' restores the full-corpus salted repartition for "
              "sources whose own partitioning cannot provide parallelism")
+    cur = sub.add_parser(
+        "curate",
+        help="LLM-training-data curation pass: exact dedup (hashed) -> "
+             "quality filter -> PII scrub -> deterministic train/val/"
+             "test split, written partitioned by split")
+    cur.add_argument("--input", required=True)
+    cur.add_argument("--output", required=True)
+    cur.add_argument("--min-quality", type=int, default=3)
+    cur.add_argument("--split-weights", default="8,1,1")
     comp = sub.add_parser(
         "compact",
         help="rewrite a small-file parquet dir into ~target-sized files "
@@ -50,6 +59,39 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("--target-file-mb", type=int, default=256)
     comp.add_argument("--range-key", default=None)
     args = p.parse_args(argv)
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from geoparser_spark.operators.dedup import exact_dedup_hashed
+        from geoparser_spark.operators.pii import pii_scrub
+        from geoparser_spark.operators.sampling import hash_split
+        from geoparser_spark.operators.text_quality import quality_score
+
+        spark = get_spark(app_name="geoparser-curate")
+        t0 = time.monotonic()
+        docs = spark.read.parquet(args.input)
+        n_in = docs.count()
+        # exact dedup on md5 digests: keep each group's min doc_id —
+        # a broadcast-free semi-join shape (keepers joined back on id)
+        keepers = exact_dedup_hashed(docs).select(
+            F.col("keeper_id").alias("doc_id"))
+        deduped = docs.join(keepers, "doc_id", "left_semi")
+        q = quality_score(deduped).where(
+            F.col("quality_score") >= args.min_quality).select("doc_id")
+        kept = deduped.join(q, "doc_id", "left_semi")
+        scrubbed = pii_scrub(kept).drop("text").withColumnRenamed(
+            "redacted", "text")
+        weights = tuple(int(w) for w in args.split_weights.split(","))
+        out = hash_split(scrubbed, "doc_id", weights=weights,
+                         labels=("train", "val", "test")[:len(weights)])
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "docs_in": n_in, "docs_out": n_out,
+            "wall_sec": round(time.monotonic() - t0, 2)}))
+        spark.stop()
+        return 0
 
     if args.cmd == "compact":
         from geoparser_spark.plans.filesizing import compact_parquet
