@@ -1941,6 +1941,21 @@ def _warc_roundtrip(spark, sf_dir):
         schema="url string, http_status int, content_type string, body_len long")
 
 
+def _sample_cap_per_group(spark, sf_dir):
+    """Per-source cap (deterministic random-k via xxhash64 rank):
+    the per-domain cap rule, aggregated per source so the value check
+    covers exactly which docs survived."""
+    from geoparser_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = cap_per_group(d, ["source"], k=5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(F.xxhash64("doc_id")).alias("min_hash"),
+    )
+
+
 def _curation_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/curation.py): the eval set
     is every doc_id % 25 == 0 document; each corpus doc is scored by
@@ -2126,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _text_pii_scrub,
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
+        "sample_cap_per_group": _sample_cap_per_group,
         "text_vocab_topk": _text_vocab_topk,
         "warc_roundtrip": _warc_roundtrip,
         "curation_decontaminate": _curation_decontaminate,
@@ -2784,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT doc_id, source FROM documents "
                 "WHERE source NOT IN ('src1', 'src4', 'src7') "
                 "OR source IS NULL"),
+            "sample_cap_per_group": PQ.cap_per_group_sql(k=5),
             "sample_hash": PQ.hash_sample_sql(num=1, den=10),
             "split_hash": PQ.hash_split_sql(
                 weights=(8, 1, 1), labels=("train", "val", "test")

@@ -268,6 +268,15 @@ def extract_with_skew_split(docs: DataFrame, num_partitions: int,
 
     if redistribute not in ("mega-only", "all"):
         raise ValueError(f"redistribute must be 'mega-only' or 'all', got {redistribute!r}")
+    # adaptive guard: mega-only leans on the SOURCE for map parallelism,
+    # which holds at target scale (a 100 TB scan yields thousands of
+    # maxPartitionBytes splits per executor) but fails on small inputs
+    # whose files the scan packs into a handful of fat splits
+    # (openCostInBytes coalescing) — there the full salted shuffle is
+    # cheap and buys back task-granularity load balancing, so fall back.
+    if redistribute == "mega-only" and (
+            docs.rdd.getNumPartitions() < max(2, num_partitions // 2)):
+        redistribute = "all"
     salt = F.pmod(
         F.xxhash64(F.col("doc_id"), F.col("chunk_id"), F.lit(seed)),
         F.lit(num_partitions),

@@ -71,3 +71,34 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     for bnd, lab in reversed(bounds):
         expr = F.when(b < bnd, F.lit(lab)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def cap_per_group(df: DataFrame, group_cols: list[str], k: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen DETERMINISTICALLY at
+    random: rank within the group by ``xxhash64(id)`` (ties impossible
+    for distinct ids; duplicate ids tie-break on the id itself) and
+    keep rank <= k.
+
+    This is the per-domain cap every web-curation recipe applies (a
+    single boilerplate-heavy domain must not dominate the corpus), with
+    the sampling family's determinism guarantees: the same rows survive
+    on every rerun, every partitioning, every cluster size — a
+    rand()-ordered window re-rolls under retries.
+
+    Scale shape: one shuffle at group grain; the rank-limit window
+    compiles to WindowGroupLimit, which Spark pushes BEFORE the
+    exchange as a partial limit — each map task forwards at most k rows
+    per group it sees, so a 10^7-doc domain ships ~k x map-tasks rows,
+    not 10^7."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -478,6 +478,25 @@ def hash_sample_sql(num: int = 1, den: int = 10) -> str:
     return values_sql(sorted(out), ["doc_id", "n_chars", "bucket"])
 
 
+def cap_per_group_sql(k: int = 5) -> str:
+    """Expected output of sampling.cap_per_group(documents, [source],
+    k): per source, the k docs with the smallest (xxhash64(doc_id),
+    doc_id) rank — aggregated per source (count + exact char total +
+    min kept hash) so the check covers the selection."""
+    rows = read_table("documents", "doc_id, source, n_chars")
+    by_src: dict[str, list[tuple[int, int, int]]] = {}
+    for i, src, n_chars in rows:
+        h = spark_xxhash64(int(i))
+        by_src.setdefault(src, []).append((h, int(i), int(n_chars)))
+    out = []
+    for src, lst in by_src.items():
+        kept = sorted(lst)[:k]
+        out.append((src, len(kept), sum(c for _, _, c in kept),
+                    min(h for h, _, _ in kept)))
+    return values_sql(sorted(out),
+                      ["source", "n_kept", "total_chars", "min_hash"])
+
+
 def hash_split_sql(weights=(8, 1, 1), labels=("train", "val", "test")) -> str:
     """Expected output of sampling.hash_split(documents) aggregated per
     split: counts and exact total characters."""

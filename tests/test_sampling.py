@@ -83,6 +83,32 @@ def test_split_validation(spark, docs):
         hash_split(docs, "doc_id", (8, 0, 1), ("a", "b", "c"))
 
 
+def test_cap_per_group_deterministic_and_bounded(spark, docs):
+    from geoparser_spark.operators.sampling import cap_per_group
+
+    d = docs.withColumn("grp", (F.col("doc_id") % 7).cast("int"))
+    a = sorted(r.doc_id for r in cap_per_group(d, ["grp"], 10).collect())
+    b = sorted(
+        r.doc_id
+        for r in cap_per_group(d.repartition(13, "n_chars"), ["grp"], 10).collect()
+    )
+    assert a == b and len(a) == 70  # 7 groups x 10 kept
+    with pytest.raises(ValueError):
+        cap_per_group(d, ["grp"], 0)
+
+
+def test_cap_per_group_window_limit_pushed_partial(spark, docs):
+    """The rank-limit must compile to WindowGroupLimit with a partial
+    instance BEFORE the exchange — each map task forwards at most k
+    rows per group instead of shipping the whole hot domain."""
+    from geoparser_spark.operators.sampling import cap_per_group
+
+    d = docs.withColumn("grp", (F.col("doc_id") % 7).cast("int"))
+    plan = cap_per_group(d, ["grp"], 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+
+
 def test_sample_plan_is_map_only(spark, docs):
     """No Exchange anywhere: the sample filter must ride next to the
     scan inside one codegen stage."""

@@ -35,8 +35,14 @@ from geoparser_spark.operators.geotag import geotag
 from geoparser_spark.testing.gazetteer import gazetteer_df
 
 cpus, docs_path, n_docs = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+# split the 128-file corpus into fine scan partitions: the mega-only
+# extract path takes its map parallelism from the SCAN (as a 100 TB
+# deployment does), and default openCost/maxPartitionBytes packing
+# would coalesce the small files into a handful of fat splits
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=max(cpus, 8),
+                  extra_conf={"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+                         "spark.sql.files.openCostInBytes": str(512 * 1024)})
 gaz = gazetteer_df(spark).cache(); gaz.count()
 docs = spark.read.parquet(docs_path)
 # warmup: full pipeline on a deterministic 10% slice — hits every plan
