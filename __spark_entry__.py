@@ -1941,6 +1941,35 @@ def _warc_roundtrip(spark, sf_dir):
         schema="url string, http_status int, content_type string, body_len long")
 
 
+def _text_chunk_windows(spark, sf_dir):
+    """Token-window chunking (64-token windows, 16 overlap) — map-only
+    generator; value-checked (doc_id, chunk_idx, n_tokens) against a
+    pure-Python window replica."""
+    from geoparser_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, max_tokens=64, overlap=16).select(
+        "doc_id", "chunk_idx", "n_tokens")
+
+
+def _text_pack_sequences(spark, sf_dir):
+    """Deterministic streaming sequence packing over the chunked docs,
+    rolled up per (bucket, seq_id) so the value check pins every
+    assignment."""
+    from geoparser_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(d, max_tokens=64, overlap=16)
+    packed = pack_sequences(chunks, max_tokens=200, n_buckets=8)
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def _sample_cap_per_group(spark, sf_dir):
     """Per-source cap (deterministic random-k via xxhash64 rank):
     the per-domain cap rule, aggregated per source so the value check
@@ -2142,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
         "sample_cap_per_group": _sample_cap_per_group,
+        "text_chunk_windows": _text_chunk_windows,
+        "text_pack_sequences": _text_pack_sequences,
         "text_vocab_topk": _text_vocab_topk,
         "warc_roundtrip": _warc_roundtrip,
         "curation_decontaminate": _curation_decontaminate,
@@ -2801,6 +2832,10 @@ def oracle_sql() -> dict[str, str]:
                 "WHERE source NOT IN ('src1', 'src4', 'src7') "
                 "OR source IS NULL"),
             "sample_cap_per_group": PQ.cap_per_group_sql(k=5),
+            "text_chunk_windows": PQ.chunk_windows_sql(
+                max_tokens=64, overlap=16),
+            "text_pack_sequences": PQ.pack_sequences_sql(
+                chunk_max=64, overlap=16, max_tokens=200, n_buckets=8),
             "sample_hash": PQ.hash_sample_sql(num=1, den=10),
             "split_hash": PQ.hash_split_sql(
                 weights=(8, 1, 1), labels=("train", "val", "test")

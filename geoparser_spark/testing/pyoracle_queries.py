@@ -478,6 +478,52 @@ def hash_sample_sql(num: int = 1, den: int = 10) -> str:
     return values_sql(sorted(out), ["doc_id", "n_chars", "bucket"])
 
 
+def _chunk_docs(max_tokens: int, overlap: int) -> list[tuple[int, int, int]]:
+    """Replica of chunking.chunk_documents over documents:
+    (doc_id, chunk_idx, n_tokens) per window."""
+    step = max_tokens - overlap
+    out = []
+    for i, text in read_table("documents", "doc_id, text"):
+        toks = tokens(text or "")
+        if not toks or "".join(toks) == "":
+            continue
+        n = len(toks)
+        starts = list(range(0, ((n - 1) // step) * step + 1, step))
+        for idx, s in enumerate(starts):
+            out.append((int(i), idx, min(n - s, max_tokens)))
+    return out
+
+
+def chunk_windows_sql(max_tokens: int = 64, overlap: int = 16) -> str:
+    """Expected (doc_id, chunk_idx, n_tokens) of chunk_documents."""
+    return values_sql(sorted(_chunk_docs(max_tokens, overlap)),
+                      ["doc_id", "chunk_idx", "n_tokens"])
+
+
+def pack_sequences_sql(chunk_max: int = 64, overlap: int = 16,
+                       max_tokens: int = 200, n_buckets: int = 8) -> str:
+    """Expected per-(bucket, seq_id) rollup of pack_sequences over the
+    chunked documents: deterministic (xxhash64(id, idx), id, idx)
+    order, exclusive running sum, floor-div sequence cut."""
+    chunks = _chunk_docs(chunk_max, overlap)
+    per_bucket: dict[int, list[tuple]] = {}
+    for i, idx, nt in chunks:
+        b = spark_xxhash64(i) % n_buckets
+        per_bucket.setdefault(b, []).append(
+            (spark_xxhash64(i, idx), i, idx, nt))
+    agg: dict[tuple[int, int], list[int]] = {}
+    for b, lst in per_bucket.items():
+        cum = 0
+        for _, _, _, nt in sorted(lst):
+            seq = cum // max_tokens
+            a = agg.setdefault((b, seq), [0, 0])
+            a[0] += 1
+            a[1] += nt
+            cum += nt
+    out = [(b, s, c, t) for (b, s), (c, t) in agg.items()]
+    return values_sql(sorted(out), ["bucket", "seq_id", "n_chunks", "total_tokens"])
+
+
 def cap_per_group_sql(k: int = 5) -> str:
     """Expected output of sampling.cap_per_group(documents, [source],
     k): per source, the k docs with the smallest (xxhash64(doc_id),
