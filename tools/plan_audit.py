@@ -124,6 +124,29 @@ def main() -> int:
             "column expression at the scan — zero exchanges.",
             _fmt(qs["sample_hash"](spark, sf_dir)),
         ),
+        (
+            "events_asof_state",
+            "As-of join via union-and-sweep: ONE key-grain exchange, "
+            "no Join operator anywhere — the range semantics ride in "
+            "a window sweep, never a row-multiplying join.",
+            _fmt(qs["events_asof_state"](spark, sf_dir)),
+        ),
+        (
+            "events_interval_join",
+            "Binned interval join: the range predicate compiles to an "
+            "EQUI hash/sort-merge join on the bin id (never "
+            "BroadcastNestedLoop/Cartesian) with the range check as a "
+            "residual filter.",
+            _fmt(qs["events_interval_join"](spark, sf_dir)),
+        ),
+        (
+            "sample_cap_per_group",
+            "Per-group cap: rank-limit window compiles to "
+            "WindowGroupLimit with a PARTIAL instance before the "
+            "exchange — each map task forwards at most k rows per "
+            "group it sees.",
+            _fmt(qs["sample_cap_per_group"](spark, sf_dir)),
+        ),
     ]
 
     with open("PLANS.md", "w") as f:
