@@ -49,10 +49,18 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
     chunks = _bound(toks, lambda tk: F.when(
         (F.size(tk) > 0) & (F.array_join(tk, "") != ""),
         F.transform(
-            # start offsets 0, step, 2*step, ... while start < n_tokens
+            # start offsets 0, step, 2*step, ..., stopping at the FIRST
+            # window that reaches the doc end: last start =
+            # max(0, ceil((n - max_tokens)/step)) * step.  The naive
+            # "while start < n" bound emits a fully-redundant trailing
+            # window whenever the previous one already covered the tail
+            # (docs with n in (step, last_start + overlap]).
             F.sequence(
                 F.lit(0),
-                F.floor((F.size(tk) - 1) / F.lit(step)).cast("int") * F.lit(step),
+                F.greatest(
+                    F.lit(0),
+                    F.ceil((F.size(tk) - max_tokens) / F.lit(step)).cast("int"),
+                ) * F.lit(step),
                 F.lit(step)),
             lambda s: F.struct(
                 F.array_join(F.slice(tk, s + 1, max_tokens), " ").alias("chunk_text"),
@@ -87,6 +95,10 @@ def pack_sequences(chunks: DataFrame, max_tokens: int = 2048,
     independently (~corpus_tokens / n_buckets tokens each)."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    if n_buckets <= 0:
+        # pmod(h, 0) is NULL — every chunk would silently collapse
+        # into one null bucket, un-bounding the per-task state
+        raise ValueError("n_buckets must be positive")
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     # idx cast to LONG before hashing: xxhash64's int32 path hashes
     # differently than its int64 path, so the order would otherwise

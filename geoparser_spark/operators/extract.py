@@ -266,17 +266,31 @@ def extract_with_skew_split(docs: DataFrame, num_partitions: int,
 
     from geoparser_spark.plans.runtime import reassemble_chunks, split_mega_docs
 
-    if redistribute not in ("mega-only", "all"):
-        raise ValueError(f"redistribute must be 'mega-only' or 'all', got {redistribute!r}")
+    if redistribute not in ("mega-only", "mega-only-strict", "all"):
+        raise ValueError(
+            "redistribute must be 'mega-only', 'mega-only-strict' or "
+            f"'all', got {redistribute!r}")
     # adaptive guard: mega-only leans on the SOURCE for map parallelism,
     # which holds at target scale (a 100 TB scan yields thousands of
     # maxPartitionBytes splits per executor) but fails on small inputs
     # whose files the scan packs into a handful of fat splits
     # (openCostInBytes coalescing) — there the full salted shuffle is
-    # cheap and buys back task-granularity load balancing, so fall back.
-    if redistribute == "mega-only" and (
-            docs.rdd.getNumPartitions() < max(2, num_partitions // 2)):
-        redistribute = "all"
+    # cheap and buys back task-granularity load balancing, so fall back
+    # WITH a log line (callers that must pin the zero-shuffle plan pass
+    # "mega-only-strict").
+    if redistribute == "mega-only":
+        n_src = docs.rdd.getNumPartitions()
+        if n_src < max(2, num_partitions // 2):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "extract_with_skew_split: source provides only %d scan "
+                "partitions for %d requested — falling back to "
+                "redistribute='all' (pass 'mega-only-strict' to pin "
+                "the zero-shuffle plan)", n_src, num_partitions)
+            redistribute = "all"
+    elif redistribute == "mega-only-strict":
+        redistribute = "mega-only"
     salt = F.pmod(
         F.xxhash64(F.col("doc_id"), F.col("chunk_id"), F.lit(seed)),
         F.lit(num_partitions),

@@ -76,9 +76,11 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
 def cap_per_group(df: DataFrame, group_cols: list[str], k: int,
                   id_col: str = "doc_id") -> DataFrame:
     """Keep at most ``k`` rows per group, chosen DETERMINISTICALLY at
-    random: rank within the group by ``xxhash64(id)`` (ties impossible
-    for distinct ids; duplicate ids tie-break on the id itself) and
-    keep rank <= k.
+    random: rank within the group by ``(xxhash64(id), id)`` and keep
+    rank <= k.  PRECONDITION: ``id_col`` values are unique (the corpus
+    invariant) — rows sharing an id have identical sort keys, so WHICH
+    physical row wins among them is partitioning-dependent; dedup ids
+    first if that matters.
 
     This is the per-domain cap every web-curation recipe applies (a
     single boilerplate-heavy domain must not dominate the corpus), with

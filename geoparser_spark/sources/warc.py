@@ -50,8 +50,14 @@ def _gunzip_members(raw: bytes) -> bytes:
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(31)
-        out.append(d.decompress(raw[pos:]))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(raw[pos:]))
+            out.append(d.flush())
+        except zlib.error:
+            # corrupt/truncated member: keep everything the valid
+            # earlier members yielded (parity with the uncompressed
+            # path, which parses up to the garbage)
+            break
         consumed = len(raw) - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -78,7 +84,10 @@ def parse_warc_records(raw: bytes, src_file: str = "") -> list[dict]:
             break
         head_end = raw.find(b"\r\n\r\n", start, start + _MAX_HEADER_BYTES)
         if head_end < 0:
-            break
+            # malformed header block: skip to the next record magic
+            # instead of abandoning the rest of the file
+            pos = start + 5
+            continue
         headers: dict[str, str] = {}
         for line in raw[start:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
@@ -88,6 +97,11 @@ def parse_warc_records(raw: bytes, src_file: str = "") -> list[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            pos = start + 5
+            continue
+        if length < 0:
+            # a negative length would move the cursor BACKWARD and
+            # re-find this same record forever — skip it
             pos = start + 5
             continue
         body_start = head_end + 4

@@ -488,7 +488,8 @@ def _chunk_docs(max_tokens: int, overlap: int) -> list[tuple[int, int, int]]:
         if not toks or "".join(toks) == "":
             continue
         n = len(toks)
-        starts = list(range(0, ((n - 1) // step) * step + 1, step))
+        last = max(0, -(-(n - max_tokens) // step))  # ceil, clamped
+        starts = [j * step for j in range(last + 1)]
         for idx, s in enumerate(starts):
             out.append((int(i), idx, min(n - s, max_tokens)))
     return out

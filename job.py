@@ -76,7 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         # a broadcast-free semi-join shape (keepers joined back on id)
         keepers = exact_dedup_hashed(docs).select(
             F.col("keeper_id").alias("doc_id"))
-        deduped = docs.join(keepers, "doc_id", "left_semi")
+        # persisted: deduped feeds BOTH the score branch and the keep
+        # join — without it the md5 groupBy + semi-join executes twice
+        # (Spark does not dedupe common subplans).  At full scale the
+        # equivalent is writing the dedup stage to a table
+        # (plans/runtime.resumable_stage), which curate callers with
+        # 100 TB inputs should do per stage.
+        deduped = docs.join(keepers, "doc_id", "left_semi").persist()
         q = quality_score(deduped).where(
             F.col("quality_score") >= args.min_quality).select("doc_id")
         kept = deduped.join(q, "doc_id", "left_semi")

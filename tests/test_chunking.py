@@ -36,6 +36,28 @@ def test_chunk_short_and_empty_docs(spark):
     assert got == {1: (0, 5)}  # empty/punct-only docs chunk to nothing
 
 
+def test_no_redundant_trailing_chunk(spark):
+    """A doc with step < n <= last_start + overlap must NOT emit a
+    tail window fully contained in the previous one — e.g. 49 tokens
+    at max=64/overlap=16 is exactly one chunk."""
+    d = spark.createDataFrame(
+        [(1, _doc(49)), (2, _doc(64)), (3, _doc(65))],
+        "doc_id: long, text: string")
+    got = {}
+    for r in chunk_documents(d, max_tokens=64, overlap=16).collect():
+        got.setdefault(r.doc_id, []).append(r.n_tokens)
+    assert got[1] == [49]          # one window, no duplicate tail
+    assert got[2] == [64]
+    assert sorted(got[3]) == [17, 64]  # 65 tokens genuinely needs two
+
+
+def test_pack_bucket_validation(spark):
+    d = spark.createDataFrame([(1, 0, "x", 1)],
+                              "doc_id: long, chunk_idx: int, chunk_text: string, n_tokens: int")
+    with pytest.raises(ValueError):
+        pack_sequences(d, max_tokens=10, n_buckets=0)
+
+
 def test_chunk_validation(spark):
     d = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
     with pytest.raises(ValueError):

@@ -75,6 +75,33 @@ def test_malformed_record_skipped_not_fatal():
     assert parse_warc_records(b"\x1f\x8bnot really gzip") == []
 
 
+def test_negative_content_length_terminates():
+    """A negative Content-Length must be skipped, never loop forever
+    (the cursor would otherwise move backward onto the same record)."""
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://bad/\r\nContent-Length: -54\r\n\r\n")
+    raw = bad + _record("response", "http://ok.example/", _http(HTML))
+    recs = parse_warc_records(raw)
+    assert [r["url"] for r in recs] == ["http://ok.example/"]
+
+
+def test_header_block_without_terminator_skips_not_abandons():
+    """A record whose headers never terminate must not discard the
+    rest of the file."""
+    broken = b"WARC/1.0\r\nWARC-Type: response\r\nno terminator here"
+    raw = broken + _record("response", "http://after.example/", _http(HTML))
+    recs = parse_warc_records(raw)
+    assert [r["url"] for r in recs] == ["http://after.example/"]
+
+
+def test_corrupt_gzip_member_keeps_earlier_records():
+    good = gzip.compress(_record("response", "http://g1.example/", _http(HTML)))
+    good2 = gzip.compress(_record("response", "http://g2.example/", _http(HTML)))
+    corrupt = b"\x1f\x8b\x08\x00garbage-not-a-member"
+    recs = parse_warc_records(good + good2 + corrupt)
+    assert [r["url"] for r in recs] == ["http://g1.example/", "http://g2.example/"]
+
+
 def test_read_warc_and_extract_end_to_end(spark, tmp_path):
     p = tmp_path / "crawl"
     p.mkdir()
