@@ -122,3 +122,36 @@ def test_read_warc_and_extract_end_to_end(spark, tmp_path):
     # the binary response rides as an opaque media span
     bin_docs = [s for k, s in out.items() if k.startswith("http://b.example/")]
     assert bin_docs and bin_docs[0][0]["media_ref"] == "warc://http://b.example/x.bin"
+
+
+# ------------------------------------------------------ property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(max_size=4096))
+def test_parser_never_crashes_or_hangs_on_arbitrary_bytes(raw):
+    recs = parse_warc_records(raw)
+    assert isinstance(recs, list)
+
+
+@settings(max_examples=60, deadline=3000)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["response", "request", "metadata"]),
+                  st.binary(max_size=200)),
+        max_size=6,
+    ),
+    st.binary(max_size=64),
+)
+def test_well_formed_records_survive_trailing_garbage(recs, garbage):
+    raw = b"".join(
+        _record(t, f"http://h/{i}", body) for i, (t, body) in enumerate(recs)
+    )
+    # garbage that cannot contain a record magic must not add records
+    garbage = garbage.replace(b"WARC/", b"XXXX/")
+    parsed = parse_warc_records(raw + garbage)
+    assert len(parsed) == len(recs)
+    assert [r["url"] for r in parsed] == [f"http://h/{i}" for i in range(len(recs))]
