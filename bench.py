@@ -133,7 +133,8 @@ def main() -> int:
         "text_quality_score", "text_fingerprint",
         "dedup_lines_cms", "dedup_embedding_lsh", "text_pii_scrub",
         "curation_decontaminate", "curation_familiarity", "sample_hash",
-        "dedup_cluster",
+        "dedup_cluster", "events_asof_state", "events_interval_join",
+        "q14_nearest_place", "text_chunk_windows", "text_pack_sequences",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}
