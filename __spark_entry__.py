@@ -2092,6 +2092,134 @@ def _split_hash(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- relational breadth (r3)
+
+
+def _events_rolling_sum(spark, sf_dir):
+    """Per-user 1-hour rolling aggregate over event time via a RANGE
+    window frame on integer microseconds — the SQL-window twin of a
+    sliding stream window.  Exactness: values are summed as integer
+    cents (round-half-up at the row, order-free long sum in the frame),
+    so the running totals are bit-stable under any partial-agg order.
+    Shape at scale: one exchange at user grain; WindowExec streams each
+    user's events in time order with an O(1)-amortized sliding frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(cents).over(w).alias("roll_cents"),
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+    )
+
+
+def _events_type_pivot(spark, sf_dir):
+    """Pivot event counts to one column per event type (fixed, known
+    domain — pivot with an explicit value list never scans twice).
+    Missing combinations fill 0 so the output is dense."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def _docs_rollup_counts(spark, sf_dir):
+    """ROLLUP over (lang, source): per-pair, per-lang subtotal, grand
+    total in ONE pass (Expand + single hash agg — no re-scan per
+    grouping set).  grouping_id disambiguates subtotal NULLs from any
+    data NULLs; sums stay integer-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def _docs_length_quartiles(spark, sf_dir):
+    """Per-language EXACT discrete quartiles of document length: the
+    value at rank ceil(q*n) in (n_chars, doc_id) order.  Integer rank
+    arithmetic ((n+3) div 4, (n+1) div 2, (3n+3) div 4) keeps the
+    definition engine-portable — no interpolation, no floats.  Shape:
+    one exchange at lang grain, row_number + conditional max in the
+    same partition order."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select("lang", "n_chars", F.row_number().over(w).alias("rn"))
+    cnt = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    return (
+        r.join(F.broadcast(cnt), "lang")
+        .groupBy("lang", "cnt")
+        .agg(
+            F.max(F.when(F.col("rn") == F.expr("(cnt + 3) div 4"),
+                         F.col("n_chars")).cast("int")).alias("q25"),
+            F.max(F.when(F.col("rn") == F.expr("(cnt + 1) div 2"),
+                         F.col("n_chars")).cast("int")).alias("q50"),
+            F.max(F.when(F.col("rn") == F.expr("(cnt * 3 + 3) div 4"),
+                         F.col("n_chars")).cast("int")).alias("q75"),
+        )
+    )
+
+
+def _profile_documents(spark, sf_dir):
+    """Single-scan per-column profile of the documents table
+    (operators/profile.py): null counts, cardinalities, min/max."""
+    from geoparser_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def _text_tfidf_topk(spark, sf_dir):
+    """Top-3 salient terms per document by integer-exact tf-idf
+    (operators/text_stats.py) — df/N computed over the FULL corpus,
+    output restricted to every 20th doc to keep the checked surface
+    bounded."""
+    from geoparser_spark.operators.text_stats import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3).where(F.col("doc_id") % 20 == 0)
+
+
+def _dedup_levenshtein(spark, sf_dir):
+    """Banded edit-distance near-dup pairs (operators/dedup.py
+    levenshtein_pairs) over documents plus planted 1-edit variants
+    ('Z' replacing the first char, id+1e6) — proves the band join
+    recalls true near-dups and the JVM levenshtein agrees with the
+    oracle engine's."""
+    from geoparser_spark.operators.dedup import levenshtein_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+    planted = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"),
+        "lang",
+        "n_chars",
+    )
+    return levenshtein_pairs(
+        d.unionByName(planted), prefix_len=80, bucket=64, max_dist=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract_spans": _flagship_extract,
@@ -2178,6 +2306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontaminate": _curation_decontaminate,
         "curation_familiarity": _curation_familiarity,
         "curation_source_filter": _curation_source_filter,
+        "events_rolling_sum": _events_rolling_sum,
+        "events_type_pivot": _events_type_pivot,
+        "docs_rollup_counts": _docs_rollup_counts,
+        "docs_length_quartiles": _docs_length_quartiles,
+        "profile_documents": _profile_documents,
+        "text_tfidf_topk": _text_tfidf_topk,
+        "dedup_levenshtein": _dedup_levenshtein,
     }
 
 
@@ -2840,6 +2975,129 @@ def oracle_sql() -> dict[str, str]:
             "split_hash": PQ.hash_split_sql(
                 weights=(8, 1, 1), labels=("train", "val", "test")
             ),
+            # relational-breadth family (r3): all-BIGINT/VARCHAR outputs,
+            # engine-portable integer arithmetic throughout
+            "events_rolling_sum": """
+                SELECT user_id, event_id,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                            AS BIGINT) AS roll_cents,
+                       CAST(count(*) OVER w AS BIGINT) AS roll_cnt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                             RANGE BETWEEN 3600000000 PRECEDING
+                                       AND CURRENT ROW)""",
+            "events_type_pivot": """
+                SELECT user_id,
+                       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+                       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+                       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+                       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+                       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+                FROM events GROUP BY user_id""",
+            "docs_rollup_counts": """
+                SELECT lang, source,
+                       CAST(GROUPING(lang, source) AS INT) AS gid,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY ROLLUP(lang, source)""",
+            "docs_length_quartiles": """
+                WITH r AS (
+                  SELECT lang, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n_chars, doc_id) AS rn
+                  FROM documents
+                ), c AS (
+                  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+                  FROM documents GROUP BY lang
+                )
+                SELECT r.lang, c.cnt,
+                       CAST(max(CASE WHEN rn = (cnt + 3) // 4
+                                     THEN n_chars END) AS INT) AS q25,
+                       CAST(max(CASE WHEN rn = (cnt + 1) // 2
+                                     THEN n_chars END) AS INT) AS q50,
+                       CAST(max(CASE WHEN rn = (cnt * 3 + 3) // 4
+                                     THEN n_chars END) AS INT) AS q75
+                FROM r JOIN c USING (lang)
+                GROUP BY r.lang, c.cnt""",
+            "profile_documents": """
+                SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                       CAST(min(doc_id) AS VARCHAR) AS min_repr,
+                       CAST(max(doc_id) AS VARCHAR) AS max_repr
+                FROM documents
+                UNION ALL
+                SELECT 'text', count(*), count(*) - count(text),
+                       count(DISTINCT text), min(text), max(text)
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*), count(*) - count(lang),
+                       count(DISTINCT lang), min(lang), max(lang)
+                FROM documents
+                UNION ALL
+                SELECT 'source', count(*), count(*) - count(source),
+                       count(DISTINCT source), min(source), max(source)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                       count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+                       CAST(max(n_chars) AS VARCHAR)
+                FROM documents""",
+            "text_tfidf_topk": f"""
+                WITH toks AS (
+                  SELECT doc_id, unnest(string_split(
+                           {_NORM_SQL.format(c='text')}, ' ')) AS term
+                  FROM documents
+                ), tf AS (
+                  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks WHERE term <> '' GROUP BY doc_id, term
+                ), dfreq AS (
+                  SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term
+                ), n AS (
+                  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+                ), scored AS (
+                  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                         CAST(tf.tf * ((n.n_docs * 1000000) // dfreq.df)
+                              AS BIGINT) AS score
+                  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+                ), ranked AS (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rk
+                  FROM scored
+                )
+                SELECT doc_id, term, tf, df, score FROM ranked
+                WHERE rk <= 3 AND doc_id % 20 = 0""",
+            "dedup_levenshtein": """
+                WITH aug AS (
+                  SELECT doc_id, text, lang, n_chars FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, 'Z' || substr(text, 2),
+                         lang, n_chars
+                  FROM documents WHERE doc_id % 10 = 0
+                ), base AS (
+                  SELECT doc_id AS id, lang, n_chars // 64 AS b0,
+                         substr(text, 1, 80) AS prefix
+                  FROM aug
+                ), l AS (
+                  SELECT id AS id_l, lang, unnest([b0, b0 + 1]) AS bkt,
+                         prefix AS p_l
+                  FROM base
+                ), cand AS (
+                  SELECT DISTINCT
+                         least(l.id_l, r.id) AS id_a,
+                         greatest(l.id_l, r.id) AS id_b,
+                         CASE WHEN l.id_l < r.id THEN l.p_l
+                              ELSE r.prefix END AS p_a,
+                         CASE WHEN l.id_l < r.id THEN r.prefix
+                              ELSE l.p_l END AS p_b
+                  FROM l JOIN base r
+                    ON l.lang = r.lang AND l.bkt = r.b0 AND l.id_l <> r.id
+                )
+                SELECT id_a, id_b,
+                       CAST(levenshtein(p_a, p_b) AS INT) AS dist
+                FROM cand WHERE levenshtein(p_a, p_b) <= 8""",
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)

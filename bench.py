@@ -135,6 +135,7 @@ def main() -> int:
         "curation_decontaminate", "curation_familiarity", "sample_hash",
         "dedup_cluster", "events_asof_state", "events_interval_join",
         "q14_nearest_place", "text_chunk_windows", "text_pack_sequences",
+        "events_rolling_sum", "text_tfidf_topk", "dedup_levenshtein",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}

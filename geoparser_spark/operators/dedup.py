@@ -437,3 +437,60 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
     return cand.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def levenshtein_pairs(docs: DataFrame, prefix_len: int = 80,
+                      bucket: int = 64, max_dist: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lang_col: str = "lang",
+                      len_col: str = "n_chars") -> DataFrame:
+    """Edit-distance near-dup pairs, banded so the self-join never goes
+    all-pairs: candidates must share a language and sit in the same or
+    adjacent length bucket (floor(n_chars / bucket)) — near-dups by
+    construction have near-equal lengths, so banding loses only pairs
+    whose lengths differ by >= `bucket` chars, which a `max_dist`-edit
+    pair cannot (choose bucket > max_dist).
+
+    Shape at scale: the left side explodes to 2 bucket keys (b, b+1),
+    the right side stays at 1, so the equi-join shuffle carries 3x the
+    PREFIX payload (first `prefix_len` chars only, never the body) at
+    (lang, bucket) grain.  levenshtein() is JVM-native on the candidate
+    pairs; O(prefix_len^2) per candidate, bounded by the banding.
+    Within-bucket density is the skew knob: shrink `bucket` (or add a
+    first-token band) if a bucket outgrows a task.
+
+    Emits canonical (id_a < id_b) pairs with the prefix edit distance.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.expr(f"{len_col} div {bucket}").alias("b0"),
+        F.substring(text_col, 1, prefix_len).alias("prefix"),
+    )
+    left = base.select(
+        F.col("id").alias("id_l"), "lang",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bkt"),
+        F.col("prefix").alias("p_l"),
+    )
+    right = base.select(
+        F.col("id").alias("id_r"), "lang",
+        F.col("b0").alias("bkt"), F.col("prefix").alias("p_r"),
+    )
+    cand = (
+        left.join(right, ["lang", "bkt"])
+        .where(F.col("id_l") != F.col("id_r"))
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            F.when(F.col("id_l") < F.col("id_r"), F.col("p_l"))
+            .otherwise(F.col("p_r")).alias("p_a"),
+            F.when(F.col("id_l") < F.col("id_r"), F.col("p_r"))
+            .otherwise(F.col("p_l")).alias("p_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("p_a", "p_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
