@@ -2220,6 +2220,68 @@ def _dedup_levenshtein(spark, sf_dir):
         d.unionByName(planted), prefix_len=80, bucket=64, max_dist=8)
 
 
+# --------------------------------------------- snapshot / MERGE layer (r3)
+
+
+def _snapshot_updates(d):
+    """Deterministic update set for the MERGE queries: every 7th doc
+    rewritten (text prefixed, length adjusted), every 100th doc also
+    inserted as a brand-new row under a shifted id."""
+    upd = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED "), F.col("text")).alias("text"),
+        "lang", "source",
+        (F.col("n_chars") + 8).alias("n_chars"),
+    )
+    ins = d.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "text", F.lit("xx").alias("lang"), "source", "n_chars",
+    )
+    return upd.unionByName(ins)
+
+
+def _snapshot_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE through the snapshot layer
+    (plans/snapshots.py): create v1 from documents, merge an update+
+    insert set, read the LATEST snapshot and aggregate per lang —
+    count, exact char sum, and how many rows carry the update marker.
+    Oracle expresses latest-wins relationally (anti-join + union)."""
+    import tempfile
+
+    from geoparser_spark.plans import snapshots as SN
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="gp_snap_")
+    SN.create_table(d, root, key="doc_id", n_files=4)
+    SN.merge_upsert(spark, _snapshot_updates(d), root)
+    cur = SN.read_snapshot(spark, root)
+    return cur.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.when(F.col("text").startswith("UPDATED "), 1).otherwise(0))
+        .cast("long").alias("n_updated"),
+    )
+
+
+def _snapshot_time_travel(spark, sf_dir):
+    """Time travel: after the same MERGE commit, read snapshot v1 —
+    the pre-merge table must come back exactly (the update must be
+    INVISIBLE at v1).  Oracle is the plain base aggregate."""
+    import tempfile
+
+    from geoparser_spark.plans import snapshots as SN
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="gp_snap_tt_")
+    SN.create_table(d, root, key="doc_id", n_files=4)
+    SN.merge_upsert(spark, _snapshot_updates(d), root)
+    v1 = SN.read_snapshot(spark, root, version=1)
+    return v1.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract_spans": _flagship_extract,
@@ -2313,6 +2375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": _profile_documents,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_levenshtein": _dedup_levenshtein,
+        "snapshot_merge_upsert": _snapshot_merge_upsert,
+        "snapshot_time_travel": _snapshot_time_travel,
     }
 
 
@@ -3098,6 +3162,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id_a, id_b,
                        CAST(levenshtein(p_a, p_b) AS INT) AS dist
                 FROM cand WHERE levenshtein(p_a, p_b) <= 8""",
+            # snapshot layer: latest-wins MERGE expressed relationally
+            "snapshot_merge_upsert": """
+                WITH upd AS (
+                  SELECT doc_id, 'UPDATED ' || text AS text, lang,
+                         source, n_chars + 8 AS n_chars
+                  FROM documents WHERE doc_id % 7 = 0
+                  UNION ALL
+                  SELECT doc_id + 2000000, text, 'xx', source, n_chars
+                  FROM documents WHERE doc_id % 100 = 0
+                ), merged AS (
+                  SELECT d.* FROM documents d
+                  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                                    WHERE u.doc_id = d.doc_id)
+                  UNION ALL
+                  SELECT * FROM upd
+                )
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                       CAST(sum(CASE WHEN text LIKE 'UPDATED %' THEN 1
+                                     ELSE 0 END) AS BIGINT) AS n_updated
+                FROM merged GROUP BY lang""",
+            "snapshot_time_travel": """
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY lang""",
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)

@@ -1,0 +1,203 @@
+"""Snapshot-isolated table layer over Parquet: versioned manifests,
+time travel, and copy-on-write MERGE with file-level key pruning.
+
+This is the executable stand-in for the Iceberg runtime the sandbox
+can't load (sources/catalog.py documents the seam; SURVEY.md §1.3 maps
+the reference's Solr cores to Iceberg tables).  The reference mutates
+rows in place with per-doc Solr `set` updates
+(`geoparser_app/solr.py:181-200,216-235`); at 10^12 docs row-level
+update must be snapshot-based: immutable data files + an atomic
+manifest swap.  This module implements exactly that contract on plain
+Parquet so the semantics are TESTED, not just documented:
+
+- every commit writes new immutable part files plus a JSON manifest
+  `_log/v{N}.json` listing the snapshot's full file set; readers pin a
+  version (time travel) or take the latest;
+- the manifest records per-file MIN/MAX of the merge key, read from
+  the Parquet FOOTER (no data scan) — the same column-stats pruning an
+  Iceberg manifest provides;
+- `merge_upsert` is copy-on-write MERGE: files whose [min,max] key
+  range cannot contain any update key are CARRIED OVER untouched into
+  the new snapshot (file-level pruning); only intersecting files are
+  rewritten via anti-join + union.  At 100 TB this is the difference
+  between rewriting the table and rewriting the handful of files a
+  trickle of updates lands in.
+
+Commit protocol: manifests are written to a temp name then atomically
+renamed; the latest version is the highest contiguous v{N}.json, so a
+crashed half-commit (data files without a manifest) is invisible —
+readers never see it, and the orphaned files are GC-able.  (A real
+multi-writer deployment would CAS the rename through a catalog; the
+single-driver batch jobs here — like the reference's single Django
+loop — have one committer.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG = "_log"
+
+
+def _data_dir(root: str) -> str:
+    return os.path.join(root, "data")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _LOG, f"v{version}.json")
+
+
+def latest_version(root: str) -> int:
+    """Highest contiguous committed version, 0 if none."""
+    v = 0
+    while os.path.exists(_manifest_path(root, v + 1)):
+        v += 1
+    return v
+
+
+def _file_key_stats(path: str, key: str):
+    """(min, max) of `key` across row groups, from the footer only."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return None
+    idx = md.schema.to_arrow_schema().get_field_index(key)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None  # no stats -> never prune this file
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi)
+
+
+def _write_files(df: DataFrame, root: str, key: str | None) -> list[dict]:
+    """Write df as new immutable part files; return file entries with
+    footer-derived key stats."""
+    commit_id = uuid.uuid4().hex[:12]
+    out = os.path.join(_data_dir(root), commit_id)
+    df.write.mode("error").parquet(out)
+    entries = []
+    import pyarrow.parquet as pq
+
+    for name in sorted(os.listdir(out)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(out, name)
+        if pq.ParquetFile(path).metadata.num_rows == 0:
+            os.remove(path)  # drop empty shards from the snapshot
+            continue
+        rel = os.path.relpath(path, root)
+        ent: dict = {"path": rel}
+        if key is not None:
+            st = _file_key_stats(path, key)
+            if st is not None:
+                ent["key_min"], ent["key_max"] = st
+        entries.append(ent)
+    return entries
+
+
+def _commit(root: str, version: int, files: list[dict], op: str,
+            key: str | None) -> int:
+    os.makedirs(os.path.join(root, _LOG), exist_ok=True)
+    manifest = {
+        "version": version,
+        "op": op,
+        "key": key,
+        "files": files,
+    }
+    tmp = _manifest_path(root, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(root, version))
+    return version
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def create_table(df: DataFrame, root: str, key: str | None = None,
+                 n_files: int = 4) -> int:
+    """v1: write df range-partitioned on `key` so file key ranges are
+    disjoint and MERGE pruning has teeth."""
+    if latest_version(root) != 0:
+        raise ValueError(f"table already exists at {root}")
+    if key is not None:
+        df = df.repartitionByRange(n_files, key)
+    files = _write_files(df, root, key)
+    return _commit(root, 1, files, "create", key)
+
+
+def append(df: DataFrame, root: str) -> int:
+    v = latest_version(root)
+    if v == 0:
+        raise ValueError(f"no table at {root}")
+    man = _load_manifest(root, v)
+    new = _write_files(df, root, man.get("key"))
+    return _commit(root, v + 1, man["files"] + new, "append", man.get("key"))
+
+
+def read_snapshot(spark: SparkSession, root: str,
+                  version: int | None = None) -> DataFrame:
+    v = version if version is not None else latest_version(root)
+    man = _load_manifest(root, v)
+    paths = [os.path.join(root, f["path"]) for f in man["files"]]
+    if not paths:
+        raise ValueError(f"empty snapshot v{v} at {root}")
+    return spark.read.parquet(*paths)
+
+
+def merge_upsert(spark: SparkSession, updates: DataFrame, root: str) -> dict:
+    """Copy-on-write MERGE (latest wins by key): carry over every file
+    whose footer key range cannot intersect the update keys; rewrite
+    the rest as anti-join(current-slice, updates) + updates.
+
+    Returns {"version", "carried", "rewritten"} so callers (and tests)
+    can see the pruning do its work.  The update key bounds come from
+    ONE small agg over the updates side; per-file intersection is a
+    manifest-local check, no data read.  Updates must be unique per
+    key (upsert semantics are undefined otherwise — enforced cheaply
+    by the caller or an assert_unique pass)."""
+    v = latest_version(root)
+    man = _load_manifest(root, v)
+    key = man.get("key")
+    if key is None:
+        raise ValueError("merge_upsert requires a table created with a key")
+    b = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    carried, rewrite = [], []
+    for ent in man["files"]:
+        if ("key_min" in ent and lo is not None
+                and (ent["key_max"] < lo or ent["key_min"] > hi)):
+            carried.append(ent)
+        else:
+            rewrite.append(ent)
+    if rewrite:
+        paths = [os.path.join(root, f["path"]) for f in rewrite]
+        current = spark.read.parquet(*paths)
+        merged = current.join(
+            updates.select(key), key, "left_anti"
+        ).unionByName(updates)
+    else:
+        merged = updates
+    new = _write_files(merged, root, key)
+    nv = _commit(root, v + 1, carried + new, "merge", key)
+    return {"version": nv, "carried": len(carried), "rewritten": len(rewrite)}
+
+
+def history(root: str) -> list[dict]:
+    out = []
+    for v in range(1, latest_version(root) + 1):
+        man = _load_manifest(root, v)
+        out.append({"version": v, "op": man["op"],
+                    "n_files": len(man["files"])})
+    return out
