@@ -2220,6 +2220,34 @@ def _dedup_levenshtein(spark, sf_dir):
         d.unionByName(planted), prefix_len=80, bucket=64, max_dist=8)
 
 
+def _dedup_semantic(spark, sf_dir):
+    """SemDeDup (operators/similarity.semdedup_prune): deterministic
+    IVF clustering bounds the pairwise cosine pass to within-cluster;
+    prune any vector with a lower-id same-cluster neighbor at cosine
+    >= 0.3.  Value-checked per row (vec_id, ivf_list, pruned) against
+    a pure-Python exact-fold replica."""
+    from geoparser_spark.operators.similarity import (
+        ivf_fit_centroids,
+        semdedup_prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_fit_centroids(emb, n_lists=8, sample=512)
+    return semdedup_prune(emb, cents, threshold=0.3)
+
+
+def _text_bpe_encode(spark, sf_dir):
+    """BPE tokenization (operators/bpe.py): merges learned on a
+    deterministic bounded sample, Arrow-batched encode of the full
+    corpus; per-doc word/token counts plus the first word's actual
+    subword split, all replayed independently by the oracle."""
+    from geoparser_spark.operators.bpe import bpe_encode, learn_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(d, n_merges=60, sample=200, modulus=10)
+    return bpe_encode(d, merges)
+
+
 # --------------------------------------------- snapshot / MERGE layer (r3)
 
 
@@ -2377,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_levenshtein": _dedup_levenshtein,
         "snapshot_merge_upsert": _snapshot_merge_upsert,
         "snapshot_time_travel": _snapshot_time_travel,
+        "dedup_semantic": _dedup_semantic,
+        "text_bpe_encode": _text_bpe_encode,
     }
 
 
@@ -3187,6 +3217,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                        CAST(sum(n_chars) AS BIGINT) AS sum_chars
                 FROM documents GROUP BY lang""",
+            "dedup_semantic": PQ.semdedup_sql(
+                n_lists=8, sample=512, threshold=0.3),
+            "text_bpe_encode": PQ.bpe_encode_sql(
+                n_merges=60, sample=200, modulus=10),
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)

@@ -321,3 +321,52 @@ def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup_prune(embeddings: DataFrame, centroids: np.ndarray,
+                   threshold: float = 0.3, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    2303.09540): cluster the embedding space, then prune any vector
+    that has a LOWER-id neighbor in the SAME cluster with cosine >=
+    threshold (keep-lowest-id is the deterministic stand-in for the
+    paper's keep-farthest-from-centroid — representative choice is
+    policy, the quadratic-bounded-by-cluster structure is the
+    algorithm).
+
+    Shape at scale: assignment is a native expression (no shuffle);
+    the pairwise pass is a self-equi-join on ivf_list, so the shuffle
+    is cluster-grain and the quadratic is bounded by cluster size —
+    exactly why SemDeDup clusters first.  Oversized clusters are the
+    skew knob: raise n_lists (or sub-cluster recursively) so no single
+    cluster outgrows a task.
+
+    Returns (vec_id, ivf_list, pruned: int 0/1) for every input row.
+    """
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "ivf_list",
+    )
+    keep = assigned.select(
+        F.col("id").alias("id_keep"), F.col("v").alias("v_keep"), "ivf_list")
+    cand = assigned.select(
+        F.col("id").alias("id_cand"), F.col("v").alias("v_cand"), "ivf_list")
+    cos = _dot(F.col("v_keep"), F.col("v_cand")) / (
+        _norm(F.col("v_keep")) * _norm(F.col("v_cand")))
+    pruned = (
+        keep.join(cand, "ivf_list")
+        .where(F.col("id_keep") < F.col("id_cand"))
+        .where(cos >= F.lit(threshold))
+        .select(F.col("id_cand").alias("id"))
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "ivf_list",
+            F.coalesce(F.col("pruned"), F.lit(0)).cast("int").alias("pruned"),
+        )
+    )

@@ -562,3 +562,120 @@ def hash_split_sql(weights=(8, 1, 1), labels=("train", "val", "test")) -> str:
         agg[lab][1] += int(n_chars)
     out = [(lab, c, t) for lab, (c, t) in agg.items() if c]
     return values_sql(sorted(out), ["split", "n_docs", "total_chars"])
+
+
+# ------------------------------------------------------ semdedup / bpe (r3)
+
+def semdedup_sql(n_lists: int = 8, sample: int = 512,
+                 threshold: float = 0.3) -> str:
+    """Replica of similarity.semdedup_prune: id-hash sample -> same
+    deterministic k-means -> first-min exact-fold assignment -> within-
+    cluster pairwise exact-fold cosine -> prune any vector with a
+    lower-id neighbor at cosine >= threshold."""
+    from geoparser_spark.operators.tiles import kmeans_fit
+
+    rows = read_table("embeddings", "vec_id, embedding")
+    vecs = [(int(i), [float(x) for x in v]) for i, v in rows]
+    sampled = sorted(vecs, key=lambda r: (spark_xxhash64(r[0]), r[0]))[:sample]
+    cents = kmeans_fit(
+        np.array([v for _, v in sampled], dtype=np.float64), n_lists)
+    cent_lists = [[float(x) for x in c] for c in cents]
+
+    def assign(v: list[float]) -> int:
+        dists = []
+        for c in cent_lists:
+            acc = 0.0
+            for a, b in zip(v, c):
+                acc = acc + (a - b) * (a - b)
+            dists.append(acc)
+        return dists.index(min(dists))
+
+    clusters: dict[int, list[tuple[int, list[float]]]] = defaultdict(list)
+    assign_of: dict[int, int] = {}
+    for i, v in vecs:
+        lst = assign(v)
+        assign_of[i] = lst
+        clusters[lst].append((i, v))
+    pruned: set[int] = set()
+    for lst, members in clusters.items():
+        members.sort()
+        norms = {i: _fold_norm(v) for i, v in members}
+        for ai in range(len(members)):
+            ia, va = members[ai]
+            for bi in range(ai + 1, len(members)):
+                ib, vb = members[bi]
+                if ib in pruned:
+                    continue
+                cos = _fold_dot(va, vb) / (norms[ia] * norms[ib])
+                if cos >= threshold:
+                    pruned.add(ib)
+    out = [(i, assign_of[i], 1 if i in pruned else 0) for i, _ in vecs]
+    return values_sql(out, ["vec_id", "ivf_list", "pruned"])
+
+
+def bpe_encode_sql(n_merges: int = 60, sample: int = 200,
+                   modulus: int = 10) -> str:
+    """Independent BPE replica for operators.bpe: learn merges on the
+    same bounded sample spec (max-freq, lexicographically-smallest tie
+    break), then greedy leftmost-lowest-rank encode of every doc."""
+    sample_rows = read_table(
+        "documents", "text", f"doc_id % {modulus} = 0", "doc_id")[:sample]
+    freq: dict[str, int] = defaultdict(int)
+    for (t,) in sample_rows:
+        for w in tokens(t):
+            if w:
+                freq[w] += 1
+    split = {w: list(w) + ["</w>"] for w in freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = defaultdict(int)
+        for w, f in freq.items():
+            s = split[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        best_pair, best_f = None, -1
+        for p, f in pc.items():
+            if f > best_f or (f == best_f and p < best_pair):
+                best_pair, best_f = p, f
+        merges.append(best_pair)
+        a, b = best_pair
+        for w, s in split.items():
+            j, ns = 0, []
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    ns.append(a + b)
+                    j += 2
+                else:
+                    ns.append(s[j])
+                    j += 1
+            split[w] = ns
+    rank = {p: i for i, p in enumerate(merges)}
+
+    cache: dict[str, list[str]] = {}
+
+    def enc(w: str) -> list[str]:
+        if w in cache:
+            return cache[w]
+        s = list(w) + ["</w>"]
+        while len(s) > 1:
+            best, bi = None, -1
+            for i in range(len(s) - 1):
+                r = rank.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            s[bi:bi + 2] = [s[bi] + s[bi + 1]]
+        cache[w] = s
+        return s
+
+    out = []
+    for i, t in read_table("documents", "doc_id, text"):
+        ws = [w for w in tokens(t) if w]
+        total = sum(len(enc(w)) for w in ws)
+        first = "|".join(enc(ws[0])) if ws else ""
+        out.append((int(i), len(ws), total, first))
+    return values_sql(
+        out, ["doc_id", "n_words", "n_bpe_tokens", "first_pieces"])
