@@ -2248,6 +2248,63 @@ def _text_bpe_encode(spark, sf_dir):
     return bpe_encode(d, merges)
 
 
+def _web_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup (operators/urls.py): three
+    deterministic spellings per doc — mixed case + default port +
+    fragment + shuffled query params — must collapse to one canonical
+    URL per doc (plus a distinct CDN variant for every 3rd doc).
+    Map-only expression canonicalization, one grouping at canonical-URL
+    grain; the oracle runs the SAME RE2-subset component regex."""
+    from geoparser_spark.operators.urls import url_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    u1 = d.select(F.concat(
+        F.lit("http://Docs.Example.com:80/item/"), sid,
+        F.lit("/?session=9&id="), sid, F.lit("#top")).alias("url"))
+    u2 = d.select(F.concat(
+        F.lit("HTTP://docs.example.COM/item/"), sid,
+        F.lit("?id="), sid, F.lit("&session=9")).alias("url"))
+    u3 = d.where(F.col("doc_id") % 3 == 0).select(F.concat(
+        F.lit("https://cdn.example.com/item/"), sid).alias("url"))
+    return url_dedup(u1.unionAll(u2).unionAll(u3))
+
+
+def _sample_weighted(spark, sf_dir):
+    """Domain-mixing downsample (operators/sampling.weighted_sample):
+    per-source keep rates in basis points (src1 25%, src2 50%, src3
+    dropped, everything else kept).  Map-only CASE-over-literals rate
+    lookup folded into the hash filter; every kept row value-checked
+    against the pure-Python xxhash64 replica."""
+    from geoparser_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return weighted_sample(
+        d, {"src1": 2500, "src2": 5000, "src3": 0})
+
+
+def _snapshot_append_dedup(spark, sf_dir):
+    """Idempotent ingest (plans/snapshots.append_dedup): v1 holds the
+    even docs; a full-corpus redelivery appends ONLY the odd docs
+    (content-hash anti-join, digests-only shuffle), and a second
+    redelivery appends zero rows.  Final per-lang aggregate must equal
+    the whole corpus exactly once."""
+    import tempfile
+
+    from geoparser_spark.plans import snapshots as SN
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="gp_snap_ad_")
+    SN.create_table(d.where(F.col("doc_id") % 2 == 0), root, key="doc_id")
+    SN.append_dedup(spark, d, root, hash_cols=["doc_id", "text"])
+    SN.append_dedup(spark, d, root, hash_cols=["doc_id", "text"])
+    cur = SN.read_snapshot(spark, root)
+    return cur.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 # --------------------------------------------- snapshot / MERGE layer (r3)
 
 
@@ -2407,6 +2464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": _snapshot_time_travel,
         "dedup_semantic": _dedup_semantic,
         "text_bpe_encode": _text_bpe_encode,
+        "web_url_dedup": _web_url_dedup,
+        "sample_weighted": _sample_weighted,
+        "snapshot_append_dedup": _snapshot_append_dedup,
     }
 
 
@@ -3221,6 +3281,63 @@ def oracle_sql() -> dict[str, str]:
                 n_lists=8, sample=512, threshold=0.3),
             "text_bpe_encode": PQ.bpe_encode_sql(
                 n_merges=60, sample=200, modulus=10),
+            "web_url_dedup": r"""
+                WITH raw AS (
+                  SELECT 'http://Docs.Example.com:80/item/' || doc_id ||
+                         '/?session=9&id=' || doc_id || '#top' AS url
+                  FROM documents
+                  UNION ALL
+                  SELECT 'HTTP://docs.example.COM/item/' || doc_id ||
+                         '?id=' || doc_id || '&session=9'
+                  FROM documents
+                  UNION ALL
+                  SELECT 'https://cdn.example.com/item/' || doc_id
+                  FROM documents WHERE doc_id % 3 = 0
+                ), parts AS (
+                  SELECT url,
+                    lower(regexp_extract(url,
+                      '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+                    regexp_extract(url,
+                      '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2) AS auth,
+                    regexp_extract(url,
+                      '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path,
+                    regexp_extract(url,
+                      '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS query
+                  FROM raw
+                ), c AS (
+                  SELECT url,
+                    CASE WHEN scheme <> '' THEN scheme || '://'
+                         ELSE '' END
+                    || CASE WHEN strpos(auth, '@') > 0
+                            THEN split_part(auth, '@', 1) || '@'
+                            ELSE '' END
+                    || CASE
+                         WHEN scheme = 'http' AND lower(CASE WHEN strpos(auth,'@')>0 THEN split_part(auth,'@',2) ELSE auth END) LIKE '%:80'
+                           THEN split_part(lower(CASE WHEN strpos(auth,'@')>0 THEN split_part(auth,'@',2) ELSE auth END), ':', 1)
+                         WHEN scheme = 'https' AND lower(CASE WHEN strpos(auth,'@')>0 THEN split_part(auth,'@',2) ELSE auth END) LIKE '%:443'
+                           THEN split_part(lower(CASE WHEN strpos(auth,'@')>0 THEN split_part(auth,'@',2) ELSE auth END), ':', 1)
+                         ELSE lower(CASE WHEN strpos(auth,'@')>0 THEN split_part(auth,'@',2) ELSE auth END)
+                       END
+                    || CASE WHEN path = '' THEN '/'
+                            WHEN path <> '/' AND path LIKE '%/'
+                              THEN substr(path, 1, length(path) - 1)
+                            ELSE path END
+                    || CASE WHEN array_to_string(list_sort(list_filter(
+                              string_split(query, '&'), p -> p <> '')), '&') <> ''
+                            THEN '?' || array_to_string(list_sort(list_filter(
+                              string_split(query, '&'), p -> p <> '')), '&')
+                            ELSE '' END AS canon_url
+                  FROM parts
+                )
+                SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants,
+                       min(url) AS first_url
+                FROM c GROUP BY canon_url""",
+            "sample_weighted": PQ.weighted_sample_sql(
+                {"src1": 2500, "src2": 5000, "src3": 0}),
+            "snapshot_append_dedup": """
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY lang""",
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)

@@ -104,3 +104,27 @@ def cap_per_group(df: DataFrame, group_cols: list[str], k: int,
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(df: DataFrame, rates_bp: dict[str, int],
+                    id_col: str = "doc_id", group_col: str = "source",
+                    default_bp: int = 10_000,
+                    den: int = 10_000) -> DataFrame:
+    """Per-group deterministic downsampling — the domain-mixing
+    operator: keep a row iff pmod(xxhash64(id), den) < rate_bp[group],
+    with rates in basis points of ``den`` (10000 bp = keep all).
+    Groups absent from ``rates_bp`` keep ``default_bp``.
+
+    Training mixes are specified exactly this way ("keep 30% of
+    crawl-X, all of wiki"); keyed hashing makes the mix stable under
+    retries and re-partitioning, and joinable across tables sampled on
+    the same key.  Map-only: the rate lookup is a CASE chain over
+    group literals folded into the same codegen'd filter as the hash —
+    no join, no shuffle, no state.
+    """
+    if any(not 0 <= v <= den for v in rates_bp.values()):
+        raise ValueError(f"rates must be within [0, {den}]: {rates_bp}")
+    rate = F.lit(default_bp)
+    for g in sorted(rates_bp, reverse=True):
+        rate = F.when(F.col(group_col) == g, F.lit(rates_bp[g])).otherwise(rate)
+    return df.where(_bucket(id_col, den) < rate)

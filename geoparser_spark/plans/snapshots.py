@@ -201,3 +201,35 @@ def history(root: str) -> list[dict]:
         out.append({"version": v, "op": man["op"],
                     "n_files": len(man["files"])})
     return out
+
+
+def append_dedup(spark: SparkSession, df: DataFrame, root: str,
+                 hash_cols: list[str]) -> dict:
+    """Idempotent ingest: append only rows whose content hash (md5 over
+    ``hash_cols``) is not already in the table — re-delivering the same
+    batch (crawler retries, at-least-once upstream) adds ZERO rows.
+    The probe ships only hash digests (the exact-dedup-hashed shape:
+    shuffle carries md5 strings, never bodies); the incoming batch is
+    also self-deduped on the hash so one delivery can't insert twins.
+
+    Returns {"version", "appended"} (version unchanged when the whole
+    batch was already present)."""
+    v = latest_version(root)
+    if v == 0:
+        raise ValueError(f"no table at {root}")
+    digest = F.md5(F.concat_ws("\x1f", *[
+        F.col(c).cast("string") for c in hash_cols]))
+    current = read_snapshot(spark, root, version=v)
+    seen = current.select(digest.alias("h")).distinct()
+    fresh = (
+        df.withColumn("h", digest)
+        .dropDuplicates(["h"])
+        .join(seen, "h", "left_anti")
+        .drop("h")
+    )
+    man = _load_manifest(root, v)
+    new = _write_files(fresh, root, man.get("key"))
+    if not new:
+        return {"version": v, "appended": 0}
+    _commit(root, v + 1, man["files"] + new, "append", man.get("key"))
+    return {"version": v + 1, "appended": len(new)}

@@ -679,3 +679,16 @@ def bpe_encode_sql(n_merges: int = 60, sample: int = 200,
         out.append((int(i), len(ws), total, first))
     return values_sql(
         out, ["doc_id", "n_words", "n_bpe_tokens", "first_pieces"])
+
+
+def weighted_sample_sql(rates_bp: dict[str, int], default_bp: int = 10_000,
+                        den: int = 10_000) -> str:
+    """Expected output of sampling.weighted_sample(documents): rows
+    whose pmod(xxhash64(doc_id), den) < rate_bp(source)."""
+    rows = read_table("documents", "doc_id, source, lang")
+    out = []
+    for i, src, lang in rows:
+        rate = rates_bp.get(src, default_bp)
+        if spark_xxhash64(int(i)) % den < rate:
+            out.append((int(i), src, lang))
+    return values_sql(sorted(out), ["doc_id", "source", "lang"])
