@@ -252,3 +252,65 @@ def test_line_dedup_cms_matches_exact_and_drops_heavy_hitter(spark):
         assert (exact[i].n_kept, exact[i].n_dropped) == (cms[i].n_kept, cms[i].n_dropped)
     assert "Copyright Example Corp" not in cms[0].clean_text
     assert "Unique fact number 0" in cms[0].clean_text
+
+
+def test_weighted_sample_is_map_only(spark, docs):
+    from geoparser_spark.operators.sampling import weighted_sample
+
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    plan = _plan(weighted_sample(d, {"src1": 5000}))
+    assert "Exchange" not in plan, plan
+
+
+def test_url_dedup_single_exchange(spark):
+    from geoparser_spark.operators.urls import url_dedup
+
+    d = spark.range(100).select(
+        F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url"))
+    plan = _plan(url_dedup(d))
+    ex = [l for l in plan.splitlines()
+          if "Exchange" in l and "BroadcastExchange" not in l]
+    assert len(ex) == 1, plan  # canonicalize map-side, one agg shuffle
+
+
+def test_levenshtein_pairs_no_cartesian(spark):
+    from geoparser_spark.operators.dedup import levenshtein_pairs
+
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.col("id") * 7 % 300).cast("int").alias("n_chars"),
+        F.concat(F.lit("text body "), F.col("id").cast("string")).alias("text"))
+    plan = _plan(levenshtein_pairs(d))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_no_cartesian_blowup(spark):
+    # the 1-row corpus count joins via broadcast (nested-loop over ONE
+    # row is the intended cheap shape); a real cartesian is forbidden
+    from geoparser_spark.operators.text_stats import tfidf_topk
+
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma").alias("text"))
+    plan = _plan(tfidf_topk(d))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_semdedup_joins_on_cluster_key(spark):
+    import numpy as np
+
+    from geoparser_spark.operators.similarity import semdedup_prune
+
+    d = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=int(i)) for i in range(4)]).alias("embedding"))
+    cents = np.eye(2, 4)
+    plan = _plan(semdedup_prune(d, cents))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
