@@ -35,17 +35,31 @@ SCALE = 1_000_000
 
 
 def tfidf_topk(docs: DataFrame, k: int = 3, doc_id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", persist_tf: bool = True) -> DataFrame:
     """Top-k salient terms per document by integer-exact tf-idf.
 
     Returns (doc_id, term, tf, df, score) with score = tf *
     (N * SCALE div df); deterministic rank ties broken by term asc.
+
+    persist_tf: the doc-term aggregate feeds BOTH the scored join and
+    the document-frequency rollup; the two consumers column-prune the
+    subtree differently so ReuseExchange cannot unify them, and without
+    persistence the corpus is scanned + exploded TWICE (verified in
+    PLANS.md).  Persisting tf trades one materialization (far smaller
+    than the token stream after the per-doc count) for the second
+    corpus scan — at 100 TB that's the whole game.  A window
+    `count over (partition by term)` would also avoid the rescan but
+    buffers every ("the", doc) row in one partition — the heavy-hitter
+    OOM shape line_dedup was dinged for; the vocabulary-grain groupBy
+    + join stays map-side-combined and skew-free.
     """
     toks = docs.select(
         F.col(doc_id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if persist_tf:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (

@@ -300,6 +300,9 @@ def test_tfidf_no_cartesian_blowup(spark):
     plan = _plan(tfidf_topk(d))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+    # tf feeds both the join and the df rollup from ONE materialization
+    # (without it the corpus is scanned + exploded twice)
+    assert plan.count("InMemoryTableScan") == 2, plan
 
 
 def test_semdedup_joins_on_cluster_key(spark):

@@ -147,6 +147,59 @@ def main() -> int:
             "group it sees.",
             _fmt(qs["sample_cap_per_group"](spark, sf_dir)),
         ),
+        (
+            "text_tfidf_topk",
+            "Corpus-relative tf-idf: token explode map-side, doc-term "
+            "aggregate persisted ONCE and read by both the scored join "
+            "and the vocabulary-grain df rollup (two InMemoryTableScans "
+            "— without it the corpus scans twice), 1-row corpus count "
+            "broadcast, per-doc top-k window — no Cartesian anywhere.",
+            _fmt(qs["text_tfidf_topk"](spark, sf_dir)),
+        ),
+        (
+            "dedup_levenshtein",
+            "Banded edit-distance pairs: the self-join is an EQUI join "
+            "on (lang, length-bucket) with the 2x adjacent-bucket "
+            "explode on the left side only; levenshtein runs as a "
+            "residual on candidates — never all-pairs.",
+            _fmt(qs["dedup_levenshtein"](spark, sf_dir)),
+        ),
+        (
+            "dedup_semantic",
+            "SemDeDup: nearest-centroid assignment is a pure expression "
+            "(no shuffle); the pairwise cosine pass equi-joins on "
+            "ivf_list so the quadratic is bounded by cluster size and "
+            "the shuffle is cluster-grain.",
+            _fmt(qs["dedup_semantic"](spark, sf_dir)),
+        ),
+        (
+            "web_url_dedup",
+            "URL dedup: canonicalization is one map-side expression "
+            "tree (regexp component split + array_sort of params); the "
+            "single exchange is the canonical-URL aggregation.",
+            _fmt(qs["web_url_dedup"](spark, sf_dir)),
+        ),
+        (
+            "sample_weighted",
+            "Weighted domain mixing: CASE-over-literals rate lookup "
+            "folded into the keyed-hash filter — map-only, zero "
+            "exchanges.",
+            _fmt(qs["sample_weighted"](spark, sf_dir)),
+        ),
+        (
+            "events_rolling_sum",
+            "1-hour rolling aggregate: RANGE frame over integer "
+            "microseconds — ONE user-grain exchange, sliding-frame "
+            "WindowExec, exact long-cents arithmetic.",
+            _fmt(qs["events_rolling_sum"](spark, sf_dir)),
+        ),
+        (
+            "profile_documents",
+            "Table profiling: 5 columns x 5 metrics in ONE scan + one "
+            "1-row exchange; the per-column unpivot explodes the "
+            "single aggregate row, never re-scanning.",
+            _fmt(qs["profile_documents"](spark, sf_dir)),
+        ),
     ]
 
     with open("PLANS.md", "w") as f:
