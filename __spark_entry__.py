@@ -2305,6 +2305,26 @@ def _snapshot_append_dedup(spark, sf_dir):
     )
 
 
+def _events_salted_join(spark, sf_dir):
+    """Explicit skew-defused join (plans/skewjoin.salted_join): events
+    (hot user keys) join a per-user dimension with salt 8 — each hot
+    user's rows scatter across 8 reducers; result aggregated per user
+    flag so every joined row is value-covered.  Oracle is the plain
+    unsalted join."""
+    from geoparser_spark.plans.skewjoin import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    dim = (
+        ev.select("user_id").distinct()
+        .select("user_id", (F.col("user_id") % 2 == 0).alias("even_user"))
+    )
+    j = salted_join(ev, dim, "user_id", row_id_col="event_id", salt=8)
+    return j.groupBy("even_user").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
 # --------------------------------------------- snapshot / MERGE layer (r3)
 
 
@@ -2467,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _web_url_dedup,
         "sample_weighted": _sample_weighted,
         "snapshot_append_dedup": _snapshot_append_dedup,
+        "events_salted_join": _events_salted_join,
     }
 
 
@@ -3338,6 +3359,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                        CAST(sum(n_chars) AS BIGINT) AS sum_chars
                 FROM documents GROUP BY lang""",
+            "events_salted_join": """
+                SELECT (e.user_id % 2 = 0) AS even_user,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                            AS BIGINT) AS sum_cents
+                FROM events e
+                JOIN (SELECT DISTINCT user_id FROM events) d
+                  ON e.user_id = d.user_id
+                GROUP BY (e.user_id % 2 = 0)""",
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)

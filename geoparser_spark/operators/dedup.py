@@ -443,7 +443,8 @@ def levenshtein_pairs(docs: DataFrame, prefix_len: int = 80,
                       bucket: int = 64, max_dist: int = 8,
                       id_col: str = "doc_id", text_col: str = "text",
                       lang_col: str = "lang",
-                      len_col: str = "n_chars") -> DataFrame:
+                      len_col: str = "n_chars",
+                      n_parts: int | None = None) -> DataFrame:
     """Edit-distance near-dup pairs, banded so the self-join never goes
     all-pairs: candidates must share a language and sit in the same or
     adjacent length bucket (floor(n_chars / bucket)) — near-dups by
@@ -454,10 +455,17 @@ def levenshtein_pairs(docs: DataFrame, prefix_len: int = 80,
     Shape at scale: the left side explodes to 2 bucket keys (b, b+1),
     the right side stays at 1, so the equi-join shuffle carries 3x the
     PREFIX payload (first `prefix_len` chars only, never the body) at
-    (lang, bucket) grain.  levenshtein() is JVM-native on the candidate
-    pairs; O(prefix_len^2) per candidate, bounded by the banding.
-    Within-bucket density is the skew knob: shrink `bucket` (or add a
-    first-token band) if a bucket outgrows a task.
+    (lang, bucket) grain.  Orientation is encoded IN the join
+    condition — same-bucket pairs require id_l < id_r, adjacent-bucket
+    pairs match exactly once by construction — so no pair is ever
+    emitted twice and there is NO dedup aggregation (the naive
+    dropDuplicates shuffles and sorts every candidate with both prefix
+    payloads).  levenshtein runs threshold-banded (Spark's 3-arg form:
+    O(max_dist * len) early-exit DP, -1 past the bound, the true
+    distance within it — identical results to the unbounded form
+    filtered at max_dist).  Within-bucket density is the skew knob:
+    shrink `bucket` (or add a first-token band) if a bucket outgrows a
+    task.
 
     Emits canonical (id_a < id_b) pairs with the prefix edit distance.
     """
@@ -468,29 +476,42 @@ def levenshtein_pairs(docs: DataFrame, prefix_len: int = 80,
         F.substring(text_col, 1, prefix_len).alias("prefix"),
     )
     left = base.select(
-        F.col("id").alias("id_l"), "lang",
-        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bkt"),
+        F.col("id").alias("id_l"), F.col("lang").alias("lang_l"),
+        F.explode(F.array(
+            F.struct(F.col("b0").alias("bkt"), F.lit(False).alias("adj")),
+            F.struct((F.col("b0") + 1).alias("bkt"), F.lit(True).alias("adj")),
+        )).alias("e"),
         F.col("prefix").alias("p_l"),
-    )
+    ).select("id_l", "lang_l", F.col("e.bkt").alias("bkt"),
+             F.col("e.adj").alias("adj"), "p_l")
+    # the quadratic DP work rides the LEFT side's partitioning (the
+    # join is broadcast/equi, no pair-grain exchange): a small input's
+    # scan splits would bottleneck 32 cores on 2 tasks, so spread the
+    # (tiny, prefix-only) exploded rows across the cluster first
+    left = left.repartition(
+        n_parts or docs.sparkSession.sparkContext.defaultParallelism)
     right = base.select(
-        F.col("id").alias("id_r"), "lang",
-        F.col("b0").alias("bkt"), F.col("prefix").alias("p_r"),
+        F.col("id").alias("id_r"), F.col("lang").alias("lang_r"),
+        F.col("b0").alias("b0_r"), F.col("prefix").alias("p_r"),
     )
-    cand = (
-        left.join(right, ["lang", "bkt"])
-        .where(F.col("id_l") != F.col("id_r"))
-        .select(
-            F.least("id_l", "id_r").alias("id_a"),
-            F.greatest("id_l", "id_r").alias("id_b"),
-            F.when(F.col("id_l") < F.col("id_r"), F.col("p_l"))
-            .otherwise(F.col("p_r")).alias("p_a"),
-            F.when(F.col("id_l") < F.col("id_r"), F.col("p_r"))
-            .otherwise(F.col("p_l")).alias("p_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = left.join(
+        right,
+        (F.col("lang_l") == F.col("lang_r"))
+        & (F.col("bkt") == F.col("b0_r"))
+        # same bucket (adj=false): one orientation only; adjacent
+        # bucket (adj=true): matches once by construction, any ids
+        & (F.col("adj") | (F.col("id_l") < F.col("id_r"))),
+    ).select(
+        F.least("id_l", "id_r").alias("id_a"),
+        F.greatest("id_l", "id_r").alias("id_b"),
+        F.when(F.col("id_l") < F.col("id_r"), F.col("p_l"))
+        .otherwise(F.col("p_r")).alias("p_a"),
+        F.when(F.col("id_l") < F.col("id_r"), F.col("p_r"))
+        .otherwise(F.col("p_l")).alias("p_b"),
     )
+    dist = F.levenshtein("p_a", "p_b", threshold=max_dist)
     return (
-        cand.withColumn("dist", F.levenshtein("p_a", "p_b"))
-        .where(F.col("dist") <= max_dist)
+        cand.withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )

@@ -347,13 +347,21 @@ def semdedup_prune(embeddings: DataFrame, centroids: np.ndarray,
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         "ivf_list",
-    )
+    ).withColumn(
+        # per-VECTOR norm computed once here, not re-folded per PAIR in
+        # the quadratic pass (the oracle replica caches norms the same
+        # way, so the float ops stay bit-identical)
+        "nrm", _norm(F.col("v")),
+    ).persist()  # feeds both join sides + the final flag join: without
+    # this the n_lists x dim literal fold re-evaluates 3x per vector
     keep = assigned.select(
-        F.col("id").alias("id_keep"), F.col("v").alias("v_keep"), "ivf_list")
+        F.col("id").alias("id_keep"), F.col("v").alias("v_keep"),
+        F.col("nrm").alias("n_keep"), "ivf_list")
     cand = assigned.select(
-        F.col("id").alias("id_cand"), F.col("v").alias("v_cand"), "ivf_list")
+        F.col("id").alias("id_cand"), F.col("v").alias("v_cand"),
+        F.col("nrm").alias("n_cand"), "ivf_list")
     cos = _dot(F.col("v_keep"), F.col("v_cand")) / (
-        _norm(F.col("v_keep")) * _norm(F.col("v_cand")))
+        F.col("n_keep") * F.col("n_cand"))
     pruned = (
         keep.join(cand, "ivf_list")
         .where(F.col("id_keep") < F.col("id_cand"))

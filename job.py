@@ -58,6 +58,21 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("--dst", required=True)
     comp.add_argument("--target-file-mb", type=int, default=256)
     comp.add_argument("--range-key", default=None)
+    snap = sub.add_parser(
+        "snapshot",
+        help="versioned-table operations (plans/snapshots.py): create/"
+             "append/append-dedup/merge a snapshot table, read a pinned "
+             "version, or print history")
+    snap.add_argument("--root", required=True)
+    snap.add_argument("--op", required=True, choices=(
+        "create", "append", "append-dedup", "merge", "read", "history"))
+    snap.add_argument("--input", default=None, help="parquet dir for write ops")
+    snap.add_argument("--key", default="doc_id")
+    snap.add_argument("--hash-cols", default="doc_id,text",
+                      help="content-hash columns for append-dedup")
+    snap.add_argument("--version", type=int, default=None,
+                      help="pinned version for read (default: latest)")
+    snap.add_argument("--output", default=None, help="output dir for read")
     args = p.parse_args(argv)
 
     if args.cmd == "curate":
@@ -96,6 +111,38 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "docs_in": n_in, "docs_out": n_out,
             "wall_sec": round(time.monotonic() - t0, 2)}))
+        spark.stop()
+        return 0
+
+    if args.cmd == "snapshot":
+        from geoparser_spark.plans import snapshots as SN
+
+        spark = get_spark(app_name="geoparser-snapshot")
+        if args.op == "history":
+            print(json.dumps(SN.history(args.root)))
+        elif args.op == "read":
+            if not args.output:
+                p.error("--output required for read")
+            df = SN.read_snapshot(spark, args.root, version=args.version)
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({
+                "version": args.version or SN.latest_version(args.root),
+                "rows": spark.read.parquet(args.output).count()}))
+        else:
+            if not args.input:
+                p.error(f"--input required for {args.op}")
+            df = spark.read.parquet(args.input)
+            if args.op == "create":
+                v = SN.create_table(df, args.root, key=args.key)
+                print(json.dumps({"version": v}))
+            elif args.op == "append":
+                print(json.dumps({"version": SN.append(df, args.root)}))
+            elif args.op == "append-dedup":
+                print(json.dumps(SN.append_dedup(
+                    spark, df, args.root,
+                    hash_cols=args.hash_cols.split(","))))
+            else:
+                print(json.dumps(SN.merge_upsert(spark, df, args.root)))
         spark.stop()
         return 0
 
