@@ -233,3 +233,61 @@ def test_streaming_content_dedup_keeps_degenerate_texts(spark, dirs):
     q.awaitTermination(120)
     out = spark.read.parquet(dirs["out"])
     assert sorted(r.doc_id for r in out.collect()) == ["p1", "p2", "p3", "p4"]
+
+
+def test_streaming_idempotent_ingest_into_snapshot_table(spark, dirs):
+    """Stream -> append_dedup -> snapshot table: duplicated upstream
+    deliveries and a checkpoint restart both converge to exactly one
+    row per content (streaming/ingest.py)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from geoparser_spark.plans import snapshots as SN
+    from geoparser_spark.streaming.ingest import run_ingest_stream
+
+    root = os.path.join(os.path.dirname(dirs["out"]), "snap_tbl")
+    src = os.path.join(os.path.dirname(dirs["out"]), "incoming")
+    seed = spark.createDataFrame([Row(doc_id=0, text="seed")])
+    SN.create_table(seed, root, key="doc_id")
+
+    batch1 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 11)])
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = run_ingest_stream(spark, stream, root, ["doc_id", "text"],
+                          dirs["ckpt"])
+    q.awaitTermination(120)
+    assert SN.read_snapshot(spark, root).count() == 11
+
+    # upstream re-sends batch1 (new files, same content) + 5 new rows
+    batch1.write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(11, 16)]
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = run_ingest_stream(spark, stream, root, ["doc_id", "text"],
+                          dirs["ckpt"])
+    q.awaitTermination(120)
+    got = SN.read_snapshot(spark, root)
+    assert got.count() == 16                      # no twins, 5 new
+    assert got.select("doc_id").distinct().count() == 16
+
+
+def test_ingest_stream_requires_existing_table(spark, dirs):
+    import os
+
+    import pytest as _pytest
+
+    from geoparser_spark.streaming.ingest import run_ingest_stream
+
+    from pyspark.sql import Row
+
+    src = os.path.join(os.path.dirname(dirs["out"]), "guard_src")
+    spark.createDataFrame([Row(doc_id=1, text="x")]) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with _pytest.raises(ValueError):
+        run_ingest_stream(spark, stream, os.path.join(
+            os.path.dirname(dirs["out"]), "missing_tbl"),
+            ["doc_id"], dirs["ckpt"])
