@@ -2289,6 +2289,43 @@ def _web_url_dedup(spark, sf_dir):
     return url_dedup(u1.unionAll(u2).unionAll(u3))
 
 
+def _geo_zorder_cells(spark, sf_dir):
+    """Z-order spatial clustering key (operators/geojoin.zorder_cell):
+    Morton-interleave the quantized lat/lon into one LONG — the
+    clustering column behind Iceberg/Delta-style Z-ordered file layout.
+    Aggregated per cell so every point's assignment is value-covered;
+    the oracle reruns the identical shift/mask arithmetic in SQL."""
+    from geoparser_spark.operators.geojoin import zorder_cell
+
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.withColumn(
+            "cell", zorder_cell(F.col("latitude"), F.col("longitude"), 4))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"),
+             F.sum("event_id").cast("long").alias("sum_event_id"))
+    )
+
+
+def _zorder_sql(precision: int = 4) -> str:
+    n = 1 << precision
+    xi = f"least(CAST(floor((plon + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1})"
+    yi = f"least(CAST(floor((plat + 90.0) / 180.0 * {n}) AS BIGINT), {n - 1})"
+    terms = []
+    for k in range(precision):
+        terms.append(f"(((xi >> {k}) & 1) << {2 * k})")
+        terms.append(f"(((yi >> {k}) & 1) << {2 * k + 1})")
+    return f"""
+        WITH pts AS ({_pts_sql()}
+        ), q AS (
+          SELECT event_id, {xi} AS xi, {yi} AS yi FROM pts
+        )
+        SELECT CAST({' + '.join(terms)} AS BIGINT) AS cell,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        FROM q GROUP BY 1"""
+
+
 def _sample_weighted(spark, sf_dir):
     """Domain-mixing downsample (operators/sampling.weighted_sample):
     per-source keep rates in basis points (src1 25%, src2 50%, src3
@@ -2507,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": _sample_weighted,
         "snapshot_append_dedup": _snapshot_append_dedup,
         "events_salted_join": _events_salted_join,
+        "geo_zorder_cells": _geo_zorder_cells,
     }
 
 
@@ -3387,6 +3425,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN (SELECT DISTINCT user_id FROM events) d
                   ON e.user_id = d.user_id
                 GROUP BY (e.user_id % 2 = 0)""",
+            "geo_zorder_cells": _zorder_sql(precision=4),
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)

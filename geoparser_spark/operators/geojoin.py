@@ -137,3 +137,35 @@ def nearest_place(points: DataFrame, places: DataFrame,
         F.col("b.p_name").alias(place_name_col),
         F.round(F.col("b.dist"), 3).alias("dist_km"),
     )
+
+
+def zorder_cell(lat_col: Column, lon_col: Column, precision: int = 8) -> Column:
+    """Z-order (Morton) cell id for a point, as ONE codegen'd integer
+    expression: lat/lon quantized to `precision` bits each, bits
+    interleaved (lon even positions, lat odd) into a single LONG.
+
+    Why: spatial locality for FILES — `repartitionByRange(zorder_cell)`
+    or `write.partitionBy` on a coarse cell clusters nearby points into
+    the same parquet files, so viewport/radius scans prune on footer
+    min/max instead of reading the globe (the clustering trick behind
+    Iceberg/Delta Z-ordering, expressed as a plain column).  Purely
+    integer after the quantization, so engine-portable: the oracle runs
+    the identical shift/mask arithmetic.
+
+    precision <= 26 keeps the interleaved id inside a signed LONG with
+    room to spare; 8 bits ~ 156 km cells at the equator, fine for file
+    pruning (this is a clustering key, not a geometry library).
+    """
+    if not 1 <= precision <= 26:
+        raise ValueError(f"precision must be in [1, 26], got {precision}")
+    n = F.lit(1 << precision)
+    xi = F.least(F.floor((lon_col + 180.0) / 360.0 * n), n - 1).cast("long")
+    yi = F.least(F.floor((lat_col + 90.0) / 180.0 * n), n - 1).cast("long")
+    cell = F.lit(0).cast("long")
+    for k in range(precision):
+        cell = (
+            cell
+            + F.shiftleft(F.shiftright(xi, k).bitwiseAND(F.lit(1)), 2 * k)
+            + F.shiftleft(F.shiftright(yi, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    return cell

@@ -24,7 +24,7 @@ Parquet so the semantics are TESTED, not just documented:
   trickle of updates lands in.
 
 Commit protocol: manifests are written to a temp name then atomically
-renamed; the latest version is the highest contiguous v{N}.json, so a
+renamed; the latest version is the highest committed v{N}.json, so a
 crashed half-commit (data files without a manifest) is invisible —
 readers never see it, and the orphaned files are GC-able.  (A real
 multi-writer deployment would CAS the rename through a catalog; the
@@ -53,11 +53,19 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def latest_version(root: str) -> int:
-    """Highest contiguous committed version, 0 if none."""
-    v = 0
-    while os.path.exists(_manifest_path(root, v + 1)):
-        v += 1
-    return v
+    """Highest committed version, 0 if none.  Listing-based (not
+    contiguous-walk) so expired early versions don't hide later ones."""
+    import re
+
+    log = os.path.join(root, _LOG)
+    if not os.path.isdir(log):
+        return 0
+    best = 0
+    for name in os.listdir(log):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
 
 
 def _file_key_stats(path: str, key: str):
@@ -197,6 +205,8 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str) -> dict:
 def history(root: str) -> list[dict]:
     out = []
     for v in range(1, latest_version(root) + 1):
+        if not os.path.exists(_manifest_path(root, v)):
+            continue  # expired by expire_versions
         man = _load_manifest(root, v)
         out.append({"version": v, "op": man["op"],
                     "n_files": len(man["files"])})
@@ -233,3 +243,37 @@ def append_dedup(spark: SparkSession, df: DataFrame, root: str,
         return {"version": v, "appended": 0}
     _commit(root, v + 1, man["files"] + new, "append", man.get("key"))
     return {"version": v + 1, "appended": len(new)}
+
+
+def expire_versions(root: str, keep_from: int) -> dict:
+    """Time-travel retention (the expire_snapshots analog): drop every
+    manifest below `keep_from` and DELETE data files referenced only by
+    expired versions.  Files shared with surviving versions stay — a
+    COW merge's carried-over files are typically referenced by many
+    snapshots, so vacuum reclaims exactly the rewritten-away files.
+
+    Returns {"expired_versions", "deleted_files"}.  Refuses to expire
+    the latest version."""
+    latest = latest_version(root)
+    if keep_from > latest:
+        raise ValueError(
+            f"keep_from {keep_from} would expire the latest version {latest}")
+    keep_refs: set[str] = set()
+    for v in range(keep_from, latest + 1):
+        if os.path.exists(_manifest_path(root, v)):
+            keep_refs |= {f["path"] for f in _load_manifest(root, v)["files"]}
+    expired, deleted = 0, 0
+    for v in range(1, keep_from):
+        mp = _manifest_path(root, v)
+        if not os.path.exists(mp):
+            continue
+        for f in _load_manifest(root, v)["files"]:
+            if f["path"] in keep_refs:
+                continue
+            full = os.path.join(root, f["path"])
+            if os.path.exists(full):
+                os.remove(full)
+                deleted += 1
+        os.remove(mp)
+        expired += 1
+    return {"expired_versions": expired, "deleted_files": deleted}

@@ -65,7 +65,10 @@ def main(argv: list[str] | None = None) -> int:
              "version, or print history")
     snap.add_argument("--root", required=True)
     snap.add_argument("--op", required=True, choices=(
-        "create", "append", "append-dedup", "merge", "read", "history"))
+        "create", "append", "append-dedup", "merge", "read", "history",
+        "expire"))
+    snap.add_argument("--keep-from", type=int, default=None,
+                      help="oldest version to retain (expire)")
     snap.add_argument("--input", default=None, help="parquet dir for write ops")
     snap.add_argument("--key", default="doc_id")
     snap.add_argument("--hash-cols", default="doc_id,text",
@@ -120,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="geoparser-snapshot")
         if args.op == "history":
             print(json.dumps(SN.history(args.root)))
+        elif args.op == "expire":
+            if args.keep_from is None:
+                p.error("--keep-from required for expire")
+            print(json.dumps(SN.expire_versions(args.root, args.keep_from)))
         elif args.op == "read":
             if not args.output:
                 p.error("--output required for read")

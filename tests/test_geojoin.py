@@ -107,3 +107,35 @@ def test_haversine_known_distance(spark):
     # spherical-earth figure (R=6371.0088); the WGS84 ellipsoid gives
     # ~5570 km — the 5 km gap is the sphere approximation, not a bug
     assert abs(r.d - 5574.85) < 1.0
+
+
+def test_zorder_cell_interleaves_and_bounds(spark):
+    from pyspark.sql import Row
+
+    from geoparser_spark.operators.geojoin import zorder_cell
+
+    pts = [
+        (-90.0, -180.0, 0),                 # min corner -> cell 0
+        (89.999, 179.999, (1 << 8) - 1),    # max corner -> all bits set (p=4)
+    ]
+    df = spark.createDataFrame(
+        [Row(lat=a, lon=b) for a, b, _ in pts])
+    got = [r.c for r in df.select(
+        zorder_cell(F.col("lat"), F.col("lon"), 4).alias("c")).collect()]
+    assert got == [p[2] for p in pts]
+    # neighbours in space are near in cell id: one quantum apart in lon
+    df2 = spark.createDataFrame([Row(lat=0.0, lon=0.0), Row(lat=0.0, lon=22.5)])
+    a, b = [r.c for r in df2.select(
+        zorder_cell(F.col("lat"), F.col("lon"), 4).alias("c")).collect()]
+    assert a != b
+
+
+def test_zorder_cell_rejects_bad_precision(spark):
+    import pytest as _pytest
+
+    from geoparser_spark.operators.geojoin import zorder_cell
+
+    with _pytest.raises(ValueError):
+        zorder_cell(F.lit(0.0), F.lit(0.0), 0)
+    with _pytest.raises(ValueError):
+        zorder_cell(F.lit(0.0), F.lit(0.0), 27)

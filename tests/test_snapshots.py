@@ -97,3 +97,29 @@ def test_create_twice_refuses(spark, root):
     SN.create_table(_mk(spark, range(3)), root, key="doc_id")
     with pytest.raises(ValueError):
         SN.create_table(_mk(spark, range(3)), root, key="doc_id")
+
+
+def test_expire_versions_reclaims_only_unreferenced(spark, root):
+    SN.create_table(_mk(spark, range(100)), root, key="doc_id", n_files=4)
+    upd = spark.createDataFrame([Row(doc_id=99, val="X")])
+    SN.merge_upsert(spark, upd, root)          # v2 carries most v1 files
+    v1_files = {f["path"] for f in
+                json.load(open(os.path.join(root, "_log", "v1.json")))["files"]}
+    v2_files = {f["path"] for f in
+                json.load(open(os.path.join(root, "_log", "v2.json")))["files"]}
+    shared = v1_files & v2_files
+    res = SN.expire_versions(root, keep_from=2)
+    assert res["expired_versions"] == 1
+    assert res["deleted_files"] == len(v1_files - v2_files)
+    # shared (carried-over) files survive and the latest still reads
+    for p in shared:
+        assert os.path.exists(os.path.join(root, p))
+    assert SN.read_snapshot(spark, root).count() == 100
+    assert SN.latest_version(root) == 2        # gap doesn't hide v2
+    assert [h["version"] for h in SN.history(root)] == [2]
+
+
+def test_expire_refuses_to_drop_latest(spark, root):
+    SN.create_table(_mk(spark, range(4)), root, key="doc_id")
+    with pytest.raises(ValueError):
+        SN.expire_versions(root, keep_from=2)
