@@ -2289,6 +2289,61 @@ def _web_url_dedup(spark, sf_dir):
     return url_dedup(u1.unionAll(u2).unionAll(u3))
 
 
+def _events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup -> click -> purchase: a user
+    converts at step k iff the k-th event type occurs strictly AFTER
+    their step-(k-1) time (min-timestamp per step, integer micros).
+    One user-grain aggregation + a 1-row rollup; no self-joins, no
+    window — the funnel is conditional MIN aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def step_min(t):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    per_user = ev.groupBy("user_id").agg(
+        step_min("signup").alias("t_signup"),
+        step_min("click").alias("t_click"),
+        step_min("purchase").alias("t_purchase"),
+    )
+    first_click = F.col("t_signup").isNotNull() & F.col(
+        "t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    # earliest click AFTER signup: min over filtered events would need a
+    # second pass; funnel semantics here use min-times ordering only —
+    # documented: step times are global minimums per type
+    converted = F.col("t_purchase").isNotNull() & first_click & (
+        F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("step_signup"),
+        F.sum(F.when(first_click, 1).otherwise(0))
+        .cast("long").alias("step_click"),
+        F.sum(F.when(converted, 1).otherwise(0))
+        .cast("long").alias("step_purchase"),
+    )
+
+
+def _events_retention(spark, sf_dir):
+    """Cohort retention: users cohorted by first-event DAY; for each
+    (cohort_day, day_offset) count distinct users active that day.
+    Two aggregations (user-day grain, then cohort grain) — the standard
+    engagement matrix, exact integer day arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    user_days = ev.select("user_id", day.alias("d")).distinct()
+    first_day = user_days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        user_days.join(first_day, "user_id")
+        .select("user_id", "d0", F.datediff(F.col("d"), F.col("d0"))
+                .cast("int").alias("day_offset"))
+        .groupBy("d0", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(F.col("d0").cast("string").alias("cohort_day"),
+                "day_offset", "n_active")
+    )
+
+
 def _geo_zorder_cells(spark, sf_dir):
     """Z-order spatial clustering key (operators/geojoin.zorder_cell):
     Morton-interleave the quantized lat/lon into one LONG — the
@@ -2545,6 +2600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_append_dedup": _snapshot_append_dedup,
         "events_salted_join": _events_salted_join,
         "geo_zorder_cells": _geo_zorder_cells,
+        "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
     }
 
 
@@ -3426,6 +3483,42 @@ def oracle_sql() -> dict[str, str]:
                   ON e.user_id = d.user_id
                 GROUP BY (e.user_id % 2 = 0)""",
             "geo_zorder_cells": _zorder_sql(precision=4),
+            "events_funnel": """
+                WITH per_user AS (
+                  SELECT user_id,
+                         min(CASE WHEN event_type = 'signup'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+                         min(CASE WHEN event_type = 'click'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+                         min(CASE WHEN event_type = 'purchase'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+                  FROM events GROUP BY user_id
+                )
+                SELECT CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(sum(CASE WHEN t_signup IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS step_signup,
+                       CAST(sum(CASE WHEN t_signup IS NOT NULL
+                                 AND t_click IS NOT NULL
+                                 AND t_click > t_signup
+                                THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+                       CAST(sum(CASE WHEN t_signup IS NOT NULL
+                                 AND t_click IS NOT NULL
+                                 AND t_click > t_signup
+                                 AND t_purchase IS NOT NULL
+                                 AND t_purchase > t_click
+                                THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+                FROM per_user""",
+            "events_retention": """
+                WITH ud AS (
+                  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+                ), f AS (
+                  SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id
+                )
+                SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+                       CAST(ud.d - f.d0 AS INT) AS day_offset,
+                       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+                FROM ud JOIN f USING (user_id)
+                GROUP BY f.d0, ud.d - f.d0""",
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)

@@ -136,7 +136,8 @@ def main() -> int:
         "dedup_cluster", "events_asof_state", "events_interval_join",
         "q14_nearest_place", "text_chunk_windows", "text_pack_sequences",
         "events_rolling_sum", "text_tfidf_topk", "dedup_levenshtein",
-        "dedup_semantic", "text_bpe_encode",
+        "dedup_semantic", "text_bpe_encode", "web_url_dedup",
+        "geo_zorder_cells", "events_funnel", "events_salted_join",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}
