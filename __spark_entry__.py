@@ -2364,8 +2364,10 @@ def _geo_zorder_cells(spark, sf_dir):
 
 def _zorder_sql(precision: int = 4) -> str:
     n = 1 << precision
-    xi = f"least(CAST(floor((plon + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1})"
-    yi = f"least(CAST(floor((plat + 90.0) / 180.0 * {n}) AS BIGINT), {n - 1})"
+    xi = (f"greatest(least(CAST(floor((plon + 180.0) / 360.0 * {n}) "
+          f"AS BIGINT), {n - 1}), 0)")
+    yi = (f"greatest(least(CAST(floor((plat + 90.0) / 180.0 * {n}) "
+          f"AS BIGINT), {n - 1}), 0)")
     terms = []
     for k in range(precision):
         terms.append(f"(((xi >> {k}) & 1) << {2 * k})")

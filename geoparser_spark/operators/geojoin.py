@@ -159,8 +159,13 @@ def zorder_cell(lat_col: Column, lon_col: Column, precision: int = 8) -> Column:
     if not 1 <= precision <= 26:
         raise ValueError(f"precision must be in [1, 26], got {precision}")
     n = F.lit(1 << precision)
-    xi = F.least(F.floor((lon_col + 180.0) / 360.0 * n), n - 1).cast("long")
-    yi = F.least(F.floor((lat_col + 90.0) / 180.0 * n), n - 1).cast("long")
+    zero = F.lit(0)
+    xi = F.greatest(
+        F.least(F.floor((lon_col + 180.0) / 360.0 * n), n - 1), zero
+    ).cast("long")
+    yi = F.greatest(
+        F.least(F.floor((lat_col + 90.0) / 180.0 * n), n - 1), zero
+    ).cast("long")
     cell = F.lit(0).cast("long")
     for k in range(precision):
         cell = (

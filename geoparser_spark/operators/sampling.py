@@ -124,6 +124,8 @@ def weighted_sample(df: DataFrame, rates_bp: dict[str, int],
     """
     if any(not 0 <= v <= den for v in rates_bp.values()):
         raise ValueError(f"rates must be within [0, {den}]: {rates_bp}")
+    if not 0 <= default_bp <= den:
+        raise ValueError(f"default_bp must be within [0, {den}]: {default_bp}")
     rate = F.lit(default_bp)
     for g in sorted(rates_bp, reverse=True):
         rate = F.when(F.col(group_col) == g, F.lit(rates_bp[g])).otherwise(rate)

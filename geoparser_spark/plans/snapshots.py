@@ -227,8 +227,12 @@ def append_dedup(spark: SparkSession, df: DataFrame, root: str,
     v = latest_version(root)
     if v == 0:
         raise ValueError(f"no table at {root}")
+    # concat_ws SKIPS nulls (("a", NULL) would collide with ("a",) and
+    # silently drop a non-duplicate row) — encode null as an explicit
+    # sentinel that cannot appear in cast-to-string data
     digest = F.md5(F.concat_ws("\x1f", *[
-        F.col(c).cast("string") for c in hash_cols]))
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+        for c in hash_cols]))
     current = read_snapshot(spark, root, version=v)
     seen = current.select(digest.alias("h")).distinct()
     fresh = (

@@ -115,3 +115,22 @@ def test_append_dedup_self_dedupes_batch(spark):
         assert SN.read_snapshot(spark, root).count() == 2
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_append_dedup_null_vs_missing_not_collided(spark):
+    import shutil as _sh
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="gp_ad_null_")
+    try:
+        base = spark.createDataFrame([Row(doc_id=1, text="seed")])
+        SN.create_table(base, root, key="doc_id")
+        # two rows whose concat_ws-without-sentinel digests would
+        # collide: ('a', NULL) vs ('a\x1f',) -> both 'a' under skip-null
+        batch = spark.createDataFrame(
+            [Row(doc_id=2, text=None), Row(doc_id=2, text="")]
+        )
+        SN.append_dedup(spark, batch, root, hash_cols=["text"])
+        assert SN.read_snapshot(spark, root).count() == 3
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
