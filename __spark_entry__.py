@@ -2306,11 +2306,11 @@ def _events_funnel(spark, sf_dir):
         step_min("click").alias("t_click"),
         step_min("purchase").alias("t_purchase"),
     )
+    # step times are the GLOBAL per-type minimums (strict funnel: the
+    # first-ever click must postdate the first-ever signup) — one pass,
+    # no per-step filtered re-aggregation
     first_click = F.col("t_signup").isNotNull() & F.col(
         "t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
-    # earliest click AFTER signup: min over filtered events would need a
-    # second pass; funnel semantics here use min-times ordering only —
-    # documented: step times are global minimums per type
     converted = F.col("t_purchase").isNotNull() & first_click & (
         F.col("t_purchase") > F.col("t_click"))
     return per_user.agg(
