@@ -816,6 +816,23 @@ _RADIUS_SQL_TPL = """
 """
 
 
+_BM25_TERMS = ["spark", "merge", "vector"]
+
+
+def _q15_bm25_search(spark, sf_dir):
+    """Q15 — BM25-ranked keyword search over documents: the scoring
+    the reference's Solr/Lucene index serves (views.py:417-451 →
+    Solr `select?q=`).  Corpus stats (N, Σdl, df) come from one hash
+    aggregate; scoring is a codegen'd expression against literal
+    idf/avgdl; top-k is TakeOrderedAndProject.  Oracle is a pure-Python
+    replica with the identical IEEE operation order
+    (testing/pyoracle_queries.bm25_topk_sql)."""
+    from geoparser_spark.operators.serve import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
 def _q14_nearest_place(spark, sf_dir):
     """Q14 — reverse geocoding: each events-derived point's EXACT
     nearest gazetteer place (grid filter + provable refine + fallback,
@@ -2521,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_topn": _q12_topn,
         "q13_radius_search": _q13_radius_search,
         "q14_nearest_place": _q14_nearest_place,
+        "q15_bm25_search": _q15_bm25_search,
         "events_windowed_agg": _events_windowed_agg,
         "events_sessionize": _events_sessionize,
         "events_asof_state": _events_asof_state,
@@ -3233,6 +3251,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "q13_radius_search": _RADIUS_SQL_TPL.format(PTS=_pts_sql()),
             "q14_nearest_place": _nearest_place_sql(),
+            "q15_bm25_search": PQ.bm25_topk_sql(_BM25_TERMS, k=10),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

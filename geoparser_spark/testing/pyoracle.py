@@ -234,12 +234,15 @@ def sql_str(s: str) -> str:
 
 
 def sql_float(x: float) -> str:
-    """Shortest-roundtrip literal — DuckDB parses back to the same
-    IEEE double."""
+    """Shortest-roundtrip literal.  Emitted as a STRING cast: DuckDB
+    parses a bare numeric literal as DECIMAL first and converts, which
+    can land one ulp off (CAST(1.1945067673663499 AS DOUBLE) !=
+    CAST('1.1945067673663499' AS DOUBLE) — verified); the string path
+    is correctly-rounded strtod."""
     if x != x:
         return "CAST('nan' AS DOUBLE)"
     r = repr(float(x))
-    return f"CAST({r} AS DOUBLE)"
+    return f"CAST('{r}' AS DOUBLE)"
 
 
 def sql_value(v) -> str:

@@ -692,3 +692,40 @@ def weighted_sample_sql(rates_bp: dict[str, int], default_bp: int = 10_000,
         if spark_xxhash64(int(i)) % den < rate:
             out.append((int(i), src, lang))
     return values_sql(sorted(out), ["doc_id", "source", "lang"])
+
+
+# ------------------------------------------------------------ BM25 ranking
+
+def bm25_topk_sql(terms: list[str], k: int = 10, k1: float = 1.2,
+                  b: float = 0.75) -> str:
+    """Replica of serve.bm25_topk: same Lucene idf form, same IEEE
+    float operation ORDER (the engine computes idf/avgdl driver-side
+    in this very arithmetic, so a value match checks the Spark-side
+    tf/dl extraction and scoring expression)."""
+    rows = read_table("documents", "doc_id, text", order="doc_id")
+    toks = {int(i): tokens(t) for i, t in rows}
+    n = len(rows)
+    if n == 0:
+        return values_sql([], ["doc_id", "score"])
+    dl = {i: len(tk) for i, tk in toks.items()}
+    tf = {i: [tk.count(w) for w in terms] for i, tk in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df = [sum(1 for i in toks if tf[i][j] > 0) for j in range(len(terms))]
+    idf = [math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for d in df]
+    k1p1, one_m_b = k1 + 1.0, 1.0 - b
+
+    def term_score(i: int, j: int) -> float:
+        t, d = float(tf[i][j]), float(dl[i])
+        return (idf[j] * (t * k1p1)
+                / (t + k1 * (one_m_b + b * (d / avgdl))))
+
+    out = []
+    for i in toks:
+        if not any(tf[i][j] > 0 for j in range(len(terms))):
+            continue
+        score = term_score(i, 0)
+        for j in range(1, len(terms)):
+            score = score + term_score(i, j)
+        out.append((i, score))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return values_sql(out[:k], ["doc_id", "score"])

@@ -728,3 +728,44 @@ def test_clip_sample_plan_truncation_and_zero_duration(spark):
     # zero duration -> one empty probe clip
     assert got[("z", 0)] == (0, 0)
     assert len(got) == 6
+
+
+# ----------------------------------------------------------------- BM25
+
+
+def test_bm25_ranking_semantics(spark):
+    """tf monotonicity, length normalization, rare-term preference."""
+    from geoparser_spark.operators.serve import bm25_topk
+
+    rows = [
+        (1, "spark spark spark filler filler"),      # tf=3, short
+        (2, "spark filler filler filler filler"),    # tf=1, same length
+        (3, "spark " + "filler " * 50),              # tf=1, long doc
+        (4, "rareword filler filler filler filler"),
+        (5, "filler filler filler filler filler"),   # no hit
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(docs, ["spark", "rareword"], k=10).collect()
+    ids = [r.doc_id for r in got]
+    score = {r.doc_id: r.score for r in got}
+    assert 5 not in ids                       # no-hit docs filtered
+    assert score[1] > score[2]                # higher tf wins
+    assert score[2] > score[3]                # longer doc penalized
+    # rareword (df=1) outscores a single common-term hit (df=3)
+    assert score[4] > score[2]
+
+
+def test_bm25_empty_and_plan(spark):
+    from geoparser_spark.operators.serve import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["x"], k=5).count() == 0
+
+    docs = spark.createDataFrame(
+        [(i, f"spark row {i}") for i in range(40)],
+        "doc_id long, text string")
+    q = bm25_topk(docs, ["spark", "row"], k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # global top-k must be per-partition heaps, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert q.count() == 3
