@@ -1863,6 +1863,16 @@ def _text_repetition(spark, sf_dir):
     return TQ.repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def _text_compression(spark, sf_dir):
+    """Compression-ratio quality signal (boilerplate/repetition
+    detector): zlib in an Arrow-batched mapInPandas kernel — the one
+    text signal that genuinely needs Python.  Oracle is the same
+    stdlib zlib in pure Python (testing/pyoracle_queries
+    .compression_signal_sql)."""
+    return TQ.compression_signal(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def _text_pii_scrub(spark, sf_dir):
     """PII detect + redact over documents seeded with synthetic PII.
 
@@ -2593,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_repetition_signals": _text_repetition,
+        "text_compression_ratio": _text_compression,
         "text_pii_scrub": _text_pii_scrub,
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
@@ -3252,6 +3263,7 @@ def oracle_sql() -> dict[str, str]:
             "q13_radius_search": _RADIUS_SQL_TPL.format(PTS=_pts_sql()),
             "q14_nearest_place": _nearest_place_sql(),
             "q15_bm25_search": PQ.bm25_topk_sql(_BM25_TERMS, k=10),
+            "text_compression_ratio": PQ.compression_signal_sql(),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

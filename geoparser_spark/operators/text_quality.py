@@ -208,3 +208,53 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col), packed.alias("p")
     ).select(id_col, "p.md5_fp", "p.min_shingle_fp")
+
+
+def compression_signal(docs: DataFrame, level: int = 6,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Compression-ratio quality signal (the C4/RefinedWeb-family
+    boilerplate detector: machine-generated or highly repetitive text
+    compresses far below natural prose).
+
+    The one text signal here that genuinely needs Python — Spark has
+    no SQL compress — so it runs as an Arrow-batched ``mapInPandas``
+    kernel (zlib is a fixed public algorithm: same bytes in, same
+    compressed length out, on every executor and in the pure-Python
+    oracle replica).  Map-only: no shuffle, scan prunes to (id, text);
+    zlib streams at tens of MB/s/core, so at 100 TB this is
+    embarrassingly parallel and bounded by the scan.
+
+    Columns: n_bytes (UTF-8), n_compressed (zlib at ``level``),
+    compression_ratio = n_compressed / max(n_bytes, 1) — the division
+    runs JVM-side on the two exact ints, one IEEE op on both engines.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", docs.schema[id_col].dataType, False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("n_compressed", T.IntegerType(), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [(t if isinstance(t, str) else "").encode("utf-8")
+                   for t in pdf[text_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_bytes": [len(b) for b in raw],
+                "n_compressed": [len(zlib.compress(b, level)) for b in raw],
+            })
+
+    sized = docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    return sized.select(
+        "doc_id", "n_bytes", "n_compressed",
+        (F.col("n_compressed").cast("double")
+         / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double")
+         ).alias("compression_ratio"),
+    )

@@ -729,3 +729,21 @@ def bm25_topk_sql(terms: list[str], k: int = 10, k1: float = 1.2,
         out.append((i, score))
     out.sort(key=lambda r: (-r[1], r[0]))
     return values_sql(out[:k], ["doc_id", "score"])
+
+
+# ----------------------------------------------------- compression signal
+
+def compression_signal_sql(level: int = 6, modulus: int = 1) -> str:
+    """Replica of text_quality.compression_signal — same stdlib zlib
+    (fixed public algorithm), same single IEEE division."""
+    import zlib
+
+    where = f"doc_id % {modulus} = 0" if modulus > 1 else ""
+    rows = read_table("documents", "doc_id, text", where, order="doc_id")
+    out = []
+    for i, t in rows:
+        b = (t or "").encode("utf-8")
+        nb, nc = len(b), len(zlib.compress(b, level))
+        out.append((int(i), nb, nc, nc / max(nb, 1)))
+    return values_sql(
+        out, ["doc_id", "n_bytes", "n_compressed", "compression_ratio"])

@@ -769,3 +769,21 @@ def test_bm25_empty_and_plan(spark):
     # global top-k must be per-partition heaps, never a full sort
     assert "TakeOrderedAndProject" in plan
     assert q.count() == 3
+
+
+def test_compression_signal(spark):
+    """Repetitive text compresses below varied text; empty text safe."""
+    from geoparser_spark.operators.text_quality import compression_signal
+
+    rows = [
+        (1, "spam spam spam " * 50),
+        (2, "the quick brown fox jumps over one lazy dog near a river "
+            "while seventeen violet umbrellas quietly dissolve " * 5),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_signal(docs).collect()}
+    assert got[1].compression_ratio < got[2].compression_ratio
+    assert got[3].n_bytes == 0 and got[3].compression_ratio > 0  # no NaN/div0
+    import zlib
+    assert got[1].n_compressed == len(zlib.compress(rows[0][1].encode(), 6))
