@@ -2316,6 +2316,35 @@ def _web_url_dedup(spark, sf_dir):
     return url_dedup(u1.unionAll(u2).unionAll(u3))
 
 
+_PR_HOSTS = 40
+_PR_ITERS = 10
+_PR_TOPK = 20
+
+
+def _web_host_pagerank(spark, sf_dir):
+    """Integer-exact host PageRank over a deterministic link graph
+    derived from documents: each doc is a page on host (doc_id % H)
+    linking to hosts (doc_id*7+3) % H and (doc_id*13+5) % H — skewed
+    in/out degrees, self-links dropped.  Ranks are scaled-integer
+    micro-units (operators/pagerank.py), so the distributed result is
+    bit-reproducible and the oracle is an exact pure-Python replica."""
+    from geoparser_spark.operators.pagerank import pagerank_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % _PR_HOSTS
+
+    def hostname(col):
+        return F.concat(F.lit("host"), col.cast("string"),
+                        F.lit(".example.com"))
+
+    e1 = d.select(hostname(h).alias("src"),
+                  hostname((F.col("doc_id") * 7 + 3) % _PR_HOSTS).alias("dst"))
+    e2 = d.select(hostname(h).alias("src"),
+                  hostname((F.col("doc_id") * 13 + 5) % _PR_HOSTS).alias("dst"))
+    edges = e1.unionAll(e2).where(F.col("src") != F.col("dst"))
+    return pagerank_topk(edges, k=_PR_TOPK, iterations=_PR_ITERS)
+
+
 def _events_funnel(spark, sf_dir):
     """Ordered conversion funnel signup -> click -> purchase: a user
     converts at step k iff the k-th event type occurs strictly AFTER
@@ -2627,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "text_bpe_encode": _text_bpe_encode,
         "web_url_dedup": _web_url_dedup,
+        "web_host_pagerank": _web_host_pagerank,
         "sample_weighted": _sample_weighted,
         "snapshot_append_dedup": _snapshot_append_dedup,
         "events_salted_join": _events_salted_join,
@@ -3264,6 +3294,8 @@ def oracle_sql() -> dict[str, str]:
             "q14_nearest_place": _nearest_place_sql(),
             "q15_bm25_search": PQ.bm25_topk_sql(_BM25_TERMS, k=10),
             "text_compression_ratio": PQ.compression_signal_sql(),
+            "web_host_pagerank": PQ.pagerank_topk_sql(
+                _PR_HOSTS, _PR_ITERS, _PR_TOPK),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

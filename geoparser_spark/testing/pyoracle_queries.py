@@ -747,3 +747,39 @@ def compression_signal_sql(level: int = 6, modulus: int = 1) -> str:
         out.append((int(i), nb, nc, nc / max(nb, 1)))
     return values_sql(
         out, ["doc_id", "n_bytes", "n_compressed", "compression_ratio"])
+
+
+# --------------------------------------------------------------- PageRank
+
+def pagerank_topk_sql(n_hosts: int, iterations: int, k: int) -> str:
+    """Exact replica of the integer PageRank query: same edge
+    synthesis arithmetic, same scaled-integer update — integer sums
+    are order-independent, so this is bit-for-bit the engine's
+    answer by construction, not by float luck."""
+    from geoparser_spark.operators.pagerank import (
+        DAMP_DEN, DAMP_NUM, SCALE, TELEPORT_DEN, TELEPORT_NUM)
+
+    rows = read_table("documents", "doc_id")
+    edges = set()
+    for (i,) in rows:
+        i = int(i)
+        s = i % n_hosts
+        for d in ((i * 7 + 3) % n_hosts, (i * 13 + 5) % n_hosts):
+            if d != s:
+                edges.add((s, d))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    teleport = (TELEPORT_NUM * SCALE) // TELEPORT_DEN
+    rank = {v: SCALE for v in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += (rank[s] * DAMP_NUM) // (DAMP_DEN * outdeg[s])
+        rank = {v: teleport + inflow[v] for v in nodes}
+    named = [(f"host{v}.example.com", r) for v, r in rank.items()]
+    # tie-break on the STRING hostname (the engine's sort key), not
+    # the numeric suffix — "host10..." < "host2..." lexicographically
+    named.sort(key=lambda kv: (-kv[1], kv[0]))
+    return values_sql(named[:k], ["host", "rank"])
