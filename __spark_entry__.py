@@ -2224,6 +2224,19 @@ def _docs_length_quartiles(spark, sf_dir):
     )
 
 
+def _profile_histogram(spark, sf_dir):
+    """Equi-width 12-bucket histogram over l_extendedprice
+    (operators/profile.py:histogram): min/max pass collapsed to a
+    driver row, then a map-only bucket expression + bucket-grain
+    count.  The oracle mirrors the exact floor((x-mn)/w) formula —
+    never width_bucket, whose edge semantics differ."""
+    from geoparser_spark.operators.profile import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "lineitem").select("l_extendedprice"),
+        "l_extendedprice", buckets=12)
+
+
 def _profile_documents(spark, sf_dir):
     """Single-scan per-column profile of the documents table
     (operators/profile.py): null counts, cardinalities, min/max."""
@@ -2343,6 +2356,31 @@ def _web_host_pagerank(spark, sf_dir):
                   hostname((F.col("doc_id") * 13 + 5) % _PR_HOSTS).alias("dst"))
     edges = e1.unionAll(e2).where(F.col("src") != F.col("dst"))
     return pagerank_topk(edges, k=_PR_TOPK, iterations=_PR_ITERS)
+
+
+def _events_cube(spark, sf_dir):
+    """CUBE over (event_type, month): all four grouping sets in one
+    pass — Spark's Expand produces 4 rows per input row map-side, then
+    one hash aggregate; no per-grouping-set rescan.  grouping_id
+    disambiguates rolled-up NULLs from data NULLs (emitted as
+    grouping(event_type)*2 + grouping(month) on both engines — bit
+    order pinned explicitly, not library-defined)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    return (
+        base.cube("event_type", "month")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("month"))
+            .cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("event_type", "month", "gid", "n_events", "n_users")
+    )
 
 
 def _events_funnel(spark, sf_dir):
@@ -2649,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rollup_counts": _docs_rollup_counts,
         "docs_length_quartiles": _docs_length_quartiles,
         "profile_documents": _profile_documents,
+        "profile_histogram": _profile_histogram,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_levenshtein": _dedup_levenshtein,
         "snapshot_merge_upsert": _snapshot_merge_upsert,
@@ -2657,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": _text_bpe_encode,
         "web_url_dedup": _web_url_dedup,
         "web_host_pagerank": _web_host_pagerank,
+        "events_cube": _events_cube,
         "sample_weighted": _sample_weighted,
         "snapshot_append_dedup": _snapshot_append_dedup,
         "events_salted_join": _events_salted_join,
@@ -3374,6 +3414,30 @@ def oracle_sql() -> dict[str, str]:
                                      THEN n_chars END) AS INT) AS q75
                 FROM r JOIN c USING (lang)
                 GROUP BY r.lang, c.cnt""",
+            "events_cube": """
+                SELECT event_type, strftime(ts, '%Y-%m') AS month,
+                       CAST(GROUPING(event_type) * 2
+                            + GROUPING(strftime(ts, '%Y-%m')) AS INT)
+                           AS gid,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                FROM events
+                GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))""",
+            "profile_histogram": """
+                WITH s AS (SELECT l_extendedprice AS x FROM lineitem
+                           WHERE l_extendedprice IS NOT NULL),
+                b AS (SELECT min(x) AS mn, (max(x) - min(x)) / 12 AS w
+                      FROM s),
+                bk AS (SELECT least(CAST(floor((x - mn) / w) AS INT), 11)
+                              AS bucket
+                       FROM s, b)
+                SELECT bucket,
+                       mn + CAST(bucket AS DOUBLE) * w AS lo,
+                       mn + CAST(bucket + 1 AS DOUBLE) * w AS hi,
+                       CAST(count(*) AS BIGINT) AS n_rows
+                FROM bk, b
+                GROUP BY bucket, mn, w
+                ORDER BY bucket""",
             "profile_documents": """
                 SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
                        CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,

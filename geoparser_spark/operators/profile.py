@@ -59,3 +59,57 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         for c in cols
     ])
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def histogram(df: DataFrame, col: str, buckets: int = 12) -> DataFrame:
+    """Equi-width histogram over a numeric column — the profiling
+    companion to profile_table's min/max (what a curation dashboard
+    plots before choosing filter thresholds).
+
+    Two passes, both single-scan/column-pruned: (1) one hash aggregate
+    for (min, max) collapsed to a driver row — the same bounded
+    collect the BM25/IVF stats passes use; (2) a map-only bucket
+    expression floor((x - min) / w) clamped to [0, buckets-1] (the
+    max value lands in the last bucket), then a bucket-grain count —
+    the shuffle moves at most ``buckets`` rows per partition after
+    map-side combine.
+
+    Determinism: w = (max - min) / buckets is one IEEE division
+    computed driver-side; the bucket expression is the same two IEEE
+    ops on both engines, so boundaries bit-agree with an oracle that
+    mirrors the formula (never width_bucket, whose edge semantics
+    differ).  Empty input or min == max degrade to a single bucket.
+
+    Returns (bucket, lo, hi, n_rows) sorted by bucket; lo/hi are the
+    literal bucket bounds min + b*w (half-open except the last).
+    """
+    vals = df.select(F.col(col).alias("x")).where(F.col("x").isNotNull())
+    row = vals.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        return vals.select(
+            F.lit(0).alias("bucket"), F.lit(0.0).alias("lo"),
+            F.lit(0.0).alias("hi"), F.lit(0).cast("long").alias("n_rows"),
+        ).where(F.lit(False))
+    mn, mx = float(mn), float(mx)
+    if mx == mn:
+        return vals.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(0).alias("bucket"), F.lit(mn).alias("lo"),
+            F.lit(mx).alias("hi"), "n_rows")
+    w = (mx - mn) / buckets
+    b = F.least(
+        F.floor((F.col("x") - F.lit(mn)) / F.lit(w)).cast("int"),
+        F.lit(buckets - 1),
+    )
+    return (
+        vals.select(b.alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.lit(mn) + F.col("bucket").cast("double") * F.lit(w)).alias("lo"),
+            (F.lit(mn) + (F.col("bucket") + F.lit(1)).cast("double")
+             * F.lit(w)).alias("hi"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )

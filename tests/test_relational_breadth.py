@@ -137,3 +137,24 @@ def test_rolling_sum_frame_semantics(spark):
     assert out[2].roll_cnt == 3
     # event 4 at +200min: alone
     assert out[4].roll_cnt == 1
+
+
+def test_histogram_edges(spark):
+    """max value lands in the LAST bucket; counts cover all rows;
+    min==max and empty inputs degrade cleanly."""
+    from geoparser_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in range(0, 101)], "v double")
+    h = histogram(df, "v", buckets=10).collect()
+    assert [r.bucket for r in h] == list(range(10))
+    assert sum(r.n_rows for r in h) == 101
+    assert h[-1].n_rows == 11          # 90..100 incl. the max clamp
+    assert h[0].lo == 0.0 and h[-1].hi == 100.0
+
+    same = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    one = histogram(same, "v").collect()
+    assert len(one) == 1 and one[0].n_rows == 2
+
+    empty = spark.createDataFrame([], "v double")
+    assert histogram(empty, "v").count() == 0
