@@ -55,9 +55,6 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     """
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")).distinct()
-    nodes = (e.select(F.col("src").alias("host"))
-             .unionAll(e.select(F.col("dst").alias("host")))
-             .distinct())
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # one-time normalization: edges carry outdeg, hash-partitioned on
     # src so every iteration's ranks join arrives co-partitioned
@@ -65,6 +62,12 @@ def pagerank(edges: DataFrame, iterations: int = 10,
          .repartition("src")
          .persist())
     e.count()
+    # nodes derive from the PERSISTED edge table and persist themselves
+    # — otherwise every iteration re-runs the distinct over raw input
+    nodes = (e.select(F.col("src").alias("host"))
+             .unionAll(e.select(F.col("dst").alias("host")))
+             .distinct()
+             .persist())
 
     teleport = (TELEPORT_NUM * SCALE) // TELEPORT_DEN
     ranks = nodes.select("host", F.lit(SCALE).cast("long").alias("rank"))

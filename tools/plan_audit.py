@@ -200,6 +200,43 @@ def main() -> int:
             "single aggregate row, never re-scanning.",
             _fmt(qs["profile_documents"](spark, sf_dir)),
         ),
+        (
+            "q15_bm25_search",
+            "BM25 ranked search: corpus stats collapse to a driver row "
+            "(the aggregate pass is separate); the scoring pass is one "
+            "codegen'd expression over literal idf/avgdl constants + "
+            "TakeOrderedAndProject — no join, no window, no sort.",
+            _fmt(qs["q15_bm25_search"](spark, sf_dir)),
+        ),
+        (
+            "text_compression_ratio",
+            "zlib compression signal: scan pruned to (id, text), one "
+            "Arrow-batched MapInPandas stage, zero exchanges — "
+            "embarrassingly parallel at any scale.",
+            _fmt(qs["text_compression_ratio"](spark, sf_dir)),
+        ),
+        (
+            "web_host_pagerank",
+            "Integer-exact PageRank: edges normalized once with outdeg "
+            "attached and persisted hash-partitioned on src (one "
+            "InMemoryTableScan per iteration); each round is a "
+            "co-partitioned ranks-edges join + one host-grain "
+            "aggregation — contributions combine map-side.",
+            _fmt(qs["web_host_pagerank"](spark, sf_dir)),
+        ),
+        (
+            "profile_histogram",
+            "Equi-width histogram: map-only bucket expression, then a "
+            "bucket-grain count — the exchange after map-side combine "
+            "carries at most `buckets` rows per task.",
+            _fmt(qs["profile_histogram"](spark, sf_dir)),
+        ),
+        (
+            "events_cube",
+            "CUBE: one scan -> Expand (4 grouping sets) -> single hash "
+            "aggregate; no per-grouping-set rescan.",
+            _fmt(qs["events_cube"](spark, sf_dir)),
+        ),
     ]
 
     with open("PLANS.md", "w") as f:
