@@ -207,3 +207,55 @@ def run_streaming_content_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_event_counts(events: DataFrame, ts_col: str = "ts",
+                         key_col: str = "user_id",
+                         gap: str = "30 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Event-time SESSION windows: per-key dynamic-width windows that
+    close after ``gap`` of inactivity — the streaming twin of the
+    batch ``events_sessionize`` query (same 30-minute gap semantics;
+    the batch query's window-sweep becomes session_window state).
+    Adjacent events of one key merge while their gaps stay under
+    ``gap``; the watermark finalizes a session once event time moves
+    ``watermark`` past its end, bounding state per live session, not
+    per event."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col, "n_events", "sum_value",
+        )
+    )
+
+
+def run_session_counts(
+    spark: SparkSession,
+    events_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "ts timestamp, user_id bigint, value double",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> StreamingQuery:
+    """File-stream → session windows → parquet, append mode (a session
+    is written exactly once, after the watermark passes its end)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = session_event_counts(stream, gap=gap, watermark=watermark)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -291,3 +291,53 @@ def test_ingest_stream_requires_existing_table(spark, dirs):
         run_ingest_stream(spark, stream, os.path.join(
             os.path.dirname(dirs["out"]), "missing_tbl"),
             ["doc_id"], dirs["ckpt"])
+
+
+def test_session_windows_merge_and_close(spark, dirs):
+    """session_window semantics: events under the 30-min gap merge
+    into one session (end = last event + gap); a >gap pause starts a
+    new session; sessions finalize only after the watermark passes."""
+    from pyspark.sql import Row
+    from geoparser_spark.streaming.incremental import run_session_counts
+
+    ev, out, ckpt = dirs["docs"], dirs["out"], dirs["ckpt"]
+
+    def write(rows):
+        spark.createDataFrame(
+            [Row(ts=t, user_id=u, value=v) for t, u, v in rows],
+            "ts string, user_id long, value double",
+        ).select(
+            F.to_timestamp("ts").alias("ts"), "user_id", "value"
+        ).write.mode("append").parquet(ev)
+
+    def run():
+        run_session_counts(spark, ev, out, ckpt).awaitTermination(120)
+
+    def sessions():
+        try:
+            return {
+                (str(r.session_start), r.user_id):
+                    (str(r.session_end), r.n_events, r.sum_value)
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return {}
+
+    # user 1: two bursts 45 min apart (> gap) -> two sessions;
+    # user 2: one event
+    write([("2024-01-01 10:00:00", 1, 1.0),
+           ("2024-01-01 10:10:00", 1, 2.0),
+           ("2024-01-01 10:55:00", 1, 4.0),
+           ("2024-01-01 10:00:00", 2, 8.0)])
+    run()  # nothing can finalize yet (watermark at 10:25)
+    assert sessions() == {}
+
+    write([("2024-01-01 14:00:00", 3, 0.5)])
+    run()  # watermark -> 13:30: every earlier session closes
+    got = sessions()
+    # burst 1 merged: 10:00-10:10 events -> session ends 10:40
+    assert got[("2024-01-01 10:00:00", 1)] == ("2024-01-01 10:40:00", 2, 3.0)
+    # the 10:55 event opened a NEW session (gap 45 min > 30)
+    assert got[("2024-01-01 10:55:00", 1)] == ("2024-01-01 11:25:00", 1, 4.0)
+    assert got[("2024-01-01 10:00:00", 2)] == ("2024-01-01 10:30:00", 1, 8.0)
+    assert ("2024-01-01 14:00:00", 3) not in got  # still open
