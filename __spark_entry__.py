@@ -135,14 +135,14 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
                  "pdf_bytes", "rtf", "eml", "doc_bytes",
                  "xml", "image_bytes", "csv", "audio_bytes",
-                 "markdown")
+                 "markdown", "odt_bytes")
 
 
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 format breadth, value-verified end-to-end: each documents row
-    is wrapped into a container format chosen by doc_id % 12 (DOCX /
+    is wrapped into a container format chosen by doc_id % 13 (DOCX /
     PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / PNG / CSV /
-    WAV / Markdown fixture writers), pushed through the REAL Arrow
+    WAV / Markdown / ODT fixture writers), pushed through the REAL Arrow
     kernel, and the
     oracle recomputes the expected blocks (and the PNG media_ref dims)
     from the raw text alone — no parser on the oracle side, so the
@@ -171,7 +171,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 12
+                m = int(doc_id) % 13
                 kind = _BREADTH_FMTS[m]
                 if m == 0:
                     payload = b64mod.b64encode(make_mini_docx([text])).decode()
@@ -220,7 +220,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                         sample_rate=8000, channels=1, bits=8,
                         n_frames=int(doc_id) % 997 + 1,
                         comments=[text])).decode()
-                else:
+                elif m == 11:
                     from geoparser_spark.operators.markdown_text import (
                         make_mini_md,
                     )
@@ -228,6 +228,13 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = make_mini_md(
                         f"note {doc_id}", [text],
                         image_urls=[f"img://md/{doc_id}"])
+                else:
+                    from geoparser_spark.operators.office_text import (
+                        make_mini_odt,
+                    )
+
+                    payload = b64mod.b64encode(
+                        make_mini_odt([text])).decode()
                 ids.append(doc_id)
                 spans.append([{"kind": kind, "text": payload,
                                "media_ref": None, "offset": 0}])
@@ -237,7 +244,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
-        (F.col("doc_id").cast("long") % 12 + 1).cast("int"),
+        (F.col("doc_id").cast("long") % 13 + 1).cast("int"),
     )
     return ex.select(
         "doc_id",
@@ -250,7 +257,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_SQL = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 12 AS m,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 13 AS m,
          CAST(doc_id AS BIGINT) AS id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
   FROM documents
@@ -261,7 +268,7 @@ SELECT doc_id,
               WHEN 4 THEN 'rtf' WHEN 5 THEN 'eml' WHEN 6 THEN 'doc_bytes'
               WHEN 7 THEN 'xml' WHEN 8 THEN 'image_bytes'
               WHEN 9 THEN 'csv' WHEN 10 THEN 'audio_bytes'
-              ELSE 'markdown' END AS fmt,
+              WHEN 11 THEN 'markdown' ELSE 'odt_bytes' END AS fmt,
        t AS text,
        CAST(NULL AS VARCHAR) AS media_ref,
        CAST(CASE WHEN m IN (5, 8, 10, 11) THEN 1 ELSE 0 END AS INT) AS ord

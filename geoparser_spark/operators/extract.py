@@ -30,6 +30,7 @@ from geoparser_spark.operators.email_text import extract_eml_text_blocks
 from geoparser_spark.operators.office_text import (
     extract_docx_b64_text_blocks,
     extract_epub_b64_text_blocks,
+    extract_odt_b64_text_blocks,
     extract_pptx_b64_text_blocks,
     extract_rtf_text_blocks,
     extract_xlsx_b64_text_blocks,
@@ -69,6 +70,7 @@ _SPAN_EXTRACTORS: dict = {
     "pptx_bytes": _as_text_spans(extract_pptx_b64_text_blocks),
     "xlsx_bytes": _as_text_spans(extract_xlsx_b64_text_blocks),
     "epub_bytes": _as_text_spans(extract_epub_b64_text_blocks),
+    "odt_bytes": _as_text_spans(extract_odt_b64_text_blocks),
     "rtf": _as_text_spans(extract_rtf_text_blocks),
     "eml": _as_text_spans(extract_eml_text_blocks),
     "xml": _as_text_spans(extract_xml_text_blocks),

@@ -529,3 +529,70 @@ def extract_rtf_text_blocks(rtf: str) -> list[str]:
         i += 1
     end_para()
     return out
+
+
+# -------------------------------------------------------------------- ODT
+
+# OASIS OpenDocument Text (public ODF 1.2 spec, part 3 §2.2): the zip
+# container's content.xml holds paragraphs as <text:p>/<text:h> mixed
+# content; whitespace is ELEMENTS — <text:tab/>, <text:line-break/>,
+# <text:s text:c="n"/> — not characters.
+_ODT_PARA = re.compile(
+    rb"<text:(?:p|h)(?:\s[^>]*)?>(.*?)</text:(?:p|h)>", re.DOTALL)
+_ODT_WS = re.compile(rb"<text:(?:tab|line-break|s)(?:\s[^>]*)?/?>")
+_ODT_TAG = re.compile(rb"<[^>]*>")
+
+
+def extract_odt_text_blocks(odt_bytes: bytes) -> list[str]:
+    """One text block per non-empty <text:p>/<text:h> of content.xml,
+    document order; whitespace elements become spaces, nested spans
+    flatten (tag strip AFTER whitespace rewrite, entity unescape
+    last).  Damaged zips / missing parts degrade to [] — never an
+    exception."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(odt_bytes)) as z:
+            xml = z.read("content.xml")
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError):
+        return []
+    blocks: list[str] = []
+    for m in _ODT_PARA.finditer(xml):
+        inner = _ODT_WS.sub(b" ", m.group(1))
+        inner = _ODT_TAG.sub(b"", inner)
+        text = " ".join(
+            _xml_unescape(inner).decode("utf-8", "replace").split())
+        if text:
+            blocks.append(text)
+    return blocks
+
+
+def extract_odt_b64_text_blocks(b64: str) -> list[str]:
+    try:
+        raw = base64.b64decode(b64, validate=False)
+    except (binascii.Error, ValueError):
+        return []
+    return extract_odt_text_blocks(raw)
+
+
+def make_mini_odt(paragraphs: list[str]) -> bytes:
+    """Minimal valid-enough ODT for fixtures: mimetype STORED first
+    (ODF 1.2 part 3 §3.3) + content.xml with one <text:p> per
+    paragraph; fixed zip timestamps for bit-identical regeneration."""
+    body = "".join(
+        f"<text:p>{_xml_escape(p)}</text:p>" for p in paragraphs)
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        f"<office:body><office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        z.writestr(zi, "application/vnd.oasis.opendocument.text")
+        zi = zipfile.ZipInfo("content.xml", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        z.writestr(zi, content)
+    return buf.getvalue()

@@ -300,3 +300,48 @@ def test_epub_damage_degrades_empty():
 
     assert extract_epub_text_blocks(b"not a zip") == []
     assert extract_epub_b64_text_blocks("!!!") == []
+
+
+# -------------------------------------------------------------------- ODT
+
+
+def test_odt_paragraphs_and_headings():
+    from geoparser_spark.operators.office_text import (
+        extract_odt_text_blocks, make_mini_odt)
+
+    b = make_mini_odt(["First para", "Second & <escaped>"])
+    assert extract_odt_text_blocks(b) == ["First para", "Second & <escaped>"]
+
+
+def test_odt_whitespace_elements_and_nested_spans():
+    import io
+    import zipfile
+
+    from geoparser_spark.operators.office_text import extract_odt_text_blocks
+
+    content = (b'<office:document-content><office:body><office:text>'
+               b'<text:p>a<text:tab/>b<text:span text:style-name="T1">c'
+               b'</text:span><text:s text:c="3"/>d</text:p>'
+               b'<text:h text:outline-level="1">Heading</text:h>'
+               b'<text:p/><text:p>  </text:p>'
+               b'</office:text></office:body></office:document-content>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("content.xml", content)
+    # tab/space ELEMENTS become spaces, spans flatten, empties drop
+    assert extract_odt_text_blocks(buf.getvalue()) == ["a bc d", "Heading"]
+
+
+def test_odt_damage_degrades_empty():
+    import io
+    import zipfile
+
+    from geoparser_spark.operators.office_text import (
+        extract_odt_b64_text_blocks, extract_odt_text_blocks)
+
+    assert extract_odt_text_blocks(b"not a zip") == []
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("other.xml", b"<x/>")   # content.xml missing
+    assert extract_odt_text_blocks(buf.getvalue()) == []
+    assert extract_odt_b64_text_blocks("!!!not-base64!!!") == []

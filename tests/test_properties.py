@@ -183,3 +183,23 @@ def test_doc_spans_dense_order_and_offset_invariance(spans, rnd):
         shuffled = list(spans)
         rnd.shuffle(shuffled)
         assert extract_doc_spans(shuffled) == out
+
+
+@given(st.binary(max_size=300))
+@settings(**_SETTINGS)
+def test_odt_extract_never_crashes_on_garbage(raw):
+    from geoparser_spark.operators.office_text import extract_odt_text_blocks
+
+    out = extract_odt_text_blocks(raw)
+    assert isinstance(out, list) and all(isinstance(b, str) for b in out)
+
+
+@given(st.lists(st.text(max_size=60), max_size=5))
+@settings(**_SETTINGS)
+def test_odt_fixture_roundtrip(paras):
+    from geoparser_spark.operators.office_text import (
+        extract_odt_text_blocks, make_mini_odt)
+
+    got = extract_odt_text_blocks(make_mini_odt(paras))
+    want = [" ".join(p.split()) for p in paras]
+    assert got == [w for w in want if w]
