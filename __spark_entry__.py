@@ -3433,17 +3433,25 @@ def oracle_sql() -> dict[str, str]:
             "profile_histogram": """
                 WITH s AS (SELECT l_extendedprice AS x FROM lineitem
                            WHERE l_extendedprice IS NOT NULL),
-                b AS (SELECT min(x) AS mn, (max(x) - min(x)) / 12 AS w
+                b AS (SELECT min(x) AS mn, max(x) AS mx,
+                             (max(x) - min(x)) / 12 AS w
                       FROM s),
-                bk AS (SELECT least(CAST(floor((x - mn) / w) AS INT), 11)
-                              AS bucket
+                -- w = 0 (all values equal) mirrors the engine's
+                -- single-bucket degenerate branch; without the CASE,
+                -- (x-mn)/w is NaN and floor/least push it to bucket 11
+                bk AS (SELECT CASE WHEN w = 0 THEN 0
+                              ELSE least(CAST(floor((x - mn) / w) AS INT),
+                                         11) END AS bucket
                        FROM s, b)
                 SELECT bucket,
-                       mn + CAST(bucket AS DOUBLE) * w AS lo,
-                       mn + CAST(bucket + 1 AS DOUBLE) * w AS hi,
+                       CASE WHEN w = 0 THEN mn
+                            ELSE mn + CAST(bucket AS DOUBLE) * w END AS lo,
+                       CASE WHEN w = 0 THEN mx
+                            ELSE mn + CAST(bucket + 1 AS DOUBLE) * w
+                            END AS hi,
                        CAST(count(*) AS BIGINT) AS n_rows
                 FROM bk, b
-                GROUP BY bucket, mn, w
+                GROUP BY bucket, mn, mx, w
                 ORDER BY bucket""",
             "profile_documents": """
                 SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

@@ -92,6 +92,12 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # sever the result from the cached inputs, then release them — a
+    # long-lived session (bench/driver harness) must not accumulate one
+    # pinned edge+node table per pagerank() call
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
     return ranks
 
 

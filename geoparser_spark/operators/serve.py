@@ -165,6 +165,10 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     """
     import math
 
+    if not terms:  # empty query: the empty result shape, no stats pass
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0.0).alias("score")).where(F.lit(False))
     stats = _bm25_doc_stats(text_col, terms)
     per = docs.select(F.col(id_col).alias("doc_id"), stats.alias("s"))
     row = per.agg(

@@ -733,13 +733,12 @@ def bm25_topk_sql(terms: list[str], k: int = 10, k1: float = 1.2,
 
 # ----------------------------------------------------- compression signal
 
-def compression_signal_sql(level: int = 6, modulus: int = 1) -> str:
+def compression_signal_sql(level: int = 6) -> str:
     """Replica of text_quality.compression_signal — same stdlib zlib
     (fixed public algorithm), same single IEEE division."""
     import zlib
 
-    where = f"doc_id % {modulus} = 0" if modulus > 1 else ""
-    rows = read_table("documents", "doc_id, text", where, order="doc_id")
+    rows = read_table("documents", "doc_id, text", order="doc_id")
     out = []
     for i, t in rows:
         b = (t or "").encode("utf-8")

@@ -787,3 +787,11 @@ def test_compression_signal(spark):
     assert got[3].n_bytes == 0 and got[3].compression_ratio > 0  # no NaN/div0
     import zlib
     assert got[1].n_compressed == len(zlib.compress(rows[0][1].encode(), 6))
+
+
+def test_bm25_empty_terms(spark):
+    from geoparser_spark.operators.serve import bm25_topk
+
+    docs = spark.createDataFrame([(1, "spark")], "doc_id long, text string")
+    out = bm25_topk(docs, [], k=5)
+    assert out.columns == ["doc_id", "score"] and out.count() == 0

@@ -45,3 +45,22 @@ def test_topk_plan(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert q.count() == 3
+
+
+def test_pagerank_releases_cached_tables(spark):
+    """A long-lived session must not accumulate CacheManager-pinned
+    edge/node tables across pagerank() calls.  The one allowed pin per
+    LIVE result is its own localCheckpoint storage, which Spark's
+    ContextCleaner reclaims when the caller drops the DataFrame —
+    unlike .persist() entries, which stay until explicit unpersist."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    r1 = pagerank(e, iterations=3)
+    r1.collect()
+    r2 = pagerank(e, iterations=3)
+    r2.collect()
+    after = sc.getPersistentRDDs().size()
+    # two LIVE results => at most 2 checkpoint pins; the edge/node
+    # caches of both calls must be gone (4 tables would leak otherwise)
+    assert after <= before + 2
