@@ -1752,6 +1752,34 @@ def _dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+_SUBSTR_N = 5
+_SUBSTR_MOD = 5
+
+
+def _dedup_substring(spark, sf_dir):
+    """Exact-substring duplication fraction (Lee et al.): every 5th
+    doc plus a planted copy of its second token half — planted docs
+    score dup_fraction 1.0, their originals ~0.5, everything else ~0.
+    The plant construction (raw single-space split, second half) is
+    replayed verbatim by the pure-Python oracle
+    (testing/pyoracle_queries.substring_windows_sql)."""
+    from geoparser_spark.operators.dedup import duplicated_window_fraction
+    from geoparser_spark.testing.pyoracle_queries import PLANT_ID_OFFSET
+
+    base = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % _SUBSTR_MOD == 0)
+            .select("doc_id", "text"))
+    raw = F.split(F.col("text"), " ")
+    planted = base.select(
+        (F.col("doc_id") + F.lit(PLANT_ID_OFFSET)).alias("doc_id"),
+        F.array_join(
+            F.slice(raw, F.floor(F.size(raw) / 2).cast("int") + 1,
+                    F.size(raw)),
+            " ").alias("text"),
+    )
+    return duplicated_window_fraction(base.unionAll(planted), n=_SUBSTR_N)
+
+
 def _dedup_lines(spark, sf_dir):
     """C4-style corpus-level line dedup: sentences occurring in > 2
     distinct documents are dropped as boilerplate; docs are rebuilt in
@@ -2704,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _web_url_dedup,
         "web_host_pagerank": _web_host_pagerank,
         "events_cube": _events_cube,
+        "dedup_substring": _dedup_substring,
         "sample_weighted": _sample_weighted,
         "snapshot_append_dedup": _snapshot_append_dedup,
         "events_salted_join": _events_salted_join,
@@ -3343,6 +3372,8 @@ def oracle_sql() -> dict[str, str]:
             "text_compression_ratio": PQ.compression_signal_sql(),
             "web_host_pagerank": PQ.pagerank_topk_sql(
                 _PR_HOSTS, _PR_ITERS, _PR_TOPK),
+            "dedup_substring": PQ.substring_windows_sql(
+                n=_SUBSTR_N, modulus=_SUBSTR_MOD),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

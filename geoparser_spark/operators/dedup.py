@@ -515,3 +515,55 @@ def levenshtein_pairs(docs: DataFrame, prefix_len: int = 80,
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
+
+
+def duplicated_window_fraction(docs: DataFrame, n: int = 50,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): per doc, the
+    fraction of its n-token rolling windows that occur MORE THAN ONCE
+    in the whole corpus — the standard companion to MinHash in
+    RefinedWeb/SlimPajama-style pipelines (near-dup removal first,
+    then exact-substring pruning of boilerplate runs).
+
+    Shape: window fingerprints are chained xxhash64 over the n token
+    columns (curation._gram_hashes — no gram string is ever built);
+    n_windows per doc is map-only (array size).  The honest cost is
+    the corpus-frequency count: one explode + window-grain aggregate
+    (shuffle ∝ total windows — this op IS token-grain by definition;
+    the suffix-array formulation the paper uses needs a dedicated
+    machine instead), then a window-grain left-semi re-probe rolled up
+    per doc.  Within-doc repeats count toward the corpus frequency,
+    exactly like the paper's suffix-array occurrence counts.
+
+    Output: (id_col, n_windows, n_dup_windows, dup_fraction) — the
+    fraction is one IEEE division of the two exact ints.
+    """
+    from geoparser_spark.operators.curation import _gram_hashes
+
+    hashed = docs.select(
+        F.col(id_col),
+        _gram_hashes(tokens_col(text_col), n).alias("_wh"),
+    )
+    wind = hashed.select(id_col, F.explode("_wh").alias("h"))
+    dup = (wind.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+           .where(F.col("freq") > 1).select("h"))
+    dup_per_doc = (
+        wind.join(dup, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        hashed.select(id_col, F.size("_wh").alias("n_windows"))
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            (F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+             / F.greatest(F.col("n_windows"), F.lit(1)).cast("double"))
+            .alias("dup_fraction"),
+        )
+    )

@@ -782,3 +782,35 @@ def pagerank_topk_sql(n_hosts: int, iterations: int, k: int) -> str:
     # the numeric suffix — "host10..." < "host2..." lexicographically
     named.sort(key=lambda kv: (-kv[1], kv[0]))
     return values_sql(named[:k], ["host", "rank"])
+
+
+# --------------------------------------------------- substring windows
+
+def substring_windows_sql(n: int = 5, modulus: int = 5) -> str:
+    """Replica of the dedup_substring query: same plant construction
+    (raw single-space split, second token half), same chained
+    xxhash64 window fingerprints, same corpus-frequency counting
+    (within-doc repeats count), same single IEEE division."""
+    rows = read_table("documents", "doc_id, text",
+                      f"doc_id % {modulus} = 0", order="doc_id")
+    corpus = [(int(i), t) for i, t in rows]
+    corpus += [
+        (i + PLANT_ID_OFFSET,
+         " ".join(t.split(" ")[len(t.split(" ")) // 2:]))
+        for i, t in corpus
+    ]
+    windows = {}
+    freq = defaultdict(int)
+    for i, t in corpus:
+        toks = tokens(t)
+        ws = [spark_xxhash64(*toks[j:j + n])
+              for j in range(len(toks) - n + 1)] if len(toks) >= n else []
+        windows[i] = ws
+        for h in ws:
+            freq[h] += 1
+    out = []
+    for i, ws in sorted(windows.items()):
+        nd = sum(1 for h in ws if freq[h] > 1)
+        out.append((i, len(ws), nd, nd / max(len(ws), 1)))
+    return values_sql(
+        out, ["doc_id", "n_windows", "n_dup_windows", "dup_fraction"])

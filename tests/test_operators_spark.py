@@ -795,3 +795,25 @@ def test_bm25_empty_terms(spark):
     docs = spark.createDataFrame([(1, "spark")], "doc_id long, text string")
     out = bm25_topk(docs, [], k=5)
     assert out.columns == ["doc_id", "score"] and out.count() == 0
+
+
+def test_duplicated_window_fraction(spark):
+    """Planted exact-substring copy: the copy's windows are all dups,
+    the source's shared half is flagged, an unrelated doc scores 0;
+    short docs yield zero windows without NaN."""
+    from geoparser_spark.operators.dedup import duplicated_window_fraction
+
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, body),                           # 8 tokens
+        (2, "zeta eta theta"),               # last-3 window dup of doc 1
+        (3, "one two three four five six"),  # unique
+        (4, "too short"),                    # < n tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           duplicated_window_fraction(docs, n=3).collect()}
+    assert got[2].n_windows == 1 and got[2].dup_fraction == 1.0
+    assert got[1].n_windows == 6 and got[1].n_dup_windows == 1
+    assert got[3].dup_fraction == 0.0
+    assert got[4].n_windows == 0 and got[4].dup_fraction == 0.0
