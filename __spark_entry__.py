@@ -1908,6 +1908,25 @@ def _text_compression(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+_UNI_DIRT = " Ｆｕｌｌ wﬁdth​teﬃst"
+_UNI_MOD = 3
+
+
+def _text_unicode_norm(spark, sf_dir):
+    """Unicode NFKC cleanup over documents seeded with deterministic
+    dirt (fullwidth letters, NBSP, ligatures, zero-width/control
+    chars) on every 3rd doc — the corpus text itself is ASCII.  Both
+    engines run the published Unicode tables (Arrow kernel on Spark,
+    unicodedata replica in the oracle)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % _UNI_MOD == 0,
+               F.concat(F.col("text"), F.lit(_UNI_DIRT)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return TQ.unicode_normalize(docs)
+
+
 def _text_pii_scrub(spark, sf_dir):
     """PII detect + redact over documents seeded with synthetic PII.
 
@@ -2706,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_repetition_signals": _text_repetition,
         "text_compression_ratio": _text_compression,
+        "text_unicode_norm": _text_unicode_norm,
         "text_pii_scrub": _text_pii_scrub,
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
@@ -3374,6 +3394,8 @@ def oracle_sql() -> dict[str, str]:
                 _PR_HOSTS, _PR_ITERS, _PR_TOPK),
             "dedup_substring": PQ.substring_windows_sql(
                 n=_SUBSTR_N, modulus=_SUBSTR_MOD),
+            "text_unicode_norm": PQ.unicode_normalize_sql(
+                _UNI_DIRT, modulus=_UNI_MOD),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

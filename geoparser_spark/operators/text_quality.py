@@ -258,3 +258,56 @@ def compression_signal(docs: DataFrame, level: int = 6,
          / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double")
          ).alias("compression_ratio"),
     )
+
+
+def unicode_normalize(docs: DataFrame, form: str = "NFKC",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Unicode normalization + control-character scrub — the cleanup
+    pass real corpora need before tokenization (fullwidth forms,
+    compatibility ligatures, zero-width joiners from scraped HTML).
+
+    NFKC-normalize, drop Cc/Cf control/format characters (keeping
+    \\n and \\t), collapse whitespace runs.  Spark has no SQL Unicode
+    normalizer, so this is the second Arrow-batched Python kernel
+    (zlib's sibling): map-only, no shuffle, scan pruned to (id, text).
+    unicodedata implements the published Unicode tables, so engine
+    and pure-Python oracle are the same algorithm by construction.
+
+    Output: (doc_id, clean_text, n_chars_in, n_chars_out, changed).
+    """
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", docs.schema[id_col].dataType, False),
+        T.StructField("clean_text", T.StringType(), False),
+        T.StructField("n_chars_in", T.IntegerType(), False),
+        T.StructField("n_chars_out", T.IntegerType(), False),
+        T.StructField("changed", T.BooleanType(), False),
+    ])
+
+    def clean(t: str) -> str:
+        norm = unicodedata.normalize(form, t)
+        kept = "".join(
+            ch for ch in norm
+            if ch in "\n\t" or unicodedata.category(ch) not in ("Cc", "Cf")
+        )
+        return " ".join(kept.split())
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [(t if isinstance(t, str) else "") for t in pdf[text_col]]
+            out = [clean(t) for t in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "clean_text": out,
+                "n_chars_in": [len(t) for t in raw],
+                "n_chars_out": [len(t) for t in out],
+                "changed": [a != b for a, b in zip(raw, out)],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)

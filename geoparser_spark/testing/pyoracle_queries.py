@@ -814,3 +814,32 @@ def substring_windows_sql(n: int = 5, modulus: int = 5) -> str:
         out.append((i, len(ws), nd, nd / max(len(ws), 1)))
     return values_sql(
         out, ["doc_id", "n_windows", "n_dup_windows", "dup_fraction"])
+
+
+# ------------------------------------------------------ unicode normalize
+
+def unicode_normalize_sql(dirt: str, modulus: int = 3,
+                          form: str = "NFKC") -> str:
+    """Replica of text_quality.unicode_normalize over the seeded
+    corpus — same unicodedata tables, same Cc/Cf scrub and whitespace
+    collapse."""
+    import unicodedata
+
+    def clean(t: str) -> str:
+        norm = unicodedata.normalize(form, t)
+        kept = "".join(
+            ch for ch in norm
+            if ch in "\n\t" or unicodedata.category(ch) not in ("Cc", "Cf")
+        )
+        return " ".join(kept.split())
+
+    rows = read_table("documents", "doc_id, text", order="doc_id")
+    out = []
+    for i, t in rows:
+        i = int(i)
+        raw = t + dirt if i % modulus == 0 else t
+        c = clean(raw)
+        out.append((i, c, len(raw), len(c), raw != c))
+    return values_sql(
+        out,
+        ["doc_id", "clean_text", "n_chars_in", "n_chars_out", "changed"])

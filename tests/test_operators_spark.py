@@ -817,3 +817,22 @@ def test_duplicated_window_fraction(spark):
     assert got[1].n_windows == 6 and got[1].n_dup_windows == 1
     assert got[3].dup_fraction == 0.0
     assert got[4].n_windows == 0 and got[4].dup_fraction == 0.0
+
+
+def test_unicode_normalize(spark):
+    """NFKC folds fullwidth/ligatures, Cf/Cc chars drop (newline/tab
+    survive as whitespace), clean input passes through unchanged."""
+    from geoparser_spark.operators.text_quality import unicode_normalize
+
+    rows = [
+        (1, "Ｈｅｌｌｏ ﬁne​world"),        # fullwidth + ligature + ZWSP
+        (2, "plain text stays"),
+        (3, "tab\there\nnewline\x07bell"),       # \x07 is Cc -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unicode_normalize(docs).collect()}
+    assert got[1].clean_text == "Hello fineworld" and got[1].changed
+    assert got[2].clean_text == "plain text stays" and not got[2].changed
+    # Cc chars DROP (no space substituted): "newline\x07bell" fuses
+    assert got[3].clean_text == "tab here newlinebell"
+    assert got[3].n_chars_out < got[3].n_chars_in  # the Cc drop
