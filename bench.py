@@ -139,7 +139,8 @@ def main() -> int:
         "dedup_semantic", "text_bpe_encode", "web_url_dedup",
         "geo_zorder_cells", "events_funnel", "events_salted_join",
         "q15_bm25_search", "text_compression_ratio", "web_host_pagerank",
-        "profile_histogram", "events_cube",
+        "profile_histogram", "events_cube", "dedup_substring",
+        "text_unicode_norm",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}

@@ -237,6 +237,15 @@ def main() -> int:
             "aggregate; no per-grouping-set rescan.",
             _fmt(qs["events_cube"](spark, sf_dir)),
         ),
+        (
+            "dedup_substring",
+            "Exact-substring duplication: window hashes explode "
+            "map-side into ONE window-grain aggregate (the op's honest "
+            "token-grain cost) + a left-semi re-probe rolled up per "
+            "doc; n_windows itself never shuffles (array size at the "
+            "scan).",
+            _fmt(qs["dedup_substring"](spark, sf_dir)),
+        ),
     ]
 
     with open("PLANS.md", "w") as f:
