@@ -76,7 +76,33 @@ def main(argv: list[str] | None = None) -> int:
     snap.add_argument("--version", type=int, default=None,
                       help="pinned version for read (default: latest)")
     snap.add_argument("--output", default=None, help="output dir for read")
+    rank = sub.add_parser(
+        "rank",
+        help="host-level PageRank over a (src, dst) link-edge parquet "
+             "(operators/pagerank.py): integer-exact ranks, written as "
+             "(host, rank) parquet")
+    rank.add_argument("--edges", required=True)
+    rank.add_argument("--output", required=True)
+    rank.add_argument("--iterations", type=int, default=10)
+    rank.add_argument("--src-col", default="src")
+    rank.add_argument("--dst-col", default="dst")
     args = p.parse_args(argv)
+
+    if args.cmd == "rank":
+        from geoparser_spark.operators.pagerank import pagerank
+
+        spark = get_spark(app_name="geoparser-rank")
+        t0 = time.monotonic()
+        edges = spark.read.parquet(args.edges)
+        ranks = pagerank(edges, iterations=args.iterations,
+                         src_col=args.src_col, dst_col=args.dst_col)
+        ranks.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "hosts": spark.read.parquet(args.output).count(),
+            "iterations": args.iterations,
+            "wall_sec": round(time.monotonic() - t0, 2)}))
+        spark.stop()
+        return 0
 
     if args.cmd == "curate":
         from pyspark.sql import functions as F
