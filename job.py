@@ -43,13 +43,24 @@ def main(argv: list[str] | None = None) -> int:
              "sources whose own partitioning cannot provide parallelism")
     cur = sub.add_parser(
         "curate",
-        help="LLM-training-data curation pass: exact dedup (hashed) -> "
-             "quality filter -> PII scrub -> deterministic train/val/"
-             "test split, written partitioned by split")
+        help="LLM-training-data curation pass: [unicode-norm ->] exact "
+             "dedup (hashed) -> [MinHash-LSH near-dup clustering ->] "
+             "quality [+ compression-ratio] filter -> PII scrub -> "
+             "deterministic train/val/test split, written partitioned "
+             "by split")
     cur.add_argument("--input", required=True)
     cur.add_argument("--output", required=True)
     cur.add_argument("--min-quality", type=int, default=3)
     cur.add_argument("--split-weights", default="8,1,1")
+    cur.add_argument("--unicode-norm", action="store_true",
+                     help="NFKC + control scrub before any hashing")
+    cur.add_argument("--near-dup", action="store_true",
+                     help="MinHash-LSH pairs -> connected components; "
+                          "keep each cluster's min doc_id")
+    cur.add_argument("--near-dup-threshold", type=float, default=0.7)
+    cur.add_argument("--min-compression-ratio", type=float, default=None,
+                     help="drop docs whose zlib ratio is below this "
+                          "(machine-repetitive boilerplate)")
     comp = sub.add_parser(
         "compact",
         help="rewrite a small-file parquet dir into ~target-sized files "
@@ -116,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.monotonic()
         docs = spark.read.parquet(args.input)
         n_in = docs.count()
+        if args.unicode_norm:
+            from geoparser_spark.operators.text_quality import (
+                unicode_normalize,
+            )
+
+            cleaned = unicode_normalize(docs).select(
+                "doc_id", F.col("clean_text").alias("text"))
+            docs = docs.drop("text").join(cleaned, "doc_id")
         # exact dedup on md5 digests: keep each group's min doc_id —
         # a broadcast-free semi-join shape (keepers joined back on id)
         keepers = exact_dedup_hashed(docs).select(
@@ -127,9 +146,35 @@ def main(argv: list[str] | None = None) -> int:
         # (plans/runtime.resumable_stage), which curate callers with
         # 100 TB inputs should do per stage.
         deduped = docs.join(keepers, "doc_id", "left_semi").persist()
+        if args.near_dup:
+            from geoparser_spark.operators.components import (
+                assign_components,
+                connected_components,
+            )
+            from geoparser_spark.operators.dedup import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(
+                deduped, threshold=args.near_dup_threshold)
+            comp = connected_components(pairs)
+            # raw crawls have high near-dup rates: the component map
+            # joins shuffled, never broadcast
+            assigned = assign_components(
+                deduped.select("doc_id"), comp, broadcast_map=False)
+            canon = assigned.where(
+                F.col("component") == F.col("doc_id")).select("doc_id")
+            deduped = deduped.join(canon, "doc_id", "left_semi").persist()
         q = quality_score(deduped).where(
             F.col("quality_score") >= args.min_quality).select("doc_id")
         kept = deduped.join(q, "doc_id", "left_semi")
+        if args.min_compression_ratio is not None:
+            from geoparser_spark.operators.text_quality import (
+                compression_signal,
+            )
+
+            ok = compression_signal(kept).where(
+                F.col("compression_ratio") >= args.min_compression_ratio
+            ).select("doc_id")
+            kept = kept.join(ok, "doc_id", "left_semi")
         scrubbed = pii_scrub(kept).drop("text").withColumnRenamed(
             "redacted", "text")
         weights = tuple(int(w) for w in args.split_weights.split(","))
