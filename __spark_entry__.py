@@ -1754,6 +1754,11 @@ def _dedup_simhash_pairs(spark, sf_dir):
 
 _SUBSTR_N = 5
 _SUBSTR_MOD = 5
+# NOT PLANT_ID_OFFSET (1,000,000): that is divisible by _SUBSTR_MOD, so
+# at ~sf20 a real doc_id 1,000,000 (kept by the % 5 filter) would
+# collide with the plant of doc 0 — +1 makes every plant id ≡ 1 (mod 5),
+# disjoint from the base ids (≡ 0) at any scale
+_SUBSTR_OFFSET = 1_000_001
 
 
 def _dedup_substring(spark, sf_dir):
@@ -1764,14 +1769,13 @@ def _dedup_substring(spark, sf_dir):
     replayed verbatim by the pure-Python oracle
     (testing/pyoracle_queries.substring_windows_sql)."""
     from geoparser_spark.operators.dedup import duplicated_window_fraction
-    from geoparser_spark.testing.pyoracle_queries import PLANT_ID_OFFSET
 
     base = (_t(spark, sf_dir, "documents")
             .where(F.col("doc_id") % _SUBSTR_MOD == 0)
             .select("doc_id", "text"))
     raw = F.split(F.col("text"), " ")
     planted = base.select(
-        (F.col("doc_id") + F.lit(PLANT_ID_OFFSET)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_SUBSTR_OFFSET)).alias("doc_id"),
         F.array_join(
             F.slice(raw, F.floor(F.size(raw) / 2).cast("int") + 1,
                     F.size(raw)),
@@ -3393,7 +3397,7 @@ def oracle_sql() -> dict[str, str]:
             "web_host_pagerank": PQ.pagerank_topk_sql(
                 _PR_HOSTS, _PR_ITERS, _PR_TOPK),
             "dedup_substring": PQ.substring_windows_sql(
-                n=_SUBSTR_N, modulus=_SUBSTR_MOD),
+                n=_SUBSTR_N, modulus=_SUBSTR_MOD, offset=_SUBSTR_OFFSET),
             "text_unicode_norm": PQ.unicode_normalize_sql(
                 _UNI_DIRT, modulus=_UNI_MOD),
             "text_vocab_topk": f"""

@@ -519,7 +519,8 @@ def levenshtein_pairs(docs: DataFrame, prefix_len: int = 80,
 
 def duplicated_window_fraction(docs: DataFrame, n: int = 50,
                                text_col: str = "text",
-                               id_col: str = "doc_id") -> DataFrame:
+                               id_col: str = "doc_id",
+                               persist_hashed: bool = True) -> DataFrame:
     """Exact-substring duplication signal (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): per doc, the
     fraction of its n-token rolling windows that occur MORE THAN ONCE
@@ -539,6 +540,12 @@ def duplicated_window_fraction(docs: DataFrame, n: int = 50,
 
     Output: (id_col, n_windows, n_dup_windows, dup_fraction) — the
     fraction is one IEEE division of the two exact ints.
+
+    ``persist_hashed`` (default on): the (id, window-hash array) table
+    feeds THREE plan branches (n_windows size, the frequency
+    aggregate, the re-probe side) and Spark does not dedupe common
+    subplans — without it the tokenize+hash scan executes three times
+    (the same class text_stats.tfidf_topk's persist_tf documents).
     """
     from geoparser_spark.operators.curation import _gram_hashes
 
@@ -546,6 +553,8 @@ def duplicated_window_fraction(docs: DataFrame, n: int = 50,
         F.col(id_col),
         _gram_hashes(tokens_col(text_col), n).alias("_wh"),
     )
+    if persist_hashed:
+        hashed = hashed.persist()
     wind = hashed.select(id_col, F.explode("_wh").alias("h"))
     dup = (wind.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
            .where(F.col("freq") > 1).select("h"))

@@ -786,16 +786,19 @@ def pagerank_topk_sql(n_hosts: int, iterations: int, k: int) -> str:
 
 # --------------------------------------------------- substring windows
 
-def substring_windows_sql(n: int = 5, modulus: int = 5) -> str:
+def substring_windows_sql(n: int = 5, modulus: int = 5,
+                          offset: int = 1_000_001) -> str:
     """Replica of the dedup_substring query: same plant construction
     (raw single-space split, second token half), same chained
     xxhash64 window fingerprints, same corpus-frequency counting
-    (within-doc repeats count), same single IEEE division."""
+    (within-doc repeats count), same single IEEE division.  The plant
+    offset is deliberately NOT divisible by the modulus so plant ids
+    can never collide with kept base ids at any SF."""
     rows = read_table("documents", "doc_id, text",
                       f"doc_id % {modulus} = 0", order="doc_id")
     corpus = [(int(i), t) for i, t in rows]
     corpus += [
-        (i + PLANT_ID_OFFSET,
+        (i + offset,
          " ".join(t.split(" ")[len(t.split(" ")) // 2:]))
         for i, t in corpus
     ]

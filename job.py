@@ -148,7 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         deduped = docs.join(keepers, "doc_id", "left_semi").persist()
         if args.near_dup:
             from geoparser_spark.operators.components import (
-                assign_components,
+                canonical_docs,
                 connected_components,
             )
             from geoparser_spark.operators.dedup import minhash_lsh_pairs
@@ -156,13 +156,14 @@ def main(argv: list[str] | None = None) -> int:
             pairs = minhash_lsh_pairs(
                 deduped, threshold=args.near_dup_threshold)
             comp = connected_components(pairs)
+            exact_stage = deduped
             # raw crawls have high near-dup rates: the component map
             # joins shuffled, never broadcast
-            assigned = assign_components(
-                deduped.select("doc_id"), comp, broadcast_map=False)
-            canon = assigned.where(
-                F.col("component") == F.col("doc_id")).select("doc_id")
-            deduped = deduped.join(canon, "doc_id", "left_semi").persist()
+            deduped = canonical_docs(
+                deduped, comp, broadcast_map=False).persist()
+            deduped.count()          # materialize off the old cache,
+            exact_stage.unpersist()  # then release it — two full-corpus
+            # caches must not stay pinned through scoring/scrub/write
         q = quality_score(deduped).where(
             F.col("quality_score") >= args.min_quality).select("doc_id")
         kept = deduped.join(q, "doc_id", "left_semi")
