@@ -3,8 +3,10 @@
 Web-scale training pipelines rank crawl hosts by link structure to
 weight or prune sources (the Common-Crawl-style domain ranking the
 mixing stage consumes).  The reference itself never ranks — it serves
-whatever Solr returns — but its corpus IS a crawl (pushed from Sparkler
-/ Nutch, README.md:96-104), so the curation layer needs the ranking
+whatever Solr returns — but its corpus IS a crawl (the admin layer
+manages per-domain crawled indexes: search_crawled_index,
+geoparser_app/views.py:415-427; domain/index tables,
+geoparser_app/solr_admin.py), so the curation layer needs the ranking
 the crawler side would provide.
 
 Integer-exact formulation: double-precision PageRank is
