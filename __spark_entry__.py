@@ -1707,6 +1707,36 @@ def _dedup_minhash_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_INCR_OFFSET = 2_000_003  # ≡ 3 (mod 5): disjoint from corpus (≡0) and
+#                           fresh-batch (≡1) ids at ANY scale factor
+
+
+def _dedup_lsh_incremental(spark, sf_dir):
+    """Incremental near-dup: a NEW batch (fresh docs ≡1 mod 5 + planted
+    near-copies of the corpus) probed against the standing corpus's
+    materialized LSH band index — corpus-side signatures are never
+    recomputed (operators/dedup.py:minhash_lsh_incremental; the
+    continuous-ingest shape whose exact-hash sibling is the snapshot
+    layer's append_dedup).  Every planted copy must pair with exactly
+    its original; fresh docs must pair with nothing."""
+    from geoparser_spark.testing.pyoracle_queries import PLANT_SUFFIX
+
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") % 5 == 0)
+    fresh = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") % 5 == 1)
+    planted = corpus.select(
+        (F.col("doc_id") + _INCR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+    )
+    index = D.lsh_band_index(corpus, num_hashes=32, bands=16)
+    out = D.minhash_lsh_incremental(
+        fresh.unionByName(planted), index, corpus,
+        num_hashes=32, bands=16, threshold=0.5)
+    return out.select("new_id", "corpus_id",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 def _dedup_cluster(spark, sf_dir):
     """Full near-dup dedup chain: MinHash-LSH pairs (same planted
     corpus as dedup_minhash_lsh) -> alternating-star connected
@@ -2757,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_pagerank": _web_host_pagerank,
         "events_cube": _events_cube,
         "dedup_substring": _dedup_substring,
+        "dedup_lsh_incremental": _dedup_lsh_incremental,
         "sample_weighted": _sample_weighted,
         "snapshot_append_dedup": _snapshot_append_dedup,
         "events_salted_join": _events_salted_join,
@@ -3400,6 +3431,8 @@ def oracle_sql() -> dict[str, str]:
                 n=_SUBSTR_N, modulus=_SUBSTR_MOD, offset=_SUBSTR_OFFSET),
             "text_unicode_norm": PQ.unicode_normalize_sql(
                 _UNI_DIRT, modulus=_UNI_MOD),
+            "dedup_lsh_incremental": PQ.minhash_incremental_sql(
+                offset=_INCR_OFFSET, num_hashes=32, bands=16),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

@@ -576,3 +576,83 @@ def duplicated_window_fraction(docs: DataFrame, n: int = 50,
             .alias("dup_fraction"),
         )
     )
+
+
+def lsh_band_index(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                   bands: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The materializable LSH index of a corpus: (id, band_idx,
+    band_hash) — the slim table minhash_lsh_pairs builds inline,
+    exposed so continuous ingest can WRITE it once and probe new
+    batches against it forever (see minhash_lsh_incremental).  Store
+    it bucketed on (band_idx, band_hash) (plans/bucketing.py) and the
+    probe join runs co-located with zero index-side shuffle."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows + r] for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (sigs.select("id", F.explode(band_structs).alias("bd"))
+            .select("id", "bd.band_idx", "bd.band_hash"))
+
+
+def minhash_lsh_incremental(new_docs: DataFrame, index_bands: DataFrame,
+                            corpus_docs: DataFrame, n: int = 3,
+                            num_hashes: int = 32, bands: int = 8,
+                            threshold: float = 0.5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Incremental near-dup: which docs of a NEW batch near-duplicate
+    the EXISTING corpus — without recomputing anything corpus-side.
+    The production shape for continuous ingest (the snapshot layer's
+    append_dedup is the exact-hash version of this; here the batch is
+    probed against a standing MinHash index).
+
+    ``index_bands`` is the materialized lsh_band_index of the corpus;
+    ``corpus_docs`` is only touched to re-derive shingles for the
+    candidate ids (a semi-join-bounded slice: at low dup rates the
+    verify side reads a sliver of the corpus; on Iceberg the id filter
+    prunes by file stats).  Shuffle ∝ new batch × bands, never corpus.
+
+    Returns (new_id, corpus_id, jaccard), threshold-verified.
+    """
+    new_bands = (lsh_band_index(new_docs, n, num_hashes, bands,
+                                text_col, id_col)
+                 .withColumnRenamed("id", "new_id"))
+    cand_ids = (
+        new_bands.join(index_bands.withColumnRenamed("id", "corpus_id"),
+                       ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    new_grams = shingle_sets(new_docs, n, text_col, id_col)
+    corpus_grams = shingle_sets(
+        corpus_docs.join(
+            cand_ids.select(F.col("corpus_id").alias(id_col)).distinct(),
+            id_col, "left_semi"),
+        n, text_col, id_col)
+    cand = (
+        cand_ids
+        .join(new_grams.select(F.col("id").alias("new_id"),
+                               F.col("shingles").alias("gs_n")), "new_id")
+        .join(corpus_grams.select(F.col("id").alias("corpus_id"),
+                                  F.col("shingles").alias("gs_c")),
+              "corpus_id")
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("gs_n", "gs_c"))
+            / F.size(F.array_union("gs_n", "gs_c")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

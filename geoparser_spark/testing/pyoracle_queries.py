@@ -846,3 +846,59 @@ def unicode_normalize_sql(dirt: str, modulus: int = 3,
     return values_sql(
         out,
         ["doc_id", "clean_text", "n_chars_in", "n_chars_out", "changed"])
+
+
+# ------------------------------------------------------- incremental LSH
+
+def minhash_incremental_sql(modulus: int = 5, offset: int = 2_000_003,
+                            n: int = 3, num_hashes: int = 32,
+                            bands: int = 16,
+                            threshold: float = 0.5) -> str:
+    """Replica of dedup_lsh_incremental: corpus = docs ≡0 (mod 5),
+    new batch = fresh docs ≡1 plus planted near-copies of the corpus;
+    candidates are cross-batch band collisions only, then exact
+    Jaccard — the same banding/verify arithmetic as _minhash_pairs
+    restricted to (new, corpus) pairs."""
+    rows_per_band = num_hashes // bands
+    corpus = [(int(i), t) for i, t in read_table(
+        "documents", "doc_id, text", f"doc_id % {modulus} = 0")]
+    fresh = [(int(i), t) for i, t in read_table(
+        "documents", "doc_id, text", f"doc_id % {modulus} = 1")]
+    new = fresh + [(i + offset, t + PLANT_SUFFIX) for i, t in corpus]
+
+    def sig_of(t: str):
+        sh = shingles(tokens(t), n)
+        if not sh:
+            return None
+        return (set(sh),
+                [min(spark_xxhash64(s, k) for s in sh)
+                 for k in range(num_hashes)])
+
+    def bands_of(sig):
+        return {
+            (b, spark_xxhash64(
+                *sig[b * rows_per_band:(b + 1) * rows_per_band]))
+            for b in range(bands)
+        }
+
+    corpus_sigs = {i: sig_of(t) for i, t in corpus}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, s in corpus_sigs.items():
+        if s is not None:
+            for key in bands_of(s[1]):
+                buckets[key].append(i)
+    out = []
+    for i, t in new:
+        s = sig_of(t)
+        if s is None:
+            continue
+        cands = set()
+        for key in bands_of(s[1]):
+            cands.update(buckets.get(key, ()))
+        for c in sorted(cands):
+            j = (len(s[0] & corpus_sigs[c][0])
+                 / len(s[0] | corpus_sigs[c][0]))
+            if j >= threshold:
+                out.append((i, c, spark_round(j, 6)))
+    out.sort()
+    return values_sql(out, ["new_id", "corpus_id", "jaccard"])

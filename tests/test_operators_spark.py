@@ -836,3 +836,32 @@ def test_unicode_normalize(spark):
     # Cc chars DROP (no space substituted): "newline\x07bell" fuses
     assert got[3].clean_text == "tab here newlinebell"
     assert got[3].n_chars_out < got[3].n_chars_in  # the Cc drop
+
+
+def test_minhash_lsh_incremental(spark, tmp_path):
+    """New batch probed against a band index MATERIALIZED TO PARQUET
+    (the continuous-ingest path): a planted near-copy pairs with its
+    original, a fresh doc pairs with nothing."""
+    from geoparser_spark.operators.dedup import (
+        lsh_band_index, minhash_lsh_incremental)
+
+    body = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow beyond the river")
+    corpus = spark.createDataFrame(
+        [(1, body),
+         (2, "completely different words about spark shuffles and "
+             "partition pruning strategies for columnar scans today")],
+        "doc_id long, text string")
+    idx_dir = str(tmp_path / "lsh_index")
+    lsh_band_index(corpus, num_hashes=16, bands=8).write.parquet(idx_dir)
+
+    new = spark.createDataFrame(
+        [(10, body + " extra tail"),            # near-copy of doc 1
+         (11, "nothing in common with either corpus document at all "
+              "just unrelated filler sentences marching along here")],
+        "doc_id long, text string")
+    got = minhash_lsh_incremental(
+        new, spark.read.parquet(idx_dir), corpus,
+        num_hashes=16, bands=8, threshold=0.5).collect()
+    assert [(r.new_id, r.corpus_id) for r in got] == [(10, 1)]
+    assert got[0].jaccard > 0.5
