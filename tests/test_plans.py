@@ -317,3 +317,76 @@ def test_semdedup_joins_on_cluster_key(spark):
     plan = _plan(semdedup_prune(d, cents))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ------------------------------------------------- session-5 operators
+
+
+def test_python_kernels_are_map_only(spark):
+    """The two Arrow kernels (zlib compression, NFKC normalize) must
+    stay zero-exchange: one scan, one MapInPandas/ArrowEvalPython
+    stage, nothing shuffled."""
+    from geoparser_spark.operators.text_quality import (
+        compression_signal,
+        unicode_normalize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string")
+    for op in (compression_signal, unicode_normalize):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, op.__name__
+        assert "MapInPandas" in plan or "ArrowEval" in plan, op.__name__
+
+
+def test_histogram_single_aggregation_exchange(spark):
+    """The bucket-count pass: exactly one exchange (bucket grain,
+    after map-side partial aggregation)."""
+    from geoparser_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    plan = _plan(histogram(df, "v", buckets=8))
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
+    assert "HashAggregate" in plan
+
+
+def test_substring_windows_no_pathological_joins(spark):
+    """dedup_substring: the frequency count and re-probe are equi
+    hash joins/aggregates — never a nested-loop/cartesian; the hashed
+    table is cached (three consumers, one scan)."""
+    from geoparser_spark.operators.dedup import duplicated_window_fraction
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string")
+    out = duplicated_window_fraction(docs, n=3)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted hash table
+    out.unpersist() if hasattr(out, "unpersist") else None
+    spark.catalog.clearCache()
+
+
+def test_incremental_lsh_probe_never_scans_corpus_signatures(spark):
+    """minhash_lsh_incremental against a parquet index: the corpus
+    text is read ONLY through the candidate-bounded shingle re-derive
+    (a left-semi join), never through a second signature pipeline —
+    the index side contributes a plain parquet scan."""
+    from geoparser_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_lsh_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string")
+    idx = lsh_band_index(corpus)
+    plan = _plan(minhash_lsh_incremental(new, idx, corpus))
+    # xxhash64(... 0), xxhash64(... 1)... signature legs appear once
+    # for the NEW side only: count the seed-0 minhash leg occurrences
+    assert plan.count("LeftSemi") >= 1
+    assert "CartesianProduct" not in plan
