@@ -2197,6 +2197,44 @@ _FAMILIARITY_SQL = """
 """
 
 
+_FAMILIARITY2_SQL = """
+    WITH tok AS (
+      SELECT doc_id, string_split({norm}, ' ') AS ts FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ts) >= 2 THEN
+                      list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM tok
+    ), v AS (
+      SELECT g, count(*) AS freq FROM bg GROUP BY g HAVING count(*) >= 3
+    ), s AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov_bigrams,
+             CAST(sum(coalesce(v.freq, 0)) AS BIGINT) AS bigram_familiarity
+      FROM bg LEFT JOIN v USING (g) GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.n_oov_bigrams, 0) AS BIGINT) AS n_oov_bigrams,
+           CAST(coalesce(s.bigram_familiarity, 0) AS BIGINT)
+               AS bigram_familiarity
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def _curation_familiarity2(spark, sf_dir):
+    """Bigram LM familiarity (operators/curation.py:bigram_familiarity)
+    — with curation_familiarity, the integer-exact core of an
+    interpolated unigram/bigram perplexity filter."""
+    from geoparser_spark.operators.curation import bigram_familiarity
+
+    return bigram_familiarity(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def _sample_hash(spark, sf_dir):
     """Deterministic keyed sampling (operators/sampling.py): keep
     ~1/10 of documents by pmod(xxhash64(doc_id), 10), bucket surfaced
@@ -2770,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _warc_roundtrip,
         "curation_decontaminate": _curation_decontaminate,
         "curation_familiarity": _curation_familiarity,
+        "curation_familiarity2": _curation_familiarity2,
         "curation_source_filter": _curation_source_filter,
         "events_rolling_sum": _events_rolling_sum,
         "events_type_pivot": _events_type_pivot,
@@ -3450,6 +3489,8 @@ def oracle_sql() -> dict[str, str]:
             "curation_decontaminate": _DECON_SQL.format(
                 norm=_NORM_SQL.format(c="text")),
             "curation_familiarity": _FAMILIARITY_SQL.format(
+                norm=_NORM_SQL.format(c="text")),
+            "curation_familiarity2": _FAMILIARITY2_SQL.format(
                 norm=_NORM_SQL.format(c="text")),
             "curation_source_filter": (
                 # OR IS NULL pins the anti-join's keep-NULL semantics:

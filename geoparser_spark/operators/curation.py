@@ -177,3 +177,51 @@ def source_filter(docs: DataFrame, blocked: DataFrame,
     map-side next to the scan."""
     b = blocked.select(F.col(blocked_col).alias(source_col)).distinct()
     return docs.join(F.broadcast(b), source_col, "left_anti")
+
+
+def bigram_familiarity(docs: DataFrame, min_count: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Order-2 sibling of token_familiarity: per doc, the integer sum
+    of corpus-wide BIGRAM frequencies — together the two scores are
+    the integer-exact core of an interpolated unigram/bigram LM
+    perplexity filter (CCNet-style), kept in LONG arithmetic so the
+    result is bit-identical across engines and merge orders.
+
+    Same two-pass shape as the unigram score: (1) bigram counts —
+    one shuffle keyed on the bigram VOCABULARY (map-side combine
+    collapses each partition to its distinct bigrams), thresholded
+    and broadcast; (2) explode + broadcast probe + per-doc rollup.
+
+    Output: (id_col, n_bigrams, n_oov_bigrams, bigram_familiarity);
+    docs with < 2 tokens emit zero bigrams and score 0.
+    """
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(_grams(_tokens(text_col), 2)).alias("g"),
+    )
+    vocab = (
+        bg.groupBy("g").agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_count)
+    )
+    scored = (
+        bg.join(F.broadcast(vocab), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("freq").isNull(), 1).otherwise(0))
+             .alias("n_oov_bigrams"),
+            F.sum(F.coalesce("freq", F.lit(0))).alias("bigram_familiarity"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov_bigrams", F.lit(0)).alias("n_oov_bigrams"),
+            F.coalesce("bigram_familiarity", F.lit(0))
+             .alias("bigram_familiarity"),
+        )
+    )

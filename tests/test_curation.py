@@ -107,3 +107,22 @@ def test_source_filter_anti_join(spark):
     assert kept == [1, 3]
     plan = source_filter(d, blocked)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bigram_familiarity(spark):
+    """Known counts: a bigram appearing in >= min_count docs scores;
+    rare bigrams are OOV; one-token docs emit zero bigrams."""
+    from geoparser_spark.operators.curation import bigram_familiarity
+
+    rows = [(i, "the cat sat") for i in range(1, 4)] + [
+        (4, "the cat ran away"), (5, "word")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bigram_familiarity(docs, min_count=3).collect()}
+    # "the cat" occurs 4x (docs 1-4) -> familiar; "cat sat" 3x -> familiar
+    assert got[1].n_bigrams == 2 and got[1].n_oov_bigrams == 0
+    assert got[1].bigram_familiarity == 4 + 3
+    # doc 4: "the cat"(4) familiar, "cat ran"/"ran away" 1x -> OOV
+    assert got[4].n_bigrams == 3 and got[4].n_oov_bigrams == 2
+    assert got[4].bigram_familiarity == 4
+    assert got[5].n_bigrams == 0 and got[5].bigram_familiarity == 0
