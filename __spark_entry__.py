@@ -135,14 +135,15 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
                  "pdf_bytes", "rtf", "eml", "doc_bytes",
                  "xml", "image_bytes", "csv", "audio_bytes",
-                 "markdown", "odt_bytes")
+                 "markdown", "odt_bytes", "video_bytes")
 
 
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 format breadth, value-verified end-to-end: each documents row
-    is wrapped into a container format chosen by doc_id % 13 (DOCX /
+    is wrapped into a container format chosen by doc_id % 14 (DOCX /
     PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / PNG / CSV /
-    WAV / Markdown / ODT fixture writers), pushed through the REAL Arrow
+    WAV / Markdown / ODT / MP4 fixture writers), pushed through the REAL
+    Arrow
     kernel, and the
     oracle recomputes the expected blocks (and the PNG media_ref dims)
     from the raw text alone — no parser on the oracle side, so the
@@ -171,7 +172,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 13
+                m = int(doc_id) % 14
                 kind = _BREADTH_FMTS[m]
                 if m == 0:
                     payload = b64mod.b64encode(make_mini_docx([text])).decode()
@@ -228,13 +229,23 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = make_mini_md(
                         f"note {doc_id}", [text],
                         image_urls=[f"img://md/{doc_id}"])
-                else:
+                elif m == 12:
                     from geoparser_spark.operators.office_text import (
                         make_mini_odt,
                     )
 
                     payload = b64mod.b64encode(
                         make_mini_odt([text])).decode()
+                else:
+                    from geoparser_spark.operators.video_meta import (
+                        make_mini_mp4,
+                    )
+
+                    payload = b64mod.b64encode(make_mini_mp4(
+                        width=(int(doc_id) % 7 + 1) * 8,
+                        height=(int(doc_id) % 4 + 1) * 8,
+                        duration_ms=int(doc_id) % 997 + 1,
+                        titles=[text])).decode()
                 ids.append(doc_id)
                 spans.append([{"kind": kind, "text": payload,
                                "media_ref": None, "offset": 0}])
@@ -244,7 +255,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
-        (F.col("doc_id").cast("long") % 13 + 1).cast("int"),
+        (F.col("doc_id").cast("long") % 14 + 1).cast("int"),
     )
     return ex.select(
         "doc_id",
@@ -257,7 +268,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_SQL = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 13 AS m,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 14 AS m,
          CAST(doc_id AS BIGINT) AS id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
   FROM documents
@@ -268,10 +279,11 @@ SELECT doc_id,
               WHEN 4 THEN 'rtf' WHEN 5 THEN 'eml' WHEN 6 THEN 'doc_bytes'
               WHEN 7 THEN 'xml' WHEN 8 THEN 'image_bytes'
               WHEN 9 THEN 'csv' WHEN 10 THEN 'audio_bytes'
-              WHEN 11 THEN 'markdown' ELSE 'odt_bytes' END AS fmt,
+              WHEN 11 THEN 'markdown' WHEN 12 THEN 'odt_bytes'
+              ELSE 'video_bytes' END AS fmt,
        t AS text,
        CAST(NULL AS VARCHAR) AS media_ref,
-       CAST(CASE WHEN m IN (5, 8, 10, 11) THEN 1 ELSE 0 END AS INT) AS ord
+       CAST(CASE WHEN m IN (5, 8, 10, 11, 13) THEN 1 ELSE 0 END AS INT) AS ord
 FROM d
 UNION ALL
 SELECT doc_id, 'eml' AS fmt, 'mail ' || doc_id AS text,
@@ -296,6 +308,12 @@ UNION ALL
 SELECT doc_id, 'markdown' AS fmt, CAST(NULL AS VARCHAR) AS text,
        'img://md/' || doc_id AS media_ref, CAST(2 AS INT) AS ord
 FROM d WHERE m = 11
+UNION ALL
+SELECT doc_id, 'video_bytes' AS fmt, CAST(NULL AS VARCHAR) AS text,
+       'vid://isom/' || ((id % 7 + 1) * 8) || 'x' || ((id % 4 + 1) * 8)
+         || '/' || (id % 997 + 1) || 'ms' AS media_ref,
+       CAST(0 AS INT) AS ord
+FROM d WHERE m = 13
 """
 
 
@@ -1051,6 +1069,45 @@ def _mm_audio_meta(spark, sf_dir):
     return extract_audio_meta(media)
 
 
+def _mm_video_meta(spark, sf_dir):
+    """Video metadata decode, REAL end-to-end (no stub anywhere): each
+    documents row becomes an actual MP4 byte stream — doc_id-derived
+    dimensions/duration, a 90 kHz timescale for every 3rd doc, an
+    audio-only (no video track) container for every 5th — and
+    extract_video_meta parses them back out of the binary column; the
+    oracle recomputes everything from doc_id arithmetic alone."""
+    from geoparser_spark.operators.multimodal import extract_video_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def wrap(batches):
+        import pandas as pd
+
+        from geoparser_spark.operators.video_meta import make_mini_mp4
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                audio_only = i % 5 == 0
+                raw = make_mini_mp4(
+                    width=0 if audio_only else (i % 16 + 1) * 16,
+                    height=0 if audio_only else (i % 9 + 1) * 16,
+                    duration_ms=i % 7919 * 10 + 100,
+                    timescale=90000 if i % 3 == 0 else 1000,
+                    brand="mp42" if i % 2 == 0 else "isom",
+                    titles=[str(text)[:40]],
+                )
+                refs.append(f"vid://{i}")
+                blobs.append(raw)
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
+    return extract_video_meta(media)
+
+
 def _mm_clip_plan(spark, sf_dir):
     """Multimodal: audio clip-sampling plan from duration metadata —
     pure SQL, one row per planned 5 s clip, last clip truncated to the
@@ -1080,6 +1137,21 @@ SELECT 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref,
                  THEN ((doc_id % 997 + 1) * 1000) // (8000 + (doc_id % 5) * 2000)
                  ELSE ((doc_id % 4999 + 1) * 1000) // (16000 + (doc_id % 7) * 1000)
             END AS BIGINT) AS duration_ms,
+       CAST(1 AS INT) AS n_texts,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
+_MM_VIDEO_META_SQL = """
+SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       'video/mp4' AS mime,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp42' ELSE 'isom' END AS brand,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                 ELSE (doc_id % 16 + 1) * 16 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                 ELSE (doc_id % 9 + 1) * 16 END AS INT) AS height,
+       CAST(doc_id % 7919 * 10 + 100 AS BIGINT) AS duration_ms,
        CAST(1 AS INT) AS n_texts,
        TRUE AS decode_ok
 FROM documents
@@ -2751,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": _mm_image_meta,
         "multimodal_image_gps": _mm_image_gps,
         "multimodal_audio_meta": _mm_audio_meta,
+        "multimodal_video_meta": _mm_video_meta,
         "multimodal_clip_plan": _mm_clip_plan,
         "tpch_q1_pricing": _tpch_q1,
         "tpch_q3_shipping": _tpch_q3,
@@ -2966,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": _MM_META_SQL,
         "multimodal_image_gps": _MM_GPS_SQL,
         "multimodal_audio_meta": _MM_AUDIO_META_SQL,
+        "multimodal_video_meta": _MM_VIDEO_META_SQL,
         "multimodal_clip_plan": _MM_CLIP_SQL,
         "multimodal_frame_plan": """
             WITH m AS (

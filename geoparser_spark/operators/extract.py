@@ -38,6 +38,7 @@ from geoparser_spark.operators.office_text import (
 from geoparser_spark.operators.csv_text import extract_csv_text_blocks
 from geoparser_spark.operators.markdown_text import extract_markdown_spans
 from geoparser_spark.operators.audio_meta import extract_audio_b64_spans
+from geoparser_spark.operators.video_meta import extract_video_b64_spans
 from geoparser_spark.operators.image_meta import extract_image_b64_spans
 from geoparser_spark.operators.pdf_text import extract_pdf_b64_spans
 from geoparser_spark.operators.xml_text import extract_xml_text_blocks
@@ -77,6 +78,7 @@ _SPAN_EXTRACTORS: dict = {
     "csv": _as_text_spans(extract_csv_text_blocks),
     "image_bytes": extract_image_b64_spans,  # media span + embedded text
     "audio_bytes": extract_audio_b64_spans,  # media span + embedded tags
+    "video_bytes": extract_video_b64_spans,  # media span + embedded tags
     "markdown": extract_markdown_spans,  # text blocks + image-link media spans
 }
 

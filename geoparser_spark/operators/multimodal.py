@@ -341,3 +341,59 @@ def clip_sample_plan(media: DataFrame, clip_ms: int = 5000) -> DataFrame:
         "start_ms",
         F.least(F.col("start_ms") + clip_ms, F.col("_dur")).alias("end_ms"),
     )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_texts", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_video_meta(media: DataFrame,
+                       bytes_col: str = "media_bytes",
+                       ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes) → (media_ref, mime, brand, width,
+    height, duration_ms, n_texts, decode_ok).
+
+    The video sibling of :func:`extract_audio_meta`, REAL end-to-end:
+    MP4/ISO-BMFF container metadata (operators/video_meta parses ftyp,
+    mvhd, the video track's tkhd and ilst tags from the public spec) —
+    no codec anywhere; frame decode stays the documented stub."""
+    from geoparser_spark.operators.video_meta import parse_mp4
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            brands, ws, hs, durs, nt, ok = [], [], [], [], [], []
+            for b in pdf[bytes_col]:
+                meta = (parse_mp4(bytes(b))
+                        if isinstance(b, (bytes, bytearray)) else None)
+                if meta is None:
+                    brands.append(None); ws.append(None); hs.append(None)
+                    durs.append(None); nt.append(None); ok.append(False)
+                else:
+                    brand, w, h, ms, texts = meta
+                    brands.append(brand); ws.append(w); hs.append(h)
+                    durs.append(ms); nt.append(len(texts)); ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col],
+                    "mime": ["video/mp4" if o else None for o in ok],
+                    "brand": brands,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "n_texts": pd.array(nt, dtype="Int32"),
+                    "decode_ok": ok,
+                }
+            )
+
+    return media.select(ref_col, bytes_col).mapInPandas(
+        kernel, schema=VIDEO_META_SCHEMA)

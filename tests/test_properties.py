@@ -203,3 +203,12 @@ def test_odt_fixture_roundtrip(paras):
     got = extract_odt_text_blocks(make_mini_odt(paras))
     want = [" ".join(p.split()) for p in paras]
     assert got == [w for w in want if w]
+
+
+@given(st.binary(max_size=300))
+@settings(**_SETTINGS)
+def test_mp4_parse_never_crashes_on_garbage(raw):
+    from geoparser_spark.operators.video_meta import parse_mp4
+
+    out = parse_mp4(raw)
+    assert out is None or isinstance(out, tuple)
