@@ -1936,6 +1936,20 @@ def _ann_ivf(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _ann_knn_join(spark, sf_dir):
+    """Batch ANN join (operators/similarity.py:knn_join): top-5
+    neighbours for EVERY query vector (vec_id % 50 = 0) — both sides
+    share one sign-LSH bucket key, candidates come from the bucket
+    equi-join (shuffle ∝ rows, never |Q|x|N|), per-query top-k is a
+    rank-limit window with the partial WindowGroupLimit pushed before
+    the exchange."""
+    from geoparser_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_join(emb.where(F.col("vec_id") % 50 == 0), emb,
+                    k=5, n_planes=4, dim=64)
+
+
 def _ann_lsh(spark, sf_dir):
     out = S.lsh_topk(_t(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, n_planes=4)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -2861,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk,
         "ann_ivf_topk": _ann_ivf,
         "ann_lsh_topk": _ann_lsh,
+        "ann_knn_join": _ann_knn_join,
         "curation_pipeline": _curation_pipeline,
         "eval_keyword_match": _eval_keyword_match,
         "eval_keyword_total": _eval_keyword_total,
@@ -3519,6 +3534,8 @@ def oracle_sql() -> dict[str, str]:
                 _QUERY_VEC, n_lists=8, sample=512, k=10, nprobe=2
             ),
             "ann_lsh_topk": PQ.lsh_topk_sql(_QUERY_VEC, k=10, n_planes=4),
+            "ann_knn_join": PQ.knn_join_sql(
+                k=5, n_planes=4, query_modulus=50, dim=64),
             "dedup_lines_cms": PQ.line_dedup_cms_sql(
                 max_repeats=2, depth=4, width=8192
             ),

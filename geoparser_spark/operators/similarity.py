@@ -378,3 +378,53 @@ def semdedup_prune(embeddings: DataFrame, centroids: np.ndarray,
             F.coalesce(F.col("pruned"), F.lit(0)).cast("int").alias("pruned"),
         )
     )
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             n_planes: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int | None = None) -> DataFrame:
+    """Batch ANN join: top-k corpus neighbours for EVERY query vector —
+    the multi-query serving shape (the single-vector lsh_topk/ivf_topk
+    answer one literal query; embedding-lookup serving and
+    retrieval-training pipelines join whole tables of queries).
+
+    Shape: both sides get the SAME sign-LSH bucket key (one literal
+    plane array, codegen'd fold per row); candidates come from an
+    equi-join on the bucket — shuffle ∝ rows, never |Q|x|N|; the exact
+    cosine rerank runs on candidates only; per-query top-k is a
+    rank-limit window, which Spark compiles with a PARTIAL
+    WindowGroupLimit before the exchange (each map task forwards at
+    most k rows per query it sees).  Recall < 1 by construction
+    (single-probe); raise recall with multi-table union like
+    lsh_near_dup_pairs.
+
+    ``dim`` defaults to probing one row (bounded driver action).
+    Returns (q_id, c_id, cosine[rounded 6], rank).
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(queries.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("qv"),
+        lsh_bucket_col(qv, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), qv.alias("cv"),
+        lsh_bucket_col(qv, planes).alias("bucket"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("c_id").asc())
+    return (
+        q.join(c, "bucket")
+        .select("q_id", "c_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cosine"),
+                "rank")
+    )

@@ -902,3 +902,46 @@ def minhash_incremental_sql(modulus: int = 5, offset: int = 2_000_003,
                 out.append((i, c, spark_round(j, 6)))
     out.sort()
     return values_sql(out, ["new_id", "corpus_id", "jaccard"])
+
+
+# ------------------------------------------------------------- knn join
+
+def knn_join_sql(k: int = 5, n_planes: int = 4, seed: int = 42,
+                 query_modulus: int = 50, dim: int = 64) -> str:
+    """DuckDB oracle for similarity.knn_join over embeddings: queries
+    are vec_id % query_modulus = 0; both sides bucket on the same
+    deterministic hyperplane sign pattern; rank ties break on c_id."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def bucket_expr(v: str) -> str:
+        bits = []
+        for p in planes:
+            plist = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            bits.append(f"CASE WHEN list_dot_product({v}, {plist}) >= 0 "
+                        f"THEN '1' ELSE '0' END")
+        return " || ".join(bits)
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+          SELECT vec_id AS q_id, v AS qv, {bucket_expr('v')} AS b
+          FROM e WHERE vec_id % {query_modulus} = 0
+        ), c AS (
+          SELECT vec_id AS c_id, v AS cv, {bucket_expr('v')} AS b FROM e
+        ), j AS (
+          SELECT q_id, c_id,
+                 list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))) AS cos_raw
+          FROM q JOIN c USING (b)
+        ), r AS (
+          SELECT q_id, c_id, cos_raw,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, c_id) AS rn
+          FROM j
+        )
+        SELECT q_id, c_id, round(cos_raw, 6) AS cosine,
+               CAST(rn AS INT) AS rank
+        FROM r WHERE rn <= {k}"""

@@ -865,3 +865,27 @@ def test_minhash_lsh_incremental(spark, tmp_path):
         num_hashes=16, bands=8, threshold=0.5).collect()
     assert [(r.new_id, r.corpus_id) for r in got] == [(10, 1)]
     assert got[0].jaccard > 0.5
+
+
+def test_knn_join(spark):
+    """Every query finds itself at rank 1 (cosine 1.0); top-k bounded;
+    WindowGroupLimit partial appears in the plan."""
+    from geoparser_spark.operators.similarity import knn_join
+
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    out = knn_join(q, emb, k=3, n_planes=2, dim=8)
+    got = out.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows_ in by_q.items():
+        assert len(rows_) <= 3
+        best = min(rows_, key=lambda r: r.rank)
+        assert best.c_id == q_id and best.cosine == 1.0  # self at rank 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
