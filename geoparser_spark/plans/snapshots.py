@@ -281,3 +281,82 @@ def expire_versions(root: str, keep_from: int) -> dict:
         os.remove(mp)
         expired += 1
     return {"expired_versions": expired, "deleted_files": deleted}
+
+
+def snapshot_diff(spark: SparkSession, root: str, v_from: int, v_to: int,
+                  key: str | None = None) -> DataFrame:
+    """Row-level change feed between two versions — the CDC surface an
+    Iceberg `changelog` read provides (incremental consumers resume
+    from a version instead of re-reading the table).
+
+    File-level short-circuit first: data files are immutable and
+    manifests reference them by path, so any file present in BOTH
+    manifests is skipped entirely — only files added or removed
+    between the versions are read (an append-only history diffs by
+    scanning just the appended files; a COW merge reads the rewritten
+    file and its predecessors).  The row diff over that bounded slice
+    is a full-outer join on ``key`` (default: the table's manifest
+    key) comparing md5 over all non-key columns.
+
+    Returns old/new rows with change_type in
+    {inserted, deleted, updated}.
+    """
+    from pyspark.sql import functions as F
+
+    man_a, man_b = _load_manifest(root, v_from), _load_manifest(root, v_to)
+    key = key or man_b.get("key") or man_a.get("key")
+    if not key:
+        raise ValueError("snapshot_diff needs a key column")
+    paths_a = {f["path"] for f in man_a["files"]}
+    paths_b = {f["path"] for f in man_b["files"]}
+    only_a = sorted(paths_a - paths_b)
+    only_b = sorted(paths_b - paths_a)
+
+    def read(paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(root, p) for p in paths])
+
+    a, b = read(only_a), read(only_b)
+    if a is None and b is None:  # identical manifests: empty diff
+        base = read_snapshot(spark, root, v_to).limit(0)
+        cols = [c for c in base.columns]
+        return base.select(
+            F.col(key), F.lit("inserted").alias("change_type"),
+            *[F.col(c).alias(f"new_{c}") for c in cols if c != key])
+
+    cols = (b if b is not None else a).columns
+    val_cols = [c for c in cols if c != key]
+
+    def hashed(df: DataFrame | None, side: str) -> DataFrame | None:
+        if df is None:
+            return None
+        return df.select(
+            F.col(key),
+            F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in val_cols])).alias(f"_h_{side}"),
+            *[F.col(c).alias(f"{side}_{c}") for c in val_cols],
+        )
+
+    ha, hb = hashed(a, "old"), hashed(b, "new")
+    if ha is None:
+        return hb.select(key, F.lit("inserted").alias("change_type"),
+                         *[f"new_{c}" for c in val_cols])
+    if hb is None:
+        return ha.select(key, F.lit("deleted").alias("change_type"),
+                         *[f"old_{c}" for c in val_cols])
+    j = ha.join(hb, key, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), "inserted")
+        .when(F.col("_h_new").isNull(), "deleted")
+        .when(F.col("_h_old") != F.col("_h_new"), "updated")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())  # unchanged rows drop
+        .select(key, "change_type",
+                *[f"old_{c}" for c in val_cols],
+                *[f"new_{c}" for c in val_cols])
+    )

@@ -77,9 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     snap.add_argument("--root", required=True)
     snap.add_argument("--op", required=True, choices=(
         "create", "append", "append-dedup", "merge", "read", "history",
-        "expire"))
+        "expire", "diff"))
     snap.add_argument("--keep-from", type=int, default=None,
                       help="oldest version to retain (expire)")
+    snap.add_argument("--from-version", type=int, default=None,
+                      help="older version for diff")
+    snap.add_argument("--to-version", type=int, default=None,
+                      help="newer version for diff (default: latest)")
     snap.add_argument("--input", default=None, help="parquet dir for write ops")
     snap.add_argument("--key", default="doc_id")
     snap.add_argument("--hash-cols", default="doc_id,text",
@@ -199,6 +203,22 @@ def main(argv: list[str] | None = None) -> int:
             if args.keep_from is None:
                 p.error("--keep-from required for expire")
             print(json.dumps(SN.expire_versions(args.root, args.keep_from)))
+        elif args.op == "diff":
+            if args.from_version is None:
+                p.error("--from-version required for diff")
+            if not args.output:
+                p.error("--output required for diff")
+            v_to = args.to_version or SN.latest_version(args.root)
+            d = SN.snapshot_diff(spark, args.root, args.from_version, v_to)
+            d.write.mode("overwrite").parquet(args.output)
+            from pyspark.sql import functions as F
+
+            counts = {r["change_type"]: r["n"] for r in
+                      spark.read.parquet(args.output)
+                      .groupBy("change_type")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            print(json.dumps({"from": args.from_version, "to": v_to,
+                              "changes": counts}))
         elif args.op == "read":
             if not args.output:
                 p.error("--output required for read")

@@ -123,3 +123,51 @@ def test_expire_refuses_to_drop_latest(spark, root):
     SN.create_table(_mk(spark, range(4)), root, key="doc_id")
     with pytest.raises(ValueError):
         SN.expire_versions(root, keep_from=2)
+
+
+def test_snapshot_diff_append_and_merge(spark, root):
+    """CDC between versions: appends surface as inserted, merge
+    updates as updated with both sides, untouched rows never appear;
+    identical versions diff to zero rows."""
+    SN.create_table(_mk(spark, range(6)), root, key="doc_id")       # v1
+    SN.append(_mk(spark, range(100, 103)), root)                    # v2
+    SN.merge_upsert(
+        spark, spark.createDataFrame([Row(doc_id=2, val="NEW2")]), root
+    )                                                               # v3
+
+    d12 = {r.doc_id: r for r in SN.snapshot_diff(spark, root, 1, 2).collect()}
+    assert set(d12) == {100, 101, 102}
+    assert all(r.change_type == "inserted" and r.new_val == f"v{i}"
+               for i, r in d12.items())
+
+    d23 = {r.doc_id: r for r in SN.snapshot_diff(spark, root, 2, 3).collect()}
+    assert set(d23) == {2}
+    assert d23[2].change_type == "updated"
+    assert (d23[2].old_val, d23[2].new_val) == ("v2", "NEW2")
+
+    # v1 -> v3 composes: three inserts + one update, nothing else
+    d13 = {r.doc_id: r.change_type
+           for r in SN.snapshot_diff(spark, root, 1, 3).collect()}
+    assert d13 == {100: "inserted", 101: "inserted", 102: "inserted",
+                   2: "updated"}
+
+    assert SN.snapshot_diff(spark, root, 3, 3).count() == 0
+
+
+def test_snapshot_diff_reads_only_changed_files(spark, root):
+    """The file-level short-circuit: diffing an append-only history
+    must scan ONLY the appended files (carried files are skipped by
+    manifest path identity, not by reading them)."""
+    SN.create_table(_mk(spark, range(500)), root, key="doc_id")
+    SN.append(_mk(spark, [1000]), root)
+    diff = SN.snapshot_diff(spark, root, 1, 2)
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    man1 = json.load(open(os.path.join(root, "_log", "v1.json")))
+    man2 = json.load(open(os.path.join(root, "_log", "v2.json")))
+    carried = {f["path"] for f in man1["files"]} & {
+        f["path"] for f in man2["files"]}
+    assert carried, "append must carry the v1 files forward"
+    # no carried file's path may appear in the physical scan
+    for p in carried:
+        assert os.path.basename(p) not in plan
+    assert diff.count() == 1
