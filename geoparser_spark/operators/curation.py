@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from geoparser_spark.operators.geotag import normalize_text
 
-__all__ = ["ngram_overlap", "token_familiarity", "source_filter"]
+__all__ = ["ngram_overlap", "token_familiarity",
+           "bigram_familiarity", "source_filter"]
 
 
 def _tokens(text_col: str) -> Column:
@@ -122,6 +123,41 @@ def ngram_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     )
 
 
+def _familiarity_over(docs: DataFrame, units: Column, min_count: int,
+                      id_col: str, names: tuple[str, str, str]) -> DataFrame:
+    """Shared core of token_familiarity / bigram_familiarity: explode
+    ``units``, count the unit vocabulary (one shuffle at VOCABULARY
+    grain — map-side combine collapses each partition to its distinct
+    units), threshold + broadcast, per-doc rollup, and a left join back
+    so docs producing zero units score 0.  ``names`` =
+    (n_units, n_oov, familiarity) output column names."""
+    n_name, oov_name, fam_name = names
+    u = docs.select(F.col(id_col), F.explode(units).alias("u"))
+    vocab = (
+        u.groupBy("u").agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_count)
+    )
+    scored = (
+        u.join(F.broadcast(vocab), "u", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias(n_name),
+            F.sum(F.when(F.col("freq").isNull(), 1).otherwise(0))
+             .alias(oov_name),
+            F.sum(F.coalesce("freq", F.lit(0))).alias(fam_name),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            *[F.coalesce(c, F.lit(0)).alias(c)
+              for c in (n_name, oov_name, fam_name)],
+        )
+    )
+
+
 def token_familiarity(docs: DataFrame, min_count: int = 5,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
@@ -141,31 +177,9 @@ def token_familiarity(docs: DataFrame, min_count: int = 5,
     distinct tokens ≈ a few million rows regardless of corpus size);
     the thresholded vocab map broadcasts; (2) explode + broadcast probe
     + per-doc rollup — one shuffle of per-doc counters."""
-    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("t"))
-    vocab = (
-        toks.groupBy("t").agg(F.count("*").alias("freq"))
-        .where(F.col("freq") >= min_count)
-    )
-    scored = (
-        toks.join(F.broadcast(vocab), "t", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("freq").isNull(), 1).otherwise(0))
-             .alias("n_oov"),
-            F.sum(F.coalesce("freq", F.lit(0))).alias("familiarity"),
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
-            F.coalesce("familiarity", F.lit(0)).alias("familiarity"),
-        )
-    )
+    return _familiarity_over(
+        docs, _tokens(text_col), min_count, id_col,
+        names=("n_tokens", "n_oov", "familiarity"))
 
 
 def source_filter(docs: DataFrame, blocked: DataFrame,
@@ -196,32 +210,6 @@ def bigram_familiarity(docs: DataFrame, min_count: int = 3,
     Output: (id_col, n_bigrams, n_oov_bigrams, bigram_familiarity);
     docs with < 2 tokens emit zero bigrams and score 0.
     """
-    bg = docs.select(
-        F.col(id_col),
-        F.explode(_grams(_tokens(text_col), 2)).alias("g"),
-    )
-    vocab = (
-        bg.groupBy("g").agg(F.count("*").alias("freq"))
-        .where(F.col("freq") >= min_count)
-    )
-    scored = (
-        bg.join(F.broadcast(vocab), "g", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(F.when(F.col("freq").isNull(), 1).otherwise(0))
-             .alias("n_oov_bigrams"),
-            F.sum(F.coalesce("freq", F.lit(0))).alias("bigram_familiarity"),
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.coalesce("n_oov_bigrams", F.lit(0)).alias("n_oov_bigrams"),
-            F.coalesce("bigram_familiarity", F.lit(0))
-             .alias("bigram_familiarity"),
-        )
-    )
+    return _familiarity_over(
+        docs, _grams(_tokens(text_col), 2), min_count, id_col,
+        names=("n_bigrams", "n_oov_bigrams", "bigram_familiarity"))

@@ -405,7 +405,15 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     from pyspark.sql import Window
 
     if dim is None:
-        dim = len(queries.select(vec_col).head()[0])
+        probe = queries.select(vec_col).head()
+        if probe is None or probe[0] is None:  # empty/NULL queries:
+            return queries.select(            # the empty result shape
+                F.col(id_col).alias("q_id"),
+                F.col(id_col).alias("c_id"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).alias("rank"),
+            ).where(F.lit(False))
+        dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes, seed)
     qv = F.col(vec_col).cast("array<double>")
     q = queries.select(

@@ -72,10 +72,11 @@ def _mvhd(raw: bytes, s: int, e: int) -> int | None:
     version = raw[s]
     if version == 0 and e - s >= 20:
         timescale, duration = struct.unpack(">II", raw[s + 12:s + 20])
-    elif version == 1 and e - s >= 28:
+    elif version == 1 and e - s >= 32:
+        # v1 body: version/flags(4) created(8) modified(8) timescale(4)
+        # duration(8) — anything shorter is TRUNCATED, not duration-0
         (timescale,) = struct.unpack(">I", raw[s + 20:s + 24])
-        (duration,) = struct.unpack(">Q", raw[s + 24:s + 32]) \
-            if e - s >= 32 else (0,)
+        (duration,) = struct.unpack(">Q", raw[s + 24:s + 32])
     else:
         return None
     if not timescale:

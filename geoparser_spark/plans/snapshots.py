@@ -213,6 +213,16 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def _content_digest(cols: list[str]):
+    """md5 over ``cols`` with NULL encoded as an explicit sentinel:
+    concat_ws SKIPS nulls (("a", NULL) would collide with ("a",)) and a
+    bare "\\x00" sentinel would collide with a literal "\\x00" string —
+    shared by append_dedup and snapshot_diff so both stay hardened."""
+    return F.md5(F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+        for c in cols]))
+
+
 def append_dedup(spark: SparkSession, df: DataFrame, root: str,
                  hash_cols: list[str]) -> dict:
     """Idempotent ingest: append only rows whose content hash (md5 over
@@ -227,12 +237,7 @@ def append_dedup(spark: SparkSession, df: DataFrame, root: str,
     v = latest_version(root)
     if v == 0:
         raise ValueError(f"no table at {root}")
-    # concat_ws SKIPS nulls (("a", NULL) would collide with ("a",) and
-    # silently drop a non-duplicate row) — encode null as an explicit
-    # sentinel that cannot appear in cast-to-string data
-    digest = F.md5(F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
-        for c in hash_cols]))
+    digest = _content_digest(hash_cols)
     current = read_snapshot(spark, root, version=v)
     seen = current.select(digest.alias("h")).distinct()
     fresh = (
@@ -319,35 +324,22 @@ def snapshot_diff(spark: SparkSession, root: str, v_from: int, v_to: int,
             *[os.path.join(root, p) for p in paths])
 
     a, b = read(only_a), read(only_b)
-    if a is None and b is None:  # identical manifests: empty diff
-        base = read_snapshot(spark, root, v_to).limit(0)
-        cols = [c for c in base.columns]
-        return base.select(
-            F.col(key), F.lit("inserted").alias("change_type"),
-            *[F.col(c).alias(f"new_{c}") for c in cols if c != key])
+    # STABLE schema on every branch — (key, change_type, old_*, new_*)
+    # with NULLs on the absent side — so an incremental consumer can
+    # accumulate diff outputs across commits without schema drift
+    base = read_snapshot(spark, root, v_to)
+    val_cols = [c for c in base.columns if c != key]
 
-    cols = (b if b is not None else a).columns
-    val_cols = [c for c in cols if c != key]
-
-    def hashed(df: DataFrame | None, side: str) -> DataFrame | None:
+    def hashed(df: DataFrame | None, side: str) -> DataFrame:
         if df is None:
-            return None
+            df = base.limit(0)
         return df.select(
             F.col(key),
-            F.md5(F.concat_ws("\x1f", *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in val_cols])).alias(f"_h_{side}"),
+            _content_digest(val_cols).alias(f"_h_{side}"),
             *[F.col(c).alias(f"{side}_{c}") for c in val_cols],
         )
 
-    ha, hb = hashed(a, "old"), hashed(b, "new")
-    if ha is None:
-        return hb.select(key, F.lit("inserted").alias("change_type"),
-                         *[f"new_{c}" for c in val_cols])
-    if hb is None:
-        return ha.select(key, F.lit("deleted").alias("change_type"),
-                         *[f"old_{c}" for c in val_cols])
-    j = ha.join(hb, key, "full_outer")
+    j = hashed(a, "old").join(hashed(b, "new"), key, "full_outer")
     change = (
         F.when(F.col("_h_old").isNull(), "inserted")
         .when(F.col("_h_new").isNull(), "deleted")

@@ -909,27 +909,40 @@ def minhash_incremental_sql(modulus: int = 5, offset: int = 2_000_003,
 def knn_join_sql(k: int = 5, n_planes: int = 4, seed: int = 42,
                  query_modulus: int = 50, dim: int = 64) -> str:
     """DuckDB oracle for similarity.knn_join over embeddings: queries
-    are vec_id % query_modulus = 0; both sides bucket on the same
-    deterministic hyperplane sign pattern; rank ties break on c_id."""
+    are vec_id % query_modulus = 0; rank ties break on c_id.
+
+    Bucket signs are computed HERE in Python with Spark's exact
+    fold-left summation order (_dot is a sequential aggregate();
+    list_dot_product's association may differ near zero — the hazard
+    lsh_near_dup_pairs_sql documents) and shipped as a VALUES map; the
+    join and cosine rerank stay in SQL."""
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim))
 
-    def bucket_expr(v: str) -> str:
-        bits = []
-        for p in planes:
-            plist = "[" + ", ".join(repr(float(x)) for x in p) + "]"
-            bits.append(f"CASE WHEN list_dot_product({v}, {plist}) >= 0 "
-                        f"THEN '1' ELSE '0' END")
-        return " || ".join(bits)
+    def fold_dot(v, p) -> float:
+        acc = 0.0
+        for x, y in zip(v, p):
+            acc = acc + x * y
+        return acc
+
+    rows = read_table("embeddings", "vec_id, embedding")
+    bmap = []
+    for i, v in rows:
+        v = [float(x) for x in v]
+        bmap.append((int(i), "".join(
+            "1" if fold_dot(v, p) >= 0 else "0" for p in planes)))
+    buckets_values = values_sql(bmap, ["vec_id", "b"])
 
     return f"""
-        WITH e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WITH bk AS ({buckets_values}
+        ), e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, b
+          FROM embeddings JOIN bk USING (vec_id)
         ), q AS (
-          SELECT vec_id AS q_id, v AS qv, {bucket_expr('v')} AS b
+          SELECT vec_id AS q_id, v AS qv, b
           FROM e WHERE vec_id % {query_modulus} = 0
         ), c AS (
-          SELECT vec_id AS c_id, v AS cv, {bucket_expr('v')} AS b FROM e
+          SELECT vec_id AS c_id, v AS cv, b FROM e
         ), j AS (
           SELECT q_id, c_id,
                  list_dot_product(qv, cv)
