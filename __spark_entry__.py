@@ -2702,6 +2702,19 @@ def _sample_weighted(spark, sf_dir):
         d, {"src1": 2500, "src2": 5000, "src3": 0})
 
 
+def _sample_temperature(spark, sf_dir):
+    """Temperature-based source mixing (operators/sampling
+    .temperature_mix): rates derived FROM the source histogram
+    (T=2 flattens toward uniform, target half the corpus), then the
+    same map-only keyed-hash filter as sample_weighted.  Derivation
+    float-sums run in sorted source order on both engines — collect()
+    row order must never change the integer rates."""
+    from geoparser_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return temperature_mix(d, temperature=2.0, target_frac=0.5)
+
+
 def _snapshot_append_dedup(spark, sf_dir):
     """Idempotent ingest (plans/snapshots.append_dedup): v1 holds the
     even docs; a full-corpus redelivery appends ONLY the odd docs
@@ -2916,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _dedup_substring,
         "dedup_lsh_incremental": _dedup_lsh_incremental,
         "sample_weighted": _sample_weighted,
+        "sample_temperature": _sample_temperature,
         "snapshot_append_dedup": _snapshot_append_dedup,
         "events_salted_join": _events_salted_join,
         "geo_zorder_cells": _geo_zorder_cells,
@@ -3835,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM c GROUP BY canon_url""",
             "sample_weighted": PQ.weighted_sample_sql(
                 {"src1": 2500, "src2": 5000, "src3": 0}),
+            "sample_temperature": PQ.temperature_mix_sql(
+                temperature=2.0, target_frac=0.5),
             "snapshot_append_dedup": """
                 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                        CAST(sum(n_chars) AS BIGINT) AS sum_chars

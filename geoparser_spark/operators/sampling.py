@@ -130,3 +130,58 @@ def weighted_sample(df: DataFrame, rates_bp: dict[str, int],
     for g in sorted(rates_bp, reverse=True):
         rate = F.when(F.col(group_col) == g, F.lit(rates_bp[g])).otherwise(rate)
     return df.where(_bucket(id_col, den) < rate)
+
+
+def temperature_rates_bp(counts: dict[str, int], temperature: float,
+                         target_frac: float = 1.0,
+                         den: int = 10_000) -> dict[str, int]:
+    """Temperature-mix rates from per-source counts: weights
+    w_s = c_s^(1/T) (T=1 keeps natural proportions, T→∞ uniform),
+    sampled counts n_s = target_frac·N·w_s/Σw capped at c_s, returned
+    as basis-point keep rates for :func:`weighted_sample`.
+
+    Pure driver-side arithmetic over the (bounded) source histogram —
+    the standard LLM data-recipe knob ("upsample small high-quality
+    sources, downsample the crawl"), computed FROM the data instead of
+    hand-specified.  Deterministic: the same counts and T produce the
+    same integer rates on any machine (floor rounding, no RNG)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not counts:
+        return {}
+    alpha = 1.0 / temperature
+    w = {s: float(c) ** alpha for s, c in counts.items() if c > 0}
+    # float sums are order-dependent and ``counts`` arrives in collect()
+    # row order: sum in SORTED source order so the derived integer
+    # rates are identical on every run and in the oracle replica
+    total_w = 0.0
+    for s in sorted(w):
+        total_w = total_w + w[s]
+    n_total = sum(counts.values()) * target_frac
+    out = {}
+    for s, c in counts.items():
+        if c <= 0:
+            out[s] = 0
+            continue
+        n_s = min(float(c), n_total * w[s] / total_w)
+        out[s] = min(den, int(n_s / c * den))
+    return out
+
+
+def temperature_mix(df: DataFrame, temperature: float,
+                    target_frac: float = 1.0,
+                    id_col: str = "doc_id", group_col: str = "source",
+                    den: int = 10_000) -> DataFrame:
+    """Temperature-based source mixing end-to-end: one source-grain
+    count aggregate (collected — source histograms are bounded), rate
+    derivation on the driver, then the map-only keyed-hash filter of
+    :func:`weighted_sample`.  Two scans total; at a real deployment
+    the histogram comes from table statistics instead."""
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+        .collect() if r[group_col] is not None
+    }
+    rates = temperature_rates_bp(counts, temperature, target_frac, den)
+    return weighted_sample(df, rates, id_col=id_col, group_col=group_col,
+                           default_bp=den, den=den)

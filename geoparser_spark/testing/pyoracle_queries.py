@@ -958,3 +958,31 @@ def knn_join_sql(k: int = 5, n_planes: int = 4, seed: int = 42,
         SELECT q_id, c_id, round(cos_raw, 6) AS cosine,
                CAST(rn AS INT) AS rank
         FROM r WHERE rn <= {k}"""
+
+
+# --------------------------------------------------------- temperature mix
+
+def temperature_mix_sql(temperature: float, target_frac: float = 0.5,
+                        den: int = 10_000) -> str:
+    """Replica of sampling.temperature_mix over documents: same
+    histogram, same rate derivation in the same float operation order
+    (sources summed SORTED — the operator pins this), same keyed-hash
+    keep rule."""
+    rows = read_table("documents", "doc_id, source, lang")
+    counts: dict[str, int] = defaultdict(int)
+    for _, src, _ in rows:
+        if src is not None:
+            counts[src] += 1
+    alpha = 1.0 / temperature
+    w = {s: float(c) ** alpha for s, c in counts.items() if c > 0}
+    total_w = 0.0
+    for s in sorted(w):
+        total_w = total_w + w[s]
+    n_total = sum(counts.values()) * target_frac
+    rates = {}
+    for s, c in counts.items():
+        n_s = min(float(c), n_total * w[s] / total_w)
+        rates[s] = min(den, int(n_s / c * den))
+    out = [(int(i), src, lang) for i, src, lang in rows
+           if spark_xxhash64(int(i)) % den < rates.get(src, den)]
+    return values_sql(sorted(out), ["doc_id", "source", "lang"])

@@ -116,3 +116,34 @@ def test_sample_plan_is_map_only(spark, docs):
     assert "Exchange" not in plan
     plan2 = hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+def test_temperature_rates_semantics():
+    """T=1 keeps natural proportions at target_frac; T→∞ flattens —
+    the small source's keep rate rises, the big one's falls; rates
+    never exceed keep-all."""
+    from geoparser_spark.operators.sampling import temperature_rates_bp
+
+    counts = {"big": 9000, "small": 1000}
+    natural = temperature_rates_bp(counts, temperature=1.0,
+                                   target_frac=0.5)
+    # T=1: every source keeps exactly target_frac
+    assert natural == {"big": 5000, "small": 5000}
+    flat = temperature_rates_bp(counts, temperature=100.0,
+                                target_frac=0.5)
+    assert flat["small"] > 5000 and flat["big"] < 5000
+    assert all(0 <= v <= 10_000 for v in flat.values())
+    # degenerate inputs
+    assert temperature_rates_bp({}, 2.0) == {}
+    assert temperature_rates_bp({"z": 0}, 2.0) == {"z": 0}
+
+
+def test_temperature_mix_deterministic(spark):
+    from geoparser_spark.operators.sampling import temperature_mix
+
+    rows = [(i, f"src{i % 3}", "en") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    a = sorted(r.doc_id for r in temperature_mix(d, 4.0, 0.4).collect())
+    b = sorted(r.doc_id for r in
+               temperature_mix(d.repartition(13), 4.0, 0.4).collect())
+    assert a == b and 0 < len(a) < 300
