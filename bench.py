@@ -140,7 +140,8 @@ def main() -> int:
         "geo_zorder_cells", "events_funnel", "events_salted_join",
         "q15_bm25_search", "text_compression_ratio", "web_host_pagerank",
         "profile_histogram", "events_cube", "dedup_substring",
-        "text_unicode_norm",
+        "text_unicode_norm", "dedup_lsh_incremental", "ann_knn_join",
+        "sample_temperature", "curation_familiarity2",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}

@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--min-compression-ratio", type=float, default=None,
                      help="drop docs whose zlib ratio is below this "
                           "(machine-repetitive boilerplate)")
+    cur.add_argument("--mix-temperature", type=float, default=None,
+                     help="temperature-mix sources before the split "
+                          "(rates derived from the source histogram)")
+    cur.add_argument("--mix-target-frac", type=float, default=1.0)
     comp = sub.add_parser(
         "compact",
         help="rewrite a small-file parquet dir into ~target-sized files "
@@ -182,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
             kept = kept.join(ok, "doc_id", "left_semi")
         scrubbed = pii_scrub(kept).drop("text").withColumnRenamed(
             "redacted", "text")
+        if args.mix_temperature is not None and "source" in scrubbed.columns:
+            from geoparser_spark.operators.sampling import temperature_mix
+
+            scrubbed = temperature_mix(
+                scrubbed, args.mix_temperature, args.mix_target_frac)
         weights = tuple(int(w) for w in args.split_weights.split(","))
         out = hash_split(scrubbed, "doc_id", weights=weights,
                          labels=("train", "val", "test")[:len(weights)])
