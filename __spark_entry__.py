@@ -2047,6 +2047,17 @@ def _text_unicode_norm(spark, sf_dir):
     return TQ.unicode_normalize(docs)
 
 
+def _text_all_signals(spark, sf_dir):
+    """Every expression-family text signal in ONE map-only projection
+    (text_quality.all_signals): language ID + quality features + token
+    counts + repetition ratios + fingerprints over a single scan, zero
+    exchanges — five separate queries would scan the corpus five
+    times, and at 100 TB the scan IS the cost.  The oracle joins the
+    five family oracles on doc_id."""
+    return TQ.all_signals(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def _text_pii_scrub(spark, sf_dir):
     """PII detect + redact over documents seeded with synthetic PII.
 
@@ -2899,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals": _text_repetition,
         "text_compression_ratio": _text_compression,
         "text_unicode_norm": _text_unicode_norm,
+        "text_all_signals": _text_all_signals,
         "text_pii_scrub": _text_pii_scrub,
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
@@ -3904,4 +3916,22 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     _ORACLE_CACHE[_sf_key] = dict(out)
+    # composed single-scan signal oracle: the five family oracles
+    # joined on doc_id — the engine computes the same columns in ONE
+    # projection (text_quality.all_signals)
+    out["text_all_signals"] = f"""
+        WITH lang AS ({out['text_lang_id']}),
+             q AS ({out['text_quality_score']}),
+             tok AS ({out['text_token_count']}),
+             rep AS ({out['text_repetition_signals']}),
+             fp AS ({out['text_fingerprint']})
+        SELECT lang.doc_id, lang.lang_pred, lang.stopword_hits,
+               q.n_chars, q.n_tokens, q.punct_ratio, q.stop_ratio,
+               q.mean_word_len, q.quality_score,
+               tok.n_whitespace_tokens, tok.n_bpe_est,
+               rep.dup_sent_frac, rep.dup_2gram_frac, rep.dup_3gram_frac,
+               fp.md5_fp, fp.min_shingle_fp
+        FROM lang JOIN q USING (doc_id) JOIN tok USING (doc_id)
+                  JOIN rep USING (doc_id) JOIN fp USING (doc_id)"""
+
     return out

@@ -74,22 +74,31 @@ def stopword_hits(text_col: str, lang: str) -> Column:
     return F.size(F.filter(_tokens(text_col), lambda t: F.array_contains(stops, t)))
 
 
+def _lang_exprs(text_col: str) -> tuple[Column, Column]:
+    """(lang_pred, best_hits) expressions — shared by language_id and
+    all_signals.  Deterministic tie-break: first language in en<de<es
+    alphabetical order wins; 'und' when no stopwords hit.  (Catalyst
+    projection collapse inlines named hit columns to exactly these
+    expressions, so building them directly is plan-identical to the
+    former withColumn loop.)"""
+    langs = sorted(STOPWORDS)
+    hits = {lang: stopword_hits(text_col, lang) for lang in langs}
+    best = F.greatest(*[hits[l] for l in langs])
+    lang_expr = F.lit("und")
+    for lang in reversed(langs):
+        lang_expr = F.when(
+            (best > 0) & (hits[lang] == best), F.lit(lang)
+        ).otherwise(lang_expr)
+    return lang_expr, best
+
+
 def language_id(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Stopword-ratio language ID with deterministic tie-break (first
     language in en<de<es<fr alphabetical order wins ties; 'und' =
     undetermined when no stopwords hit)."""
-    langs = sorted(STOPWORDS)
-    out = docs.select(F.col(id_col), F.col(text_col))
-    for lang in langs:
-        out = out.withColumn(f"hits_{lang}", stopword_hits(text_col, lang))
-    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
-    lang_expr = F.lit("und")
-    for lang in reversed(langs):
-        lang_expr = F.when(
-            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
-        ).otherwise(lang_expr)
-    return out.select(
+    lang_expr, best = _lang_exprs(text_col)
+    return docs.select(
         F.col(id_col),
         lang_expr.alias("lang_pred"),
         best.alias("stopword_hits"),
@@ -101,6 +110,12 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     """Deterministic quality features + a composite score:
     length, punctuation ratio, stopword ratio, mean word length.
     Mirrors the usual curation heuristics (C4/Gopher-style rules)."""
+    return docs.select(F.col(id_col), *_quality_exprs(text_col))
+
+
+def _quality_exprs(text_col: str) -> list[Column]:
+    """The aliased quality columns — shared by quality_score and
+    all_signals."""
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
     toks = _tokens(text_col)
@@ -116,25 +131,22 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         + F.when(stop_ratio > 0.02, 1.0).otherwise(0.0)
         + F.when((mean_wlen > 2.5) & (mean_wlen < 12), 1.0).otherwise(0.0)
     )
-    return docs.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         score.alias("quality_score"),
-    )
+    ]
 
 
-def repetition_signals(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """Gopher-style within-document repetition ratios: the fraction of
-    duplicate sentences and duplicate token 2-/3-grams.  High values
-    mark template/spam/keyword-stuffed pages.  All O(tokens) native
-    expressions — the token and gram arrays are bound as lambda
-    variables (the projection-collapse discipline), no UDFs, no
-    shuffle."""
+def _repetition_struct(text_col: str):
+    """Packed (dup_sent_frac, dup_2gram_frac, dup_3gram_frac) struct —
+    shared by repetition_signals and all_signals.  Every array is a
+    bound lambda variable: dup_frac references its array three times,
+    and a derived expression there would evaluate three times per
+    doc."""
     sent_sql = (
         f"""split(regexp_replace({text_col}, '([.!?])\\\\s+', '$1\\u001F'),
             '\\u001F')"""
@@ -158,7 +170,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     # every array is a bound lambda variable: dup_frac references its
     # array three times, and a derived expression there would evaluate
     # three times per doc
-    packed = F.expr(
+    return F.expr(
         f"""transform(array({norm_sql}), toks ->
               transform(array({sent_sql}), sents ->
                 transform(array({grams(2)}), g2 ->
@@ -169,7 +181,19 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                       {dup_frac.format(a='g3')} AS dup_3gram_frac
                     ))[0])[0])[0])[0]"""
     )
-    return docs.select(F.col(id_col), packed.alias("p")).select(
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition ratios: the fraction of
+    duplicate sentences and duplicate token 2-/3-grams.  High values
+    mark template/spam/keyword-stuffed pages.  All O(tokens) native
+    expressions — the token and gram arrays are bound as lambda
+    variables (the projection-collapse discipline), no UDFs, no
+    shuffle."""
+    return docs.select(
+        F.col(id_col), _repetition_struct(text_col).alias("p")
+    ).select(
         id_col,
         F.round("p.dup_sent_frac", 6).alias("dup_sent_frac"),
         F.round("p.dup_2gram_frac", 6).alias("dup_2gram_frac"),
@@ -191,11 +215,20 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     # leg — a per-shingle recompute of the regex (the same blowup
     # measured and fixed in dedup.minhash_signatures; 2.1 s -> <0.5 s
     # on the bench slot for this operator).
+    return docs.select(
+        F.col(id_col), _fingerprint_struct(text_col, shingle).alias("p")
+    ).select(id_col, "p.md5_fp", "p.min_shingle_fp")
+
+
+def _fingerprint_struct(text_col: str, shingle: int = 8):
+    """Packed (md5_fp, min_shingle_fp) struct — shared by fingerprint
+    and all_signals; normalized text and token array are bound lambda
+    variables (projection-collapse discipline, see fingerprint)."""
     norm_sql = (
         f"trim(lower(regexp_replace({text_col},"
         f" '[^\\\\p{{L}}\\\\p{{N}}]+', ' ')))"
     )
-    packed = F.expr(
+    return F.expr(
         f"""transform(array({norm_sql}), nrm ->
               transform(array(split(nrm, ' ')), toks ->
                 struct(
@@ -205,9 +238,6 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
                       i -> md5(array_join(slice(toks, i + 1, {shingle}), ' '))))
                   ELSE md5(nrm) END AS min_shingle_fp))[0])[0]"""
     )
-    return docs.select(
-        F.col(id_col), packed.alias("p")
-    ).select(id_col, "p.md5_fp", "p.min_shingle_fp")
 
 
 def compression_signal(docs: DataFrame, level: int = 6,
@@ -311,3 +341,35 @@ def unicode_normalize(docs: DataFrame, form: str = "NFKC",
             })
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def all_signals(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", shingle: int = 8) -> DataFrame:
+    """EVERY expression-family signal in ONE projection — language ID,
+    quality features, token counts, Gopher repetition ratios, content
+    fingerprints — over a single (id, text) scan with zero exchanges.
+
+    This is the production shape: running the five signal queries
+    separately scans the corpus five times; at 100 TB the scan IS the
+    cost, so the signal pass must be one map-only projection.  Each
+    column reuses the exact builder its standalone operator uses
+    (_lang_exprs/_quality_exprs/_repetition_struct/
+    _fingerprint_struct), so values are identical by construction.
+    The zlib compression signal stays separate (it is a Python
+    kernel, composable by chaining mapInPandas after this select)."""
+    lang_expr, best = _lang_exprs(text_col)
+    rep = _repetition_struct(text_col)
+    fp = _fingerprint_struct(text_col, shingle)
+    return docs.select(
+        F.col(id_col),
+        lang_expr.alias("lang_pred"),
+        best.alias("stopword_hits"),
+        *_quality_exprs(text_col),
+        F.size(F.split(F.col(text_col), r"\s+")).alias("n_whitespace_tokens"),
+        (F.length(text_col) / 4).cast("int").alias("n_bpe_est"),
+        F.round(rep["dup_sent_frac"], 6).alias("dup_sent_frac"),
+        F.round(rep["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+        F.round(rep["dup_3gram_frac"], 6).alias("dup_3gram_frac"),
+        fp["md5_fp"].alias("md5_fp"),
+        fp["min_shingle_fp"].alias("min_shingle_fp"),
+    )

@@ -390,3 +390,17 @@ def test_incremental_lsh_probe_never_scans_corpus_signatures(spark):
     # for the NEW side only: count the seed-0 minhash leg occurrences
     assert plan.count("LeftSemi") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_all_signals_single_scan_zero_exchange(spark):
+    """The composed signal pass must stay ONE map-only projection:
+    zero exchanges, no join — five standalone signal queries would
+    scan the corpus five times."""
+    from geoparser_spark.operators.text_quality import all_signals
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i}. More.") for i in range(12)],
+        "doc_id long, text string")
+    plan = _plan(all_signals(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
