@@ -1886,6 +1886,19 @@ def _dedup_substring(spark, sf_dir):
     return duplicated_window_fraction(base.unionAll(planted), n=_SUBSTR_N)
 
 
+def _dedup_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS selection, k=4-gram hashes,
+    w=5 windows) over every 4th doc — the overlap-detection variant
+    of the min-shingle fingerprint (guaranteed shared fingerprint for
+    any common k+w-1-token run).  One bound-array expression per doc;
+    pure-Python replica oracle."""
+    from geoparser_spark.operators.dedup import winnow_fingerprints
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 4 == 0).select("doc_id", "text"))
+    return winnow_fingerprints(docs, k=4, w=5)
+
+
 def _dedup_lines(spark, sf_dir):
     """C4-style corpus-level line dedup: sentences occurring in > 2
     distinct documents are dropped as boilerplate; docs are rebuilt in
@@ -2940,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _events_cube,
         "dedup_substring": _dedup_substring,
         "dedup_lsh_incremental": _dedup_lsh_incremental,
+        "dedup_winnow": _dedup_winnow,
         "sample_weighted": _sample_weighted,
         "sample_temperature": _sample_temperature,
         "snapshot_append_dedup": _snapshot_append_dedup,
@@ -3589,6 +3603,7 @@ def oracle_sql() -> dict[str, str]:
                 _UNI_DIRT, modulus=_UNI_MOD),
             "dedup_lsh_incremental": PQ.minhash_incremental_sql(
                 offset=_INCR_OFFSET, num_hashes=32, bands=16),
+            "dedup_winnow": PQ.winnow_sql(k=4, w=5, modulus=4),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

@@ -141,7 +141,7 @@ def main() -> int:
         "q15_bm25_search", "text_compression_ratio", "web_host_pagerank",
         "profile_histogram", "events_cube", "dedup_substring",
         "text_unicode_norm", "dedup_lsh_incremental", "ann_knn_join",
-        "sample_temperature", "curation_familiarity2",
+        "sample_temperature", "curation_familiarity2", "text_all_signals",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}

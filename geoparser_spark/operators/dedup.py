@@ -656,3 +656,45 @@ def minhash_lsh_incremental(new_docs: DataFrame, index_bands: DataFrame,
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-token gram, slide a w-hash window, keep
+    each window's minimum — the selected set is guaranteed to share a
+    fingerprint with any other document containing a common run of
+    k + w - 1 tokens, at ~2/(w+1) the density of keeping every gram.
+    The min-shingle fingerprint in text_quality is this with w = ∞
+    (one fingerprint per doc); this is the overlap-DETECTION variant
+    (plagiarism/near-clone search by fingerprint equi-join).
+
+    One bound-array expression per doc (gram hashes via chained
+    xxhash64 — no gram string is built), window minima by slice +
+    array_min, distinct, then a posexplode-free explode to
+    (id, fp) rows — map-only until the caller's join/aggregate.
+    Docs with fewer than k tokens emit no rows.
+    """
+    from geoparser_spark.operators.curation import _gram_hashes
+
+    def windows(hs):
+        m = F.size(hs)
+        return F.when(
+            m >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), m - w),
+                    lambda j: F.array_min(F.slice(hs, j + 1, w)),
+                )
+            ),
+        ).otherwise(
+            # fewer than w grams: the whole doc is one window
+            F.when(m > 0, F.array(F.array_min(hs)))
+            .otherwise(F.array().cast("array<bigint>"))
+        )
+
+    bound = F.transform(
+        F.array(_gram_hashes(tokens_col(text_col), k)), windows)[0]
+    return docs.select(
+        F.col(id_col), F.explode(bound).alias("fp"))

@@ -986,3 +986,30 @@ def temperature_mix_sql(temperature: float, target_frac: float = 0.5,
     out = [(int(i), src, lang) for i, src, lang in rows
            if spark_xxhash64(int(i)) % den < rates.get(src, den)]
     return values_sql(sorted(out), ["doc_id", "source", "lang"])
+
+
+# --------------------------------------------------------------- winnowing
+
+def winnow_sql(k: int = 4, w: int = 5, modulus: int = 4) -> str:
+    """Replica of dedup.winnow_fingerprints over documents ≡0 (mod
+    ``modulus``): chained-xxhash64 k-gram hashes, per-window minima,
+    distinct-per-doc — the MOSS selection by value."""
+    rows = read_table("documents", "doc_id, text",
+                      f"doc_id % {modulus} = 0", order="doc_id")
+    out = []
+    for i, t in rows:
+        toks = tokens(t)
+        hs = [spark_xxhash64(*toks[j:j + k])
+              for j in range(len(toks) - k + 1)] if len(toks) >= k else []
+        if not hs:
+            continue
+        if len(hs) >= w:
+            sel = [min(hs[j:j + w]) for j in range(len(hs) - w + 1)]
+        else:
+            sel = [min(hs)]
+        seen = set()
+        for v in sel:
+            if v not in seen:
+                seen.add(v)
+                out.append((int(i), v))
+    return values_sql(out, ["doc_id", "fp"])

@@ -889,3 +889,26 @@ def test_knn_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_fingerprints(spark):
+    """MOSS guarantee: two docs sharing a run of k+w-1 tokens share at
+    least one fingerprint; short docs degrade predictably."""
+    from geoparser_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    rows = [
+        (1, "one two three " + shared + " tail words here"),
+        (2, shared + " completely different continuation text now"),
+        (3, "unrelated content with no overlap whatsoever at all"),
+        (4, "tiny doc"),                       # < k tokens: no rows
+        (5, "exactly four tokens yes"),        # k grams < w: one window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=4, w=5).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got[1] & got[2], "k+w-1 shared run must share a fingerprint"
+    assert not (got[1] & got[3])
+    assert 4 not in got
+    assert len(got[5]) == 1
