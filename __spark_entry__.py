@@ -2473,6 +2473,24 @@ def _profile_histogram(spark, sf_dir):
         "l_extendedprice", buckets=12)
 
 
+def _orc_roundtrip(spark, sf_dir):
+    """Table-format breadth: the documents table written as ORC and
+    read back (sources/columnar_io.py) — Iceberg data files may be
+    Parquet OR ORC, so the catalog seam must round-trip both.  The
+    oracle is the original table: any fidelity loss (types, nulls,
+    row count) is a red row.  Nested array<struct> fidelity is pinned
+    by pytest on the interleaved corpus."""
+    import hashlib
+    import tempfile
+
+    from geoparser_spark.sources.columnar_io import export_orc, import_orc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/gp_orc_roundtrip_{tag}"
+    export_orc(_t(spark, sf_dir, "documents"), path)
+    return import_orc(spark, path)
+
+
 def _profile_documents(spark, sf_dir):
     """Single-scan per-column profile of the documents table
     (operators/profile.py): null counts, cardinalities, min/max."""
@@ -2941,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rollup_counts": _docs_rollup_counts,
         "docs_length_quartiles": _docs_length_quartiles,
         "profile_documents": _profile_documents,
+        "orc_roundtrip": _orc_roundtrip,
         "profile_histogram": _profile_histogram,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_levenshtein": _dedup_levenshtein,
@@ -3693,6 +3712,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
                 FROM events
                 GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))""",
+            "orc_roundtrip": """
+                SELECT doc_id, text, lang, source, n_chars
+                FROM documents""",
             "profile_histogram": """
                 WITH s AS (SELECT l_extendedprice AS x FROM lineitem
                            WHERE l_extendedprice IS NOT NULL),

@@ -912,3 +912,26 @@ def test_winnow_fingerprints(spark):
     assert not (got[1] & got[3])
     assert 4 not in got
     assert len(got[5]) == 1
+
+
+def test_orc_roundtrip_nested(spark, tmpdir):
+    """ORC must round-trip the interleaved array<struct> spans exactly
+    (self-describing schema, no inference step)."""
+    import os
+
+    from geoparser_spark.sources.columnar_io import export_orc, import_orc
+    from geoparser_spark.testing.corpus import build_docs
+
+    docs = build_docs(spark, 30, seed=42, mega_every=10, mega_factor=3)
+    path = os.path.join(tmpdir, "orc_docs")
+    export_orc(docs, path)
+    back = import_orc(spark, path)
+    # file formats surface every top-level field nullable; the TYPES
+    # (incl. the nested struct) must match exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == \
+        [(f.name, f.dataType) for f in docs.schema.fields]
+    a = sorted((r.doc_id, [tuple(s) for s in r.spans])
+               for r in docs.collect())
+    b = sorted((r.doc_id, [tuple(s) for s in r.spans])
+               for r in back.collect())
+    assert a == b

@@ -238,6 +238,22 @@ def main() -> int:
             _fmt(qs["events_cube"](spark, sf_dir)),
         ),
         (
+            "text_all_signals",
+            "Single-scan signal extraction: language ID + quality + "
+            "token counts + repetition + fingerprints as ONE map-only "
+            "projection, zero exchanges — five standalone queries scan "
+            "the corpus five times.",
+            _fmt(qs["text_all_signals"](spark, sf_dir)),
+        ),
+        (
+            "ann_knn_join",
+            "Batch ANN join: bucket equi-join candidates (shuffle "
+            "proportional to rows, never |Q|x|N|), exact cosine rerank, "
+            "per-query top-k via rank window with the PARTIAL "
+            "WindowGroupLimit before the exchange.",
+            _fmt(qs["ann_knn_join"](spark, sf_dir)),
+        ),
+        (
             "dedup_substring",
             "Exact-substring duplication: window hashes explode "
             "map-side into ONE window-grain aggregate (the op's honest "
