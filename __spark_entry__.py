@@ -2480,13 +2480,16 @@ def _orc_roundtrip(spark, sf_dir):
     oracle is the original table: any fidelity loss (types, nulls,
     row count) is a red row.  Nested array<struct> fidelity is pinned
     by pytest on the interleaved corpus."""
-    import hashlib
+    import os
     import tempfile
 
     from geoparser_spark.sources.columnar_io import export_orc, import_orc
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/gp_orc_roundtrip_{tag}"
+    # per-PROCESS path: a fixed shared dir would race when two harness
+    # processes overwrite/read the same SF concurrently (and leak);
+    # per-pid dirs are stable within a run and reused across calls
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gp_orc_roundtrip_{os.getpid()}")
     export_orc(_t(spark, sf_dir, "documents"), path)
     return import_orc(spark, path)
 
@@ -3952,10 +3955,11 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY f.d0, ud.d - f.d0""",
         }
     )
-    _ORACLE_CACHE[_sf_key] = dict(out)
     # composed single-scan signal oracle: the five family oracles
     # joined on doc_id — the engine computes the same columns in ONE
-    # projection (text_quality.all_signals)
+    # projection (text_quality.all_signals).  Composed BEFORE the
+    # memoization below: a key added after caching would vanish from
+    # every subsequent oracle_sql() call.
     out["text_all_signals"] = f"""
         WITH lang AS ({out['text_lang_id']}),
              q AS ({out['text_quality_score']}),
@@ -3971,4 +3975,5 @@ def oracle_sql() -> dict[str, str]:
         FROM lang JOIN q USING (doc_id) JOIN tok USING (doc_id)
                   JOIN rep USING (doc_id) JOIN fp USING (doc_id)"""
 
+    _ORACLE_CACHE[_sf_key] = dict(out)
     return out

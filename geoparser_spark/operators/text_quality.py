@@ -62,11 +62,19 @@ def token_count(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col),
         F.size(_tokens(text_col)).alias("n_tokens"),
+        *_token_count_exprs(text_col),
+    )
+
+
+def _token_count_exprs(text_col: str) -> list[Column]:
+    """The non-normalized count columns — shared by token_count and
+    all_signals (n_tokens comes from _quality_exprs there)."""
+    return [
         F.size(
             F.split(F.col(text_col), r"\s+")
         ).alias("n_whitespace_tokens"),
         (F.length(text_col) / 4).cast("int").alias("n_bpe_est"),
-    )
+    ]
 
 
 def stopword_hits(text_col: str, lang: str) -> Column:
@@ -384,8 +392,7 @@ def all_signals(docs: DataFrame, text_col: str = "text",
         lang["lang_pred"].alias("lang_pred"),
         lang["stopword_hits"].alias("stopword_hits"),
         *_quality_exprs(text_col),
-        F.size(F.split(F.col(text_col), r"\s+")).alias("n_whitespace_tokens"),
-        (F.length(text_col) / 4).cast("int").alias("n_bpe_est"),
+        *_token_count_exprs(text_col),
         F.round(rep["dup_sent_frac"], 6).alias("dup_sent_frac"),
         F.round(rep["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
         F.round(rep["dup_3gram_frac"], 6).alias("dup_3gram_frac"),

@@ -186,9 +186,17 @@ def main(argv: list[str] | None = None) -> int:
             kept = kept.join(ok, "doc_id", "left_semi")
         scrubbed = pii_scrub(kept).drop("text").withColumnRenamed(
             "redacted", "text")
-        if args.mix_temperature is not None and "source" in scrubbed.columns:
+        if args.mix_temperature is not None:
             from geoparser_spark.operators.sampling import temperature_mix
 
+            if "source" not in scrubbed.columns:
+                p.error("--mix-temperature needs a 'source' column "
+                        "(an explicitly requested stage must never "
+                        "silently no-op)")
+            # persisted: temperature_mix's histogram collect() would
+            # otherwise re-execute the whole curate DAG (dedup joins,
+            # quality filters, scrub regexes) a second time
+            scrubbed = scrubbed.persist()
             scrubbed = temperature_mix(
                 scrubbed, args.mix_temperature, args.mix_target_frac)
         weights = tuple(int(w) for w in args.split_weights.split(","))
