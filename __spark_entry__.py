@@ -1886,6 +1886,64 @@ def _dedup_substring(spark, sf_dir):
     return duplicated_window_fraction(base.unionAll(planted), n=_SUBSTR_N)
 
 
+def _eval_lsh_recall(spark, sf_dir):
+    """Self-evaluation of the MinHash-LSH banding: ground truth is
+    every planted (original, copy) pair whose EXACT shingle Jaccard
+    clears the threshold — computed by direct pair construction, no
+    banding — and the metric row reports how many of those the banded
+    join recovered plus how many additional (legitimate, verified)
+    non-planted pairs it surfaced.  Banding is probabilistic by
+    design; this query turns its recall into a driver-checked number
+    instead of an assumption."""
+    from geoparser_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_sets,
+    )
+    from geoparser_spark.testing.pyoracle_queries import (
+        PLANT_ID_OFFSET,
+        PLANT_SUFFIX,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") % 5 == 0)
+    copies = base.select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    # exact truth: per planted pair, zip original and copy shingles
+    ga = shingle_sets(base).select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("gs_a"))
+    gb = shingle_sets(copies).select(
+        (F.col("id") - PLANT_ID_OFFSET).alias("id_a"),
+        F.col("shingles").alias("gs_b"))
+    truth = (
+        ga.join(gb, "id_a")
+        .where(
+            F.size(F.array_intersect("gs_a", "gs_b"))
+            / F.size(F.array_union("gs_a", "gs_b")) >= 0.5)
+        .select("id_a")
+    )
+    found = minhash_lsh_pairs(corpus, num_hashes=32, bands=16,
+                              threshold=0.5)
+    planted_found = found.where(
+        F.col("id_b") - F.col("id_a") == PLANT_ID_OFFSET).select(
+        F.col("id_a"), F.lit(1).alias("is_found"))
+    metrics = (
+        truth.withColumn("is_truth", F.lit(1))
+        .join(planted_found, "id_a", "full_outer")
+        .agg(
+            F.count("is_truth").cast("long").alias("n_truth"),
+            F.count(F.when(F.col("is_truth").isNotNull()
+                           & F.col("is_found").isNotNull(), 1))
+            .cast("long").alias("n_truth_found"),
+        )
+    )
+    totals = found.agg(
+        F.count(F.lit(1)).cast("long").alias("n_found_total"))
+    return metrics.crossJoin(totals)  # two 1-row aggregates
+
+
 def _dedup_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS selection, k=4-gram hashes,
     w=5 windows) over every 4th doc — the overlap-detection variant
@@ -2976,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _dedup_substring,
         "dedup_lsh_incremental": _dedup_lsh_incremental,
         "dedup_winnow": _dedup_winnow,
+        "eval_lsh_recall": _eval_lsh_recall,
         "sample_weighted": _sample_weighted,
         "sample_temperature": _sample_temperature,
         "snapshot_append_dedup": _snapshot_append_dedup,
@@ -3626,6 +3685,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_lsh_incremental": PQ.minhash_incremental_sql(
                 offset=_INCR_OFFSET, num_hashes=32, bands=16),
             "dedup_winnow": PQ.winnow_sql(k=4, w=5, modulus=4),
+            "eval_lsh_recall": PQ.lsh_recall_sql(
+                modulus=5, num_hashes=32, bands=16, threshold=0.5),
             "text_vocab_topk": f"""
                 SELECT t AS token, count(*) AS freq
                 FROM (SELECT unnest(string_split({_NORM_SQL.format(c='text')},

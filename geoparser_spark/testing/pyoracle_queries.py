@@ -1013,3 +1013,28 @@ def winnow_sql(k: int = 4, w: int = 5, modulus: int = 4) -> str:
                 seen.add(v)
                 out.append((int(i), v))
     return values_sql(out, ["doc_id", "fp"])
+
+
+# ----------------------------------------------------------- LSH recall
+
+def lsh_recall_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
+                   bands: int = 16, threshold: float = 0.5) -> str:
+    """Replica of eval_lsh_recall: exact-Jaccard planted truth vs the
+    banded pair list (the same _minhash_pairs replica the LSH oracle
+    uses), reduced to the three counts."""
+    docs = _docs_with_planted(modulus)
+    base = {i: t for i, t in docs if i < PLANT_ID_OFFSET}
+    copies = {i - PLANT_ID_OFFSET: t for i, t in docs
+              if i >= PLANT_ID_OFFSET}
+    truth = set()
+    for i, t in base.items():
+        sa = set(shingles(tokens(t), n))
+        sb = set(shingles(tokens(copies[i]), n))
+        if sa and sb and len(sa & sb) / len(sa | sb) >= threshold:
+            truth.add(i)
+    found = _minhash_pairs(docs, n, num_hashes, bands, threshold)
+    planted_found = {a for a, b, _ in found
+                     if b - a == PLANT_ID_OFFSET}
+    return values_sql(
+        [(len(truth), len(truth & planted_found), len(found))],
+        ["n_truth", "n_truth_found", "n_found_total"])
