@@ -2622,6 +2622,26 @@ def _text_bpe_encode(spark, sf_dir):
     return bpe_encode(d, merges)
 
 
+def _web_extract_links(spark, sf_dir):
+    """Outbound-link extraction over synthesized pages: each doc's
+    HTML carries one absolute link, one fragment/mailto (skipped) and
+    one relative link; the kernel must return exactly the two real
+    hrefs in document order (operators/urls.links_from_html — same
+    parse chain as the main-content extractor)."""
+    from geoparser_spark.operators.urls import links_from_html
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="http://host'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.com/p/'), sid, F.lit('">x</a>'),
+        F.lit('<a href="#skip">s</a><a href="mailto:z@x">m</a>'),
+        F.lit('<a href="/rel/'), sid, F.lit('">r</a></body></html>'),
+    )
+    return links_from_html(d.select("doc_id", html.alias("html")))
+
+
 def _web_url_dedup(spark, sf_dir):
     """URL canonicalization + dedup (operators/urls.py): three
     deterministic spellings per doc — mixed case + default port +
@@ -3030,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": _text_bpe_encode,
         "web_url_dedup": _web_url_dedup,
         "web_host_pagerank": _web_host_pagerank,
+        "web_extract_links": _web_extract_links,
         "events_cube": _events_cube,
         "dedup_substring": _dedup_substring,
         "dedup_lsh_incremental": _dedup_lsh_incremental,
@@ -3767,6 +3788,15 @@ def oracle_sql() -> dict[str, str]:
                                      THEN n_chars END) AS INT) AS q75
                 FROM r JOIN c USING (lang)
                 GROUP BY r.lang, c.cnt""",
+            "web_extract_links": """
+                SELECT doc_id, CAST(0 AS INT) AS pos,
+                       'http://host' || (doc_id % 7)
+                         || '.example.com/p/' || doc_id AS url
+                FROM documents
+                UNION ALL
+                SELECT doc_id, CAST(1 AS INT) AS pos,
+                       '/rel/' || doc_id AS url
+                FROM documents""",
             "events_cube": """
                 SELECT event_type, strftime(ts, '%Y-%m') AS month,
                        CAST(GROUPING(event_type) * 2

@@ -189,7 +189,7 @@ _RAWTEXT_END = {
     "style": re.compile(r"</style", re.I),
 }
 # attrs only matter for dropping (class/id/role) and media refs (src)
-_ATTR_HINT = re.compile(r"class|id|role|src", re.I)
+_ATTR_HINT = re.compile(r"class|id|role|src|href", re.I)
 
 _INLINE_KEEP = frozenset(("a", "span", "b", "i", "em", "strong", "small", "u", "code"))
 
@@ -294,3 +294,49 @@ def extract_html_blocks(html: str) -> list[tuple[str, str | None, str | None]]:
     emitter = _Emitter()
     emitter.walk(root)
     return emitter.finish()
+
+
+def _build_tree(html: str) -> _Node | None:
+    """The shared parse chain: fast tokenizer, HTMLParser fallback,
+    None when both reject (callers degrade)."""
+    try:
+        return _fast_tree(html)
+    except Exception:
+        builder = _TreeBuilder()
+        try:
+            builder.feed(html)
+            builder.close()
+        except Exception:
+            return None
+        return builder.root
+
+
+def extract_links(html: str) -> list[str]:
+    """Outbound link extraction: every <a href> in document order —
+    the crawl-graph edge source (WARC pages → links → canonical URLs
+    (operators/urls.py) → host edges → pagerank closes the curation
+    loop the reference's Sparkler-fed corpus implies).  Skips
+    fragment-only, javascript:, mailto: and empty hrefs; keeps
+    relative URLs (resolution against the page URL is the caller's
+    join).  Damaged markup degrades to [] — never an exception."""
+    if not html:
+        return []
+    root = _build_tree(html)
+    if root is None:
+        return []
+    out: list[str] = []
+
+    def walk(node: _Node) -> None:
+        for child in node.children:
+            if isinstance(child, str):
+                continue
+            if child.tag == "a":
+                href = (child.attrs.get("href") or "").strip()
+                low = href.lower()
+                if href and not href.startswith("#") \
+                        and not low.startswith(("javascript:", "mailto:")):
+                    out.append(href)
+            walk(child)
+
+    walk(root)
+    return out

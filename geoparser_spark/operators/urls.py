@@ -89,3 +89,38 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.count("*").alias("n_variants"),
         F.min(url_col).alias("first_url"),
     )
+
+
+def links_from_html(docs: "DataFrame", html_col: str = "html",
+                    id_col: str = "doc_id") -> "DataFrame":
+    """Outbound-link table: (id, pos, url) for every <a href> in
+    document order (operators/html_main.extract_links — same parse
+    chain as the main-content extractor).  Arrow-batched map-only
+    kernel; feeds canonicalize_url + the host-graph edge derivation
+    that pagerank consumes — WARC pages → links → canonical hosts →
+    ranking, the full crawl-curation loop."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geoparser_spark.operators.html_main import extract_links
+
+    schema = T.StructType([
+        T.StructField("doc_id", docs.schema[id_col].dataType, False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, urls = [], [], []
+            for i, h in zip(pdf[id_col], pdf[html_col]):
+                for p, u in enumerate(
+                        extract_links(h if isinstance(h, str) else "")):
+                    ids.append(i)
+                    poss.append(p)
+                    urls.append(u)
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "url": urls})
+
+    return docs.select(id_col, html_col).mapInPandas(kernel, schema=schema)
