@@ -1926,22 +1926,21 @@ def _eval_lsh_recall(spark, sf_dir):
     )
     found = minhash_lsh_pairs(corpus, num_hashes=32, bands=16,
                               threshold=0.5)
-    planted_found = found.where(
-        F.col("id_b") - F.col("id_a") == PLANT_ID_OFFSET).select(
-        F.col("id_a"), F.lit(1).alias("is_found"))
-    metrics = (
-        truth.withColumn("is_truth", F.lit(1))
-        .join(planted_found, "id_a", "full_outer")
-        .agg(
-            F.count("is_truth").cast("long").alias("n_truth"),
-            F.count(F.when(F.col("is_truth").isNotNull()
-                           & F.col("is_found").isNotNull(), 1))
-            .cast("long").alias("n_truth_found"),
-        )
+    # ONE pass over the banded join: a planted pair in `found` passed
+    # the exact-Jaccard verify, so it is in `truth` by construction —
+    # n_truth_found = planted pairs found, no re-probe, and the
+    # expensive LSH subplan is not embedded twice (the double-DAG
+    # pattern a prior review round fixed in curate mixing)
+    found_agg = found.agg(
+        F.count(F.lit(1)).cast("long").alias("n_found_total"),
+        F.count(F.when(
+            F.col("id_b") - F.col("id_a") == PLANT_ID_OFFSET, 1))
+        .cast("long").alias("n_truth_found"),
     )
-    totals = found.agg(
-        F.count(F.lit(1)).cast("long").alias("n_found_total"))
-    return metrics.crossJoin(totals)  # two 1-row aggregates
+    truth_agg = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return truth_agg.crossJoin(found_agg).select(
+        "n_truth", "n_truth_found", "n_found_total")
 
 
 def _dedup_winnow(spark, sf_dir):

@@ -70,6 +70,14 @@ def _is_dropped(tag: str, attrs: dict[str, str]) -> bool:
     return any(tok in BAD_CLASS_TOKENS for tok in _TOKEN_SPLIT.split(blob) if tok)
 
 
+# maximum element nesting either tree builder will materialize: real
+# pages stay under ~60; a crawl page with 1000+ unclosed tags would
+# otherwise build a tree deeper than Python's recursion limit and
+# crash the (recursive) emitter walk — beyond the cap, children attach
+# to the capped ancestor (flattened, document order preserved)
+MAX_TREE_DEPTH = 400
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -90,7 +98,7 @@ class _TreeBuilder(HTMLParser):
                     break
         node = _Node(tag, ad)
         self.stack[-1].children.append(node)
-        if tag not in VOID_TAGS:
+        if tag not in VOID_TAGS and len(self.stack) < MAX_TREE_DEPTH:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
@@ -188,7 +196,10 @@ _RAWTEXT_END = {
     "script": re.compile(r"</script", re.I),
     "style": re.compile(r"</style", re.I),
 }
-# attrs only matter for dropping (class/id/role) and media refs (src)
+# attrs matter for dropping (class/id/role), media refs (src) AND
+# link extraction (href — extract_links reads it off the same tree;
+# removing href here would silently drop every plain <a href> on the
+# fast path while the HTMLParser fallback kept them)
 _ATTR_HINT = re.compile(r"class|id|role|src|href", re.I)
 
 _INLINE_KEEP = frozenset(("a", "span", "b", "i", "em", "strong", "small", "u", "code"))
@@ -266,7 +277,8 @@ def _fast_tree(html: str) -> _Node:
                 end = _RAWTEXT_END[tag].search(html, pos)
                 pos = end.start() if end else n
             continue  # content skipped; node stays (dropped anyway)
-        if tag not in VOID_TAGS and not self_closing:
+        if tag not in VOID_TAGS and not self_closing \
+                and len(stack) < MAX_TREE_DEPTH:
             stack.append(node)
     return root
 
@@ -279,18 +291,11 @@ def extract_html_blocks(html: str) -> list[tuple[str, str | None, str | None]]:
     """
     if not html:
         return []
-    try:
-        root = _fast_tree(html)
-    except Exception:
-        builder = _TreeBuilder()
-        try:
-            builder.feed(html)
-            builder.close()
-        except Exception:
-            # tolerate hopeless markup: fall back to tag-stripped text
-            stripped = _norm(re.sub(r"<[^>]*>", " ", html))
-            return [("text", stripped, None)] if stripped else []
-        root = builder.root
+    root = _build_tree(html)
+    if root is None:
+        # tolerate hopeless markup: fall back to tag-stripped text
+        stripped = _norm(re.sub(r"<[^>]*>", " ", html))
+        return [("text", stripped, None)] if stripped else []
     emitter = _Emitter()
     emitter.walk(root)
     return emitter.finish()
@@ -325,18 +330,19 @@ def extract_links(html: str) -> list[str]:
     if root is None:
         return []
     out: list[str] = []
-
-    def walk(node: _Node) -> None:
-        for child in node.children:
-            if isinstance(child, str):
-                continue
-            if child.tag == "a":
-                href = (child.attrs.get("href") or "").strip()
-                low = href.lower()
-                if href and not href.startswith("#") \
-                        and not low.startswith(("javascript:", "mailto:")):
-                    out.append(href)
-            walk(child)
-
-    walk(root)
+    # iterative pre-order walk: a crawl page with ~1000+ unclosed tags
+    # builds a tree deeper than Python's recursion limit, and a
+    # RecursionError here would kill the whole Spark task instead of
+    # degrading (children pushed reversed to keep document order)
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.tag == "a":
+            href = (node.attrs.get("href") or "").strip()
+            low = href.lower()
+            if href and not href.startswith("#") \
+                    and not low.startswith(("javascript:", "mailto:")):
+                out.append(href)
+        stack.extend(c for c in reversed(node.children)
+                     if not isinstance(c, str))
     return out

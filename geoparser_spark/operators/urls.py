@@ -107,7 +107,7 @@ def links_from_html(docs: "DataFrame", html_col: str = "html",
     from geoparser_spark.operators.html_main import extract_links
 
     schema = T.StructType([
-        T.StructField("doc_id", docs.schema[id_col].dataType, False),
+        T.StructField(id_col, docs.schema[id_col].dataType, False),
         T.StructField("pos", T.IntegerType(), False),
         T.StructField("url", T.StringType(), False),
     ])
@@ -121,6 +121,6 @@ def links_from_html(docs: "DataFrame", html_col: str = "html",
                     ids.append(i)
                     poss.append(p)
                     urls.append(u)
-            yield pd.DataFrame({"doc_id": ids, "pos": poss, "url": urls})
+            yield pd.DataFrame({id_col: ids, "pos": poss, "url": urls})
 
     return docs.select(id_col, html_col).mapInPandas(kernel, schema=schema)

@@ -37,16 +37,33 @@ PLANT_SUFFIX = " planted near duplicate suffix"
 PLANT_ID_OFFSET = 1_000_000
 
 
+_PLANTED_CACHE: dict = {}
+_PAIR_CACHE: dict = {}
+
+
 def _docs_with_planted(modulus: int) -> list[tuple[int, str]]:
-    rows = read_table("documents", "doc_id, text", f"doc_id % {modulus} = 0")
-    base = [(int(i), t) for i, t in rows]
-    return base + [(i + PLANT_ID_OFFSET, t + PLANT_SUFFIX) for i, t in base]
+    from geoparser_spark.testing.pyoracle import oracle_sf_dir
+
+    key = (oracle_sf_dir(), modulus)
+    if key not in _PLANTED_CACHE:
+        rows = read_table("documents", "doc_id, text",
+                          f"doc_id % {modulus} = 0")
+        base = [(int(i), t) for i, t in rows]
+        _PLANTED_CACHE[key] = base + [
+            (i + PLANT_ID_OFFSET, t + PLANT_SUFFIX) for i, t in base]
+    return _PLANTED_CACHE[key]
 
 
 def _minhash_pairs(docs: list[tuple[int, str]], n: int, num_hashes: int,
                    bands: int, threshold: float) -> list[tuple[int, int, float]]:
     """Shared replica of dedup.minhash_lsh_pairs — shingling, per-seed
-    min xxhash64, banded bucket join, exact Jaccard verify."""
+    min xxhash64, banded bucket join, exact Jaccard verify.  Memoized:
+    three oracles (minhash_lsh, cluster, recall) drive the identical
+    parameters, and the x32 per-shingle signature pass dominates
+    oracle-build time."""
+    ck = (id(docs), len(docs), n, num_hashes, bands, threshold)
+    if ck in _PAIR_CACHE:
+        return _PAIR_CACHE[ck]
     rows_per_band = num_hashes // bands
     sigs: dict[int, tuple[set, list[int]]] = {}
     for i, t in docs:
@@ -73,6 +90,7 @@ def _minhash_pairs(docs: list[tuple[int, str]], n: int, num_hashes: int,
         j = len(sa & sc) / len(sa | sc)
         if j >= threshold:
             out.append((a, c, spark_round(j, 6)))
+    _PAIR_CACHE[ck] = out
     return out
 
 
