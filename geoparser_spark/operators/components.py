@@ -121,11 +121,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = checkpoint(edges)
     prev = None
     for _ in range(max_iter):
-        edges = checkpoint(_small_star(_large_star(edges)))
-        fp = _edge_fingerprint(edges)
+        new_edges = checkpoint(_small_star(_large_star(edges)))
+        fp = _edge_fingerprint(new_edges)
         if fp == prev:
-            break
+            # The fingerprint is a cheap probabilistic screen; before
+            # declaring the fixpoint, CONFIRM with one exact set check.
+            # Counts are equal (part of fp) and both sides are deduped,
+            # so one-sided exceptAll emptiness == multiset equality.
+            # This runs once per convergence (not per round), making the
+            # termination test airtight at the cost of a single extra
+            # edge-grain comparison over the whole run.
+            if new_edges.exceptAll(edges).isEmpty():
+                edges = new_edges
+                break
         prev = fp
+        edges = new_edges
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     # at fixpoint the edge list IS the star assignment (node -> root);

@@ -546,6 +546,11 @@ def duplicated_window_fraction(docs: DataFrame, n: int = 50,
     aggregate, the re-probe side) and Spark does not dedupe common
     subplans — without it the tokenize+hash scan executes three times
     (the same class text_stats.tfidf_topk's persist_tf documents).
+    Like persist_tf, the CALLER owns the release: after materializing
+    the returned plan, call ``spark.catalog.clearCache()`` or keep a
+    handle via ``persist_hashed=False`` + your own persist if the
+    session is long-lived — the cache is corpus-×-windows sized and
+    this function cannot know when the last consumer has run.
     """
     from geoparser_spark.operators.curation import _gram_hashes
 

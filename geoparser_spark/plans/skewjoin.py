@@ -37,7 +37,21 @@ def salted_join(large: DataFrame, medium: DataFrame, key: str,
     `medium` on `key`, scattering each hot key across `salt` reducers.
 
     Returns the joined frame without the salt column; column set
-    matches a plain `large.join(medium, key, how)`."""
+    matches a plain `large.join(medium, key, how)`.
+
+    `how` is restricted to joins whose semantics survive the salt-way
+    replication of the medium side: inner/left/left_semi/left_anti.
+    Under 'right'/'full' every unmatched medium row would surface once
+    PER SALT VALUE (the replicas have no large-side partner to collapse
+    them), silently inflating the result — rejected up front."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} unsupported: replicated medium rows "
+            "would be emitted once per salt for unmatched right/full rows; "
+            "use inner/left/left_semi/left_anti")
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     for df, col in ((large, _SALT), (medium, _SALT)):

@@ -68,8 +68,42 @@ def latest_version(root: str) -> int:
     return best
 
 
+def _key_stat_json(v, *, widen: int = 0):
+    """Coerce a footer min/max (or a prune-time bound) to a JSON-native
+    value under an ORDER-PRESERVING mapping, so manifest commit never
+    crashes on datetime/date/bytes/Decimal keys and prune comparisons
+    stay apples-to-apples (both sides pass through this function).
+
+    - datetime/date -> isoformat (fixed-width fields: lexicographic ==
+      chronological; datetimes are microsecond-padded by isoformat);
+    - bytes -> latin-1 string (per-byte code points: lexicographic
+      string order == bytewise order);
+    - Decimal -> float, WIDENED one ulp outward for file stats
+      (widen=-1 for min, +1 for max) so rounding can only make pruning
+      more conservative, never wrong.
+    """
+    import datetime as _dt
+    import math
+    from decimal import Decimal
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(timespec="microseconds")
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("latin-1")
+    if isinstance(v, Decimal):
+        f = float(v)
+        if widen:
+            f = math.nextafter(f, math.inf if widen > 0 else -math.inf)
+        return f
+    return v
+
+
 def _file_key_stats(path: str, key: str):
-    """(min, max) of `key` across row groups, from the footer only."""
+    """(min, max) of `key` across row groups, from the footer only.
+    Values are JSON-native (see _key_stat_json) so _commit can always
+    serialize the manifest."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -83,7 +117,7 @@ def _file_key_stats(path: str, key: str):
             return None  # no stats -> never prune this file
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    return (lo, hi)
+    return (_key_stat_json(lo, widen=-1), _key_stat_json(hi, widen=1))
 
 
 def _write_files(df: DataFrame, root: str, key: str | None) -> list[dict]:
@@ -99,11 +133,12 @@ def _write_files(df: DataFrame, root: str, key: str | None) -> list[dict]:
         if not name.endswith(".parquet"):
             continue
         path = os.path.join(out, name)
-        if pq.ParquetFile(path).metadata.num_rows == 0:
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        if n_rows == 0:
             os.remove(path)  # drop empty shards from the snapshot
             continue
         rel = os.path.relpath(path, root)
-        ent: dict = {"path": rel}
+        ent: dict = {"path": rel, "rows": n_rows}
         if key is not None:
             st = _file_key_stats(path, key)
             if st is not None:
@@ -181,7 +216,10 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str) -> dict:
     if key is None:
         raise ValueError("merge_upsert requires a table created with a key")
     b = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
-    lo, hi = b["lo"], b["hi"]
+    # run the bounds through the same order-preserving JSON coercion the
+    # manifest stats went through, so datetime/bytes/Decimal keys compare
+    # like-for-like against the stored key_min/key_max
+    lo, hi = _key_stat_json(b["lo"]), _key_stat_json(b["hi"])
     carried, rewrite = [], []
     for ent in man["files"]:
         if ("key_min" in ent and lo is not None
@@ -232,8 +270,10 @@ def append_dedup(spark: SparkSession, df: DataFrame, root: str,
     shuffle carries md5 strings, never bodies); the incoming batch is
     also self-deduped on the hash so one delivery can't insert twins.
 
-    Returns {"version", "appended"} (version unchanged when the whole
-    batch was already present)."""
+    Returns {"version", "appended"} where "appended" is the ROW count
+    actually added (summed from the freshly written files' parquet
+    footers — no extra job), version unchanged when the whole batch
+    was already present."""
     v = latest_version(root)
     if v == 0:
         raise ValueError(f"no table at {root}")
@@ -251,7 +291,7 @@ def append_dedup(spark: SparkSession, df: DataFrame, root: str,
     if not new:
         return {"version": v, "appended": 0}
     _commit(root, v + 1, man["files"] + new, "append", man.get("key"))
-    return {"version": v + 1, "appended": len(new)}
+    return {"version": v + 1, "appended": sum(e["rows"] for e in new)}
 
 
 def expire_versions(root: str, keep_from: int) -> dict:

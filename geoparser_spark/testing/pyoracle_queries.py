@@ -60,8 +60,15 @@ def _minhash_pairs(docs: list[tuple[int, str]], n: int, num_hashes: int,
     min xxhash64, banded bucket join, exact Jaccard verify.  Memoized:
     three oracles (minhash_lsh, cluster, recall) drive the identical
     parameters, and the x32 per-shingle signature pass dominates
-    oracle-build time."""
-    ck = (id(docs), len(docs), n, num_hashes, bands, threshold)
+    oracle-build time.
+
+    Memo key is the same (sf_dir, modulus-independent doc count, params)
+    tuple family _PLANTED_CACHE uses — NOT id(docs): CPython recycles
+    object ids, so an id-keyed memo could serve stale pairs if a caller
+    ever passed a transient list."""
+    from geoparser_spark.testing.pyoracle import oracle_sf_dir
+
+    ck = (oracle_sf_dir(), len(docs), n, num_hashes, bands, threshold)
     if ck in _PAIR_CACHE:
         return _PAIR_CACHE[ck]
     rows_per_band = num_hashes // bands

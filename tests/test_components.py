@@ -103,3 +103,20 @@ def test_string_ids(spark):
 def test_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a: long, id_b: long")
     assert connected_components(pairs).count() == 0
+
+
+def test_collision_proof_fixpoint(spark, monkeypatch):
+    """A fingerprint that ALWAYS collides (constant tuple) must not
+    trick the loop into stopping early: the exact exceptAll probe
+    confirms the fixpoint, so the result is still the true component
+    map (would-collide fixture per the alternating-star hardening)."""
+    import geoparser_spark.operators.components as C
+
+    monkeypatch.setattr(C, "_edge_fingerprint", lambda edges: (0, 0))
+    edges = [(i, i + 1) for i in range(60)] + [(100, 101), (101, 102)]
+    nodes = sorted({x for e in edges for x in e})
+    expected = _union_find(edges, nodes)
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.id: r.component
+           for r in C.connected_components(pairs).collect()}
+    assert got == expected

@@ -93,7 +93,7 @@ def test_append_dedup_idempotent(spark):
         SN.create_table(docs.where(F.col("doc_id") % 2 == 0), root,
                         key="doc_id")
         r1 = SN.append_dedup(spark, docs, root, hash_cols=["doc_id", "text"])
-        assert r1["appended"] > 0
+        assert r1["appended"] == 10                # ROW count, not file count
         assert SN.read_snapshot(spark, root).count() == 20
         r2 = SN.append_dedup(spark, docs, root, hash_cols=["doc_id", "text"])
         assert r2["appended"] == 0                 # zero-row redelivery
