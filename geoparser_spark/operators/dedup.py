@@ -703,3 +703,116 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
         F.array(_gram_hashes(tokens_col(text_col), k)), windows)[0]
     return docs.select(
         F.col(id_col), F.explode(bound).alias("fp"))
+
+
+def lsh_recall_matrix(corpus: DataFrame, planted_offset: int,
+                      configs: list[tuple[int, int]],
+                      thresholds: list[float], n: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Recall of the banded MinHash join vs EXACT shingle Jaccard,
+    swept over (num_hashes, bands) x threshold — banding is
+    probabilistic by design, and this turns the miss rate into a
+    measured matrix instead of an assumption (the multi-config big
+    sibling of the single-point eval_lsh_recall query).
+
+    ``corpus`` must hold base docs (id < planted_offset) plus, for
+    each grade g >= 1, a degraded copy of base doc i at id
+    i + g * planted_offset (the caller grades overlap by keeping a
+    token prefix).  Ground truth for a (base, grade) pair is its
+    exact shingle Jaccard; the pair counts as FOUND under a config
+    when ANY band of the two signatures collides (the same collision
+    rule minhash_lsh_pairs' candidate join uses, checked here with a
+    per-pair 3-key equi-join on (base_id, band_idx, band_hash) so no
+    cross-doc candidate blowup enters the recall measurement).
+
+    Signatures are computed ONCE at max(num_hashes) and sliced per
+    config — seed k of a 64-hash signature IS seed k of the 32-hash
+    one, so the corpus is scanned a single time for every config.
+
+    Returns (num_hashes, bands, threshold, n_truth, n_truth_found,
+    recall) with recall = 1.0 when n_truth = 0 (vacuous).
+    """
+    spark = corpus.sparkSession
+    max_h = max(nh for nh, _ in configs)
+    sigs = minhash_signatures(corpus, n, max_h, text_col, id_col).persist()
+    base = sigs.where(F.col("id") < planted_offset)
+    plants = sigs.where(F.col("id") >= planted_offset).select(
+        F.pmod("id", F.lit(planted_offset)).alias("base_id"),
+        (F.col("id") / planted_offset).cast("int").alias("grade"),
+        "shingles", "sig",
+    )
+    truth = (
+        base.select(F.col("id").alias("base_id"),
+                    F.col("shingles").alias("gs_a"))
+        .join(plants.select("base_id", "grade",
+                            F.col("shingles").alias("gs_b")), "base_id")
+        .select(
+            "base_id", "grade",
+            (F.size(F.array_intersect("gs_a", "gs_b"))
+             / F.size(F.array_union("gs_a", "gs_b"))).alias("jexact"),
+        )
+        .persist()
+    )
+
+    def banded(side: DataFrame, id_expr, extra: list[str],
+               nh: int, bands: int) -> DataFrame:
+        rows = nh // bands
+        structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(*[F.col("sig")[b * rows + r]
+                             for r in range(rows)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])
+        return side.select(id_expr.alias("base_id"), *extra,
+                           F.explode(structs).alias("bd")).select(
+            "base_id", *extra, "bd.band_idx", "bd.band_hash")
+
+    found_frames = []
+    for nh, bands in configs:
+        bl = banded(base, F.col("id"), [], nh, bands)
+        br = banded(plants, F.col("base_id"), ["grade"], nh, bands)
+        hit = (
+            bl.join(br, ["base_id", "band_idx", "band_hash"])
+            .select("base_id", "grade")
+            .dropDuplicates(["base_id", "grade"])
+            .select(F.lit(nh).alias("num_hashes"),
+                    F.lit(bands).alias("bands"), "base_id", "grade")
+        )
+        found_frames.append(hit)
+    found = found_frames[0]
+    for f in found_frames[1:]:
+        found = found.unionByName(f)
+    fj = found.join(truth, ["base_id", "grade"])
+
+    t_aggs = [
+        F.count(F.when(F.col("jexact") >= F.lit(t), 1))
+        .cast("long").alias(f"t{k}")
+        for k, t in enumerate(thresholds)
+    ]
+    truth_agg = truth.agg(*t_aggs)
+    f_aggs = [
+        F.count(F.when(F.col("jexact") >= F.lit(t), 1))
+        .cast("long").alias(f"f{k}")
+        for k, t in enumerate(thresholds)
+    ]
+    found_agg = fj.groupBy("num_hashes", "bands").agg(*f_aggs)
+    grid = spark.createDataFrame(
+        [(nh, b) for nh, b in configs], "num_hashes: int, bands: int")
+    m = grid.join(found_agg, ["num_hashes", "bands"], "left") \
+            .crossJoin(F.broadcast(truth_agg))
+    stack_args = ", ".join(
+        f"CAST({t}D AS DOUBLE), t{k}, coalesce(f{k}, 0L)"
+        for k, t in enumerate(thresholds))
+    return m.selectExpr(
+        "num_hashes", "bands",
+        f"stack({len(thresholds)}, {stack_args})"
+        " AS (threshold, n_truth, n_truth_found)",
+    ).select(
+        "num_hashes", "bands", "threshold", "n_truth", "n_truth_found",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.col("n_truth_found") / F.col("n_truth"))
+        .alias("recall"),
+    )

@@ -176,38 +176,45 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
     )
 
     # Longest-match-wins: a span is dropped iff a strictly longer match
-    # in the same doc contains it.  Implementation notes, both learned
-    # the hard way at bench scale:
-    #   * NOT a self-join on `matched` — that recomputes the
-    #     gram-explode + broadcast-join subtree once per branch.
-    #   * NOT a per-row window (`array_distinct(collect_list).over(w)`)
-    #     — WindowExec materializes the doc's span array PER ROW, which
-    #     is O(m²) work/row → O(m³) per mega-document; with AQE
-    #     coalescing the tiny shuffle to ~2 tasks this serialized the
-    #     whole stage (measured: 229 s CPU on 2 cores for 20k docs).
-    # Instead: ONE groupBy per doc, shadow filter computed once per doc
-    # on the collected array, explode back.  O(m²) per doc total.
-    # `spans` MUST be an aggregate output (collect_set), not a derived
-    # projection: Catalyst's projection collapse would inline a derived
-    # array_distinct(...) into the exists() lambda below and re-evaluate
-    # it per array ELEMENT — O(m³) per doc (measured: 430 s CPU at 20k
-    # docs).  Aggregate attributes are materialized once per group.
-    other_cols = [c for c in matched.columns if c != "doc_id"]
-    per_doc = matched.groupBy("doc_id").agg(
-        F.collect_list(F.struct(*[F.col(c) for c in other_cols])).alias("ms"),
-        F.collect_set(F.struct(F.col("pos"), F.col("n"))).alias("spans"),
+    # in the same doc contains it.  KEY BOUND: every surface has
+    # n <= max_n tokens, so a container's start can only lie within
+    # max_n-1 positions BEFORE the contained span's start.  That turns
+    # containment into two bounded RANGE-frame window maxima sharing
+    # ONE (doc_id) exchange + ONE pos sort:
+    #   * same-pos frame [0, 0]: max span end among matches at this
+    #     exact position — a strictly longer same-start match has a
+    #     strictly larger end;
+    #   * before frame [-(max_n-1), -1]: max span end among matches
+    #     starting 1..max_n-1 positions earlier — end >= this span's
+    #     end forces a strictly longer container (s.pos < m.pos with
+    #     s.end >= m.end implies s.n > m.n).
+    # Each frame covers at most max_n positions' worth of rows, so a
+    # gazetteer-dense mega-doc costs O(m · max_n · dup_candidates)
+    # in its (single, but linear) window task — replacing the previous
+    # per-doc collected-array shadow filter whose exists() sweep was
+    # O(m²) per doc (one 10^5-mention doc = 10^10 comparisons in one
+    # task).  No per-doc array is materialized at all, which also
+    # sidesteps the projection-collapse O(m³) traps the array form had
+    # to document around (rejected shapes: self-join — recomputes the
+    # candidate subtree per branch; per-row collect windows — O(m²)
+    # per ROW).  Both frames share (partitionBy doc_id, orderBy pos),
+    # so Catalyst plans them in a single WindowExec.
+    end = F.col("pos") + F.col("n")
+    w_same = Window.partitionBy("doc_id").orderBy("pos").rangeBetween(0, 0)
+    w_before = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rangeBetween(-(max_n - 1), -1)
     )
-    kept_ms = F.filter(
-        "ms",
-        lambda m: ~F.exists(
-            F.col("spans"),
-            lambda s: (s["n"] > m["n"])
-            & (s["pos"] <= m["pos"])
-            & (s["pos"] + s["n"] >= m["pos"] + m["n"]),
-        ),
+    return (
+        matched
+        .withColumn("_same_end", F.max(end).over(w_same))
+        .withColumn("_before_end", F.max(end).over(w_before))
+        .where(
+            (F.col("_same_end") <= end)
+            & (F.coalesce(F.col("_before_end"), F.lit(-1)) < end)
+        )
+        .drop("_same_end", "_before_end")
     )
-    out = per_doc.select("doc_id", F.explode(kept_ms).alias("m"))
-    return out.select("doc_id", *[F.col(f"m.{c}").alias(c) for c in other_cols])
 
 
 def _class_weight() -> Column:

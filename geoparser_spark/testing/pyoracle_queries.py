@@ -1063,3 +1063,65 @@ def lsh_recall_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
     return values_sql(
         [(len(truth), len(truth & planted_found), len(found))],
         ["n_truth", "n_truth_found", "n_found_total"])
+
+
+MATRIX_GRADE_PCTS = {1: 95, 2: 70, 3: 45}
+
+
+def lsh_recall_matrix_sql(modulus: int = 20,
+                          grade_offset: int = 10_000_000, n: int = 3,
+                          configs=((32, 16), (64, 32), (64, 16)),
+                          thresholds=(0.5, 0.7, 0.9)) -> str:
+    """Replica of dedup.lsh_recall_matrix over the graded-plant corpus:
+    same plant construction (raw single-space split, token PREFIX of
+    pct percent, integer floor), same max-hash signature slice trick,
+    same per-pair any-band-collides rule, same exact-Jaccard truth.
+    Grade offsets are multiples of 10M so plant ids can never collide
+    with base ids at test SFs (documented in the driver query)."""
+    rows = read_table("documents", "doc_id, text",
+                      f"doc_id % {modulus} = 0", order="doc_id")
+    base = [(int(i), t) for i, t in rows]
+    corpus = list(base)
+    for g, pct in MATRIX_GRADE_PCTS.items():
+        for i, t in base:
+            toks = t.split(" ")
+            keep = max(1, len(toks) * pct // 100)
+            corpus.append((i + g * grade_offset, " ".join(toks[:keep])))
+    max_h = max(nh for nh, _ in configs)
+    sh_map: dict[int, set] = {}
+    sig_map: dict[int, list[int]] = {}
+    for i, t in corpus:
+        sh = shingles(tokens(t), n)
+        if not sh:
+            continue
+        sh_map[i] = set(sh)
+        sig_map[i] = [min(spark_xxhash64(s, k) for s in sh)
+                      for k in range(max_h)]
+    jac: dict[tuple[int, int], float] = {}
+    for g in MATRIX_GRADE_PCTS:
+        for i, _ in base:
+            a, b = i, i + g * grade_offset
+            if a in sh_map and b in sh_map:
+                sa, sb = sh_map[a], sh_map[b]
+                jac[(i, g)] = len(sa & sb) / len(sa | sb)
+    out = []
+    for nh, bands in configs:
+        rpb = nh // bands
+
+        def band_hashes(sig, rpb=rpb, bands=bands):
+            return [spark_xxhash64(*sig[b * rpb:(b + 1) * rpb])
+                    for b in range(bands)]
+
+        found = set()
+        for (i, g) in jac:
+            ha = band_hashes(sig_map[i])
+            hb = band_hashes(sig_map[i + g * grade_offset])
+            if any(x == y for x, y in zip(ha, hb)):
+                found.add((i, g))
+        for t in thresholds:
+            truth = {p for p, j in jac.items() if j >= t}
+            nt, nf = len(truth), len(truth & found)
+            recall = 1.0 if nt == 0 else nf / nt
+            out.append((nh, bands, float(t), nt, nf, recall))
+    return values_sql(out, ["num_hashes", "bands", "threshold",
+                            "n_truth", "n_truth_found", "recall"])
