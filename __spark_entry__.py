@@ -917,15 +917,43 @@ def _mm_frame_plan(spark, sf_dir):
 
 
 def _mm_media_features(spark, sf_dir):
-    """Multimodal: Arrow-batched feature extraction over binary media
-    columns (deterministic stub featurizer — see operators/multimodal).
-    Rows-only: sha256→float plumbing is not SQL-expressible."""
+    """Multimodal feature extraction with a REAL pixel path: every
+    second selected doc becomes an actual PNG (deterministic gradient
+    pattern encoded by png_codec, decoded BACK to pixels inside the
+    Arrow kernel → integer-exact pixel statistics, decode_ok=true);
+    the rest stay raw text bytes through the deterministic stub
+    featurizer seam (decode_ok=false).  The oracle recomputes the PNG
+    rows' features straight from the PATTERN — it never touches the
+    codec — so any encode/unfilter/decode defect breaks value
+    equality."""
     from geoparser_spark.operators.multimodal import extract_media_features
 
-    media = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).select(
-        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
-        F.encode("text", "UTF-8").alias("media_bytes"),
-    )
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def wrap(batches):
+        import numpy as np
+        import pandas as pd
+
+        from geoparser_spark.operators.png_codec import encode_png
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                if i % 20 == 0:
+                    w, h = i % 9 + 4, i % 5 + 3
+                    img = ((i * 7 + np.arange(h)[:, None] * w
+                            + np.arange(w)[None, :]) % 256).astype(np.uint8)
+                    blobs.append(encode_png(img))
+                else:
+                    blobs.append(text.encode("utf-8"))
+                refs.append(f"img://{i}")
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
     out = extract_media_features(media, dim=16)
     # cast the float32 elements to double BEFORE rounding so the value
     # is exactly the f32 the Arrow column holds (round-on-float would
@@ -933,6 +961,8 @@ def _mm_media_features(spark, sf_dir):
     return out.select(
         "media_ref", "decode_ok",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 3).cast("double"), 6).alias("f2"),
+        F.round(F.element_at("feature", 11).cast("double"), 6).alias("f10"),
         F.round(F.element_at("feature", 16).cast("double"), 6).alias("f15"),
     )
 

@@ -120,9 +120,20 @@ def _token_ctx_expr(max_n: int) -> Column:
     )
 
 
+# Auto-selection budget between the broadcast tag join and its shuffled
+# escape hatch, in SURFACE ROWS.  Sizing: a projected surface row
+# (surface string + n_tokens + the candidate payload) serializes to
+# ~100-150 B; 5M rows ≈ 0.5-0.75 GB — comfortably under the 8 GB
+# torrent-broadcast hard limit and the ~1-2 GB practical executor-heap
+# budget, while the full 12M-surface GeoNames build (~1.5+ GB) tips to
+# the shuffled plan.  Measured both sides at 12M synthetic surfaces in
+# BENCH/GAZETTEER_SCALE.md; the cutover is pinned by a plan test.
+BROADCAST_SURFACE_ROW_BUDGET = 5_000_000
+
+
 def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
                        max_n: int = MAX_NGRAM,
-                       broadcast_surfaces: bool = True) -> DataFrame:
+                       broadcast_surfaces: bool | str = True) -> DataFrame:
     """(doc_id, text) × surfaces → candidate rows
     (doc_id, pos, n, gram, <gazetteer candidate cols>).
 
@@ -142,7 +153,14 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
     join runs shuffled on the first-token equi key with the n-gram
     equality as the residual condition — the corpus then shuffles once
     on t0, and hot first tokens (surface forms starting with common
-    words) are AQE skew-join territory."""
+    words) are AQE skew-join territory.  ``broadcast_surfaces="auto"``
+    counts the surface table (a gazetteer-grain job, trivial next to
+    the corpus scan) and picks the broadcast plan at or below
+    BROADCAST_SURFACE_ROW_BUDGET rows, the shuffled plan above —
+    measured both ways at 12M synthetic surfaces in
+    BENCH/GAZETTEER_SCALE.md, cutover pinned by a plan test."""
+    if broadcast_surfaces == "auto":
+        broadcast_surfaces = surfaces.count() <= BROADCAST_SURFACE_ROW_BUDGET
     stoks = F.split(F.col("surface"), " ")
     surf = surfaces.select(
         "*",

@@ -49,30 +49,52 @@ def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — NOT AVAILABLE in this container.
+    """Image decode: PNG is REAL (pure-stdlib zlib inflate + scanline
+    unfilter, operators/png_codec — returns an (H, W, C) uint8 numpy
+    array); JPEG/GIF pixel decode remain documented seams (no libjpeg
+    in this container — wire PIL/turbojpeg here in a deployment; their
+    CONTAINER metadata paths in image_meta.py are real)."""
+    from geoparser_spark.operators import png_codec
 
-    Raises NotImplementedError by design; wire PIL/turbojpeg here in a
-    deployment.  The surrounding batch plumbing is what this repo
-    ships."""
-    raise NotImplementedError("image codecs not present in sandbox; see module docstring")
+    if isinstance(payload, (bytes, bytearray)) and bytes(payload).startswith(
+            png_codec.PNG_SIG):
+        return png_codec.decode_png(bytes(payload))
+    raise NotImplementedError(
+        "only PNG pixels decode in-sandbox; JPEG/GIF codecs are the "
+        "documented deployment seam (see module docstring)")
 
 
 def extract_media_features(media: DataFrame, dim: int = 16,
                            bytes_col: str = "media_bytes",
                            ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
-    decode_ok).  Arrow-batched; a real featurizer swaps _stub_feature."""
+    decode_ok).  Arrow-batched.  PNG payloads decode to REAL pixels and
+    emit real integer-exact pixel statistics (png_codec.pixel_features
+    — dims, per-channel mean/variance, intensity histogram, each an
+    integer aggregate + one IEEE division so a pure-Python oracle
+    reproduces them bit-for-bit); everything else goes through the
+    clearly-marked deterministic _stub_feature with decode_ok=False
+    (the embedding-model seam)."""
+    from geoparser_spark.operators import png_codec
+
+    def one(b, dim=dim):
+        payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+        if payload.startswith(png_codec.PNG_SIG):
+            try:
+                img = png_codec.decode_png(payload)
+            except (ValueError, NotImplementedError, OSError):
+                return _stub_feature(payload, dim), False
+            return png_codec.pixel_features(img, dim), True
+        return _stub_feature(payload, dim), False
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pairs = [one(b) for b in pdf[bytes_col]]
             yield pd.DataFrame(
                 {
                     "media_ref": pdf[ref_col],
-                    "feature": [
-                        _stub_feature(b if isinstance(b, (bytes, bytearray)) else b"", dim)
-                        for b in pdf[bytes_col]
-                    ],
-                    "decode_ok": [b is not None for b in pdf[bytes_col]],
+                    "feature": [f for f, _ in pairs],
+                    "decode_ok": [ok for _, ok in pairs],
                 }
             )
 
@@ -202,20 +224,37 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256,
                   bytes_col: str = "media_bytes",
                   ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes, media_meta) → resized rows with
-    box-fitted dimensions (aspect preserved, never upscaled) — the
-    decode/re-encode is the clearly-marked stub above; dimension math
-    and Arrow batch plumbing are real."""
+    box-fitted dimensions (aspect preserved, never upscaled).  PNG
+    payloads are REALLY resampled (nearest-neighbor over decoded
+    pixels, re-encoded as PNG — operators/png_codec, round-trip
+    pinned in tests); other formats go through the clearly-marked
+    _stub_resize seam.  Dimension math and Arrow batch plumbing are
+    shared by both paths."""
+    from geoparser_spark.operators import png_codec
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, outs, flags = [], [], [], []
             for b, meta in zip(pdf[bytes_col], pdf["media_meta"]):
-                w0 = (meta or {}).get("width") or max_w
-                h0 = (meta or {}).get("height") or max_h
+                payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+                img = None
+                if payload.startswith(png_codec.PNG_SIG):
+                    try:
+                        img = png_codec.decode_png(payload)
+                    except (ValueError, NotImplementedError, OSError):
+                        img = None
+                if img is not None:
+                    h0, w0 = img.shape[:2]
+                else:
+                    w0 = (meta or {}).get("width") or max_w
+                    h0 = (meta or {}).get("height") or max_h
                 scale = min(max_w / max(w0, 1), max_h / max(h0, 1), 1.0)
                 w1, h1 = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
-                payload = b if isinstance(b, (bytes, bytearray)) else b""
-                outs.append(_stub_resize(bytes(payload), w1, h1))
+                if img is not None:
+                    outs.append(png_codec.encode_png(
+                        png_codec.resize_nearest(img, w1, h1)))
+                else:
+                    outs.append(_stub_resize(payload, w1, h1))
                 ws.append(w1)
                 hs.append(h1)
                 flags.append(scale < 1.0)

@@ -1,0 +1,201 @@
+"""Pure-stdlib PNG pixel codec (RFC 2083): zlib-inflate + per-scanline
+unfilter on decode, filter-0 + zlib-deflate on encode.
+
+This makes ONE pixel path REAL end-to-end in the sandbox (no PIL /
+libjpeg present): `decode_png` returns an (H, W, C) uint8 numpy array
+for the formats that dominate synthetic/test corpora — 8-bit
+greyscale (color type 0), RGB (2), palette (3), grey+alpha (4) and
+RGBA (6), non-interlaced.  JPEG/GIF pixel decode remain documented
+engine seams (operators/multimodal.decode_image); Adam7 interlacing
+and 16-bit depth raise a clear NotImplementedError rather than
+guessing.
+
+Scale note: this runs INSIDE Arrow-batched kernels (mapInPandas), so
+the per-image numpy unfilter is vectorized per scanline; the Spark
+plan around it (partitioning, batch shape) is what carries the 100 TB
+design — the codec itself is embarrassingly parallel per row.
+
+Reference parity: the reference's pixel path is Tika+Tesseract OCR on
+uploaded images (geoparser_app/views.py:125; Docker/Dockerfile:33-36);
+this module is the from-scratch stand-in for "the engine can actually
+open an image", not a port of anything.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> raw channels per pixel (before palette expansion)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filters (spec §6): each scanline is 1 filter
+    byte + `stride` data bytes.  Returns (height, stride) uint8.
+
+    Sub/Paeth recur along x, so those lines fall back to a per-pixel
+    loop over the line's bytes; None/Up/Average-with-no-left vectorize.
+    """
+    expect = height * (stride + 1)
+    if len(raw) < expect:
+        raise ValueError(f"IDAT underflow: {len(raw)} < {expect}")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    arr = np.frombuffer(raw[:expect], dtype=np.uint8).reshape(
+        height, stride + 1)
+    for y in range(height):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(
+            stride, dtype=np.int32)
+        if ftype == 0:  # None
+            out[y] = line.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+        elif ftype == 1:  # Sub — left-recursive
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + left) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ftype == 3:  # Average — left-recursive
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ftype == 4:  # Paeth — left-recursive
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                cur[x] = (line[x] + pr) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8 array (C = 1/2/3/4 per color type;
+    palette images expand to RGB).  Raises ValueError on malformed
+    streams, NotImplementedError on interlace/16-bit."""
+    if not raw.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    i = len(PNG_SIG)
+    width = height = None
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    palette: np.ndarray | None = None
+    while i + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[i:i + 4])
+        ctype = raw[i + 4:i + 8]
+        data = raw[i + 8:i + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("short IHDR")
+            width, height, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + CRC
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    if bit_depth != 8:
+        raise NotImplementedError(f"bit depth {bit_depth} not supported")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"bad color type {color_type}")
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    px = _unfilter(zlib.decompress(bytes(idat)), height, stride, ch)
+    img = px.reshape(height, width, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W[, C]) uint8 -> PNG bytes, filter 0, one IDAT.  C = 1 emits
+    greyscale, 3 RGB, 4 RGBA."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"cannot encode {c}-channel image")
+    body = np.zeros((h, w * c + 1), dtype=np.uint8)
+    body[:, 1:] = img.reshape(h, w * c)
+    idat = zlib.compress(body.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample: output pixel (y, x)
+    samples source (y*H0//h, x*W0//w) — integer index math, no float
+    kernels, so any reimplementation lands the identical pixels."""
+    h0, w0 = img.shape[:2]
+    ys = (np.arange(h) * h0) // h
+    xs = (np.arange(w) * w0) // w
+    return img[ys][:, xs]
+
+
+def pixel_features(img: np.ndarray, dim: int = 16) -> list[float]:
+    """Deterministic REAL pixel features, reproducible bit-for-bit by a
+    pure-Python replica: every statistic is an INTEGER aggregate
+    followed by exactly one IEEE division (integer sums below 2^53 are
+    exact in float64, and a single division is correctly rounded — no
+    accumulation-order ambiguity for an oracle to mismatch).
+
+    Layout (dim >= 8): [w/4096, h/4096,
+      mean_c/255, var_c/255² for c in 0..2 (channel index clamped)],
+    then a (dim-8)-bin histogram of channel 0, each bin count / n_px.
+    """
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c_max = img.shape[2] - 1
+    n = h * w
+    feats: list[float] = [w / 4096.0, h / 4096.0]
+    for c in range(3):
+        band = img[:, :, min(c, c_max)].astype(np.int64)
+        s = int(band.sum())
+        q = int((band * band).sum())
+        feats.append(s / (n * 255.0))
+        feats.append((q * n - s * s) / (n * n * 65025.0))
+    bins = max(dim - len(feats), 0)
+    if bins:
+        b0 = img[:, :, 0].astype(np.int64)
+        idx = (b0 * bins) // 256
+        counts = np.bincount(idx.ravel(), minlength=bins)
+        feats.extend(int(counts[k]) / n for k in range(bins))
+    return feats[:dim]

@@ -212,26 +212,59 @@ def simhash_pairs_sql(modulus: int = 5, max_hamming: int = 16) -> str:
 # --------------------------------------------------------- media features
 
 def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
-    """Replica of operators.multimodal._stub_feature over
-    encode(text, UTF-8) payloads: sha256 → tiled uint32 → unit-norm;
-    f0/f15 go through the float32 element type before rounding, exactly
+    """Replica of the media-features query's BOTH paths:
+
+    * doc_id % 20 == 0 → REAL pixel statistics, recomputed straight
+      from the deterministic gradient PATTERN ((i*7 + y*w + x) % 256)
+      with pure-Python integer loops — the Spark side goes pattern →
+      encode_png → Arrow kernel → decode_png → features, so this
+      replica catches any codec defect without sharing a line of it.
+      Every statistic is an integer aggregate + one IEEE division,
+      mirrored expression-for-expression from png_codec.pixel_features.
+    * otherwise → the _stub_feature sha256 replica over
+      encode(text, UTF-8) payloads.
+
+    All emitted elements go through float32 before rounding, exactly
     as the Arrow FloatType column does."""
     rows = read_table("documents", "doc_id, text", f"doc_id % {modulus} = 0")
     out = []
     for i, t in rows:
-        payload = t.encode("utf-8")
-        h = hashlib.sha256(payload or b"").digest()
-        v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4],
-                          dtype=np.uint32).astype(np.float64)
-        nrm = np.linalg.norm(v) or 1.0
-        feats = v / nrm
+        i = int(i)
+        if i % 20 == 0:
+            w, h = i % 9 + 4, i % 5 + 3
+            n = w * h
+            pix = [(i * 7 + y * w + x) % 256
+                   for y in range(h) for x in range(w)]
+            s = sum(pix)
+            q = sum(p * p for p in pix)
+            feats = [w / 4096.0, h / 4096.0]
+            for _ in range(3):  # greyscale: channel index clamps to 0
+                feats.append(s / (n * 255.0))
+                feats.append((q * n - s * s) / (n * n * 65025.0))
+            bins = dim - len(feats)
+            counts = [0] * bins
+            for p in pix:
+                counts[(p * bins) // 256] += 1
+            feats.extend(c / n for c in counts)
+            ok = True
+        else:
+            payload = t.encode("utf-8")
+            hh = hashlib.sha256(payload or b"").digest()
+            v = np.frombuffer((hh * ((dim * 4) // len(hh) + 1))[: dim * 4],
+                              dtype=np.uint32).astype(np.float64)
+            nrm = np.linalg.norm(v) or 1.0
+            feats = list(v / nrm)
+            ok = False
         out.append((
-            f"img://{int(i)}",
-            True,
+            f"img://{i}",
+            ok,
             spark_round(float(np.float32(feats[0])), 6),
+            spark_round(float(np.float32(feats[2])), 6),
+            spark_round(float(np.float32(feats[10])), 6),
             spark_round(float(np.float32(feats[dim - 1])), 6),
         ))
-    return values_sql(out, ["media_ref", "decode_ok", "f0", "f15"])
+    return values_sql(out, ["media_ref", "decode_ok", "f0", "f2", "f10",
+                            "f15"])
 
 
 # ------------------------------------------------------------------- ANN

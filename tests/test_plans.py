@@ -155,6 +155,35 @@ def test_shuffled_tag_join_escape_hatch(spark, gazetteer, docs):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_auto_surface_budget_picks_plan(spark, gazetteer, docs,
+                                        monkeypatch):
+    """broadcast_surfaces='auto': at or below
+    BROADCAST_SURFACE_ROW_BUDGET surface rows the tag join broadcasts;
+    above it (budget monkeypatched under the fixture's row count, AQE
+    auto-broadcast disabled as in the escape-hatch test) it takes the
+    shuffled plan — the 12M-place GeoNames sizing decision, pinned."""
+    import geoparser_spark.operators.geotag as G
+    from geoparser_spark.operators.extract import extract
+    from geoparser_spark.operators.geotag import doc_texts
+
+    texts = doc_texts(extract(docs))
+    surf = build_surface_forms(gazetteer)
+    plan_bc = _plan(candidate_mentions(texts, surf,
+                                       broadcast_surfaces="auto"))
+    assert "BroadcastHashJoin" in plan_bc
+
+    monkeypatch.setattr(G, "BROADCAST_SURFACE_ROW_BUDGET", 1)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_sh = _plan(candidate_mentions(texts, surf,
+                                           broadcast_surfaces="auto"))
+        assert ("SortMergeJoin" in plan_sh) or \
+               ("ShuffledHashJoin" in plan_sh), plan_sh
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     """Co-located fact-to-fact join: both sides pre-bucketed on the key
     -> the sort-merge join plans with NO shuffle exchange on either

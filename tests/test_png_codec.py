@@ -1,0 +1,146 @@
+"""Pure-stdlib PNG codec (operators/png_codec): decode/encode
+round-trips across color types and ALL five scanline filters, the
+nearest-neighbor resample, the integer-exact pixel features, and the
+real-pixel paths wired through multimodal.extract_media_features /
+resize_images."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from geoparser_spark.operators.png_codec import (
+    PNG_SIG,
+    decode_png,
+    encode_png,
+    pixel_features,
+    resize_nearest,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def test_roundtrip_gray_rgb_rgba():
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7), (8, 3, 3), (4, 4, 4), (1, 1), (2, 1, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        ref = img[:, :, None] if img.ndim == 2 else img
+        assert np.array_equal(back, ref), shape
+
+
+def test_all_filter_types_decode():
+    """Hand-filter a stream cycling filters 0..4 (None/Sub/Up/Average/
+    Paeth per RFC 2083 §6) and check the unfilter recovers the image."""
+    rng = np.random.default_rng(11)
+    w, h, c = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    rows = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        enc = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (line[x] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = line
+    idat = zlib.compress(b"".join(rows))
+    png = (PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_palette_expands_to_rgb():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    w, h = 3, 2
+    rows = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal)
+           + _chunk(b"IDAT", zlib.compress(rows))
+           + _chunk(b"IEND", b""))
+    img = decode_png(png)
+    assert img.shape == (2, 3, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+
+
+def test_interlace_and_16bit_rejected():
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png = PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(
+        b"IDAT", zlib.compress(b"\x00\x00\x00")) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_resize_nearest_exact_indices():
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+    out = resize_nearest(img, 3, 2)
+    # output (y, x) samples (y*4//2, x*6//3) = (2y, 2x)
+    assert out[:, :, 0].tolist() == [[0, 2, 4], [12, 14, 16]]
+
+
+def test_pixel_features_integer_exact():
+    img = np.full((2, 3), 100, dtype=np.uint8)
+    f = pixel_features(img, 16)
+    assert f[0] == 3 / 4096.0 and f[1] == 2 / 4096.0
+    assert f[2] == pytest.approx(100 / 255.0)
+    assert f[3] == 0.0  # constant image: zero variance
+    hist = f[8:]
+    assert sum(hist) == pytest.approx(1.0)
+    assert hist[(100 * 8) // 256] == 1.0
+
+
+def test_media_features_real_png_path(spark):
+    from geoparser_spark.operators.multimodal import extract_media_features
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    rows = [
+        Row(media_ref="png", media_bytes=bytearray(encode_png(img))),
+        Row(media_ref="txt", media_bytes=b"just text"),
+    ]
+    got = {r.media_ref: r for r in extract_media_features(
+        spark.createDataFrame(rows), dim=16).collect()}
+    assert got["png"].decode_ok is True
+    assert got["txt"].decode_ok is False
+    expect = pixel_features(img[:, :, None], 16)
+    assert got["png"].feature == pytest.approx(
+        [np.float32(x) for x in expect])
+
+
+def test_resize_images_real_png_roundtrip(spark):
+    from geoparser_spark.operators.multimodal import resize_images
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = [Row(media_ref="p", media_bytes=bytearray(encode_png(img)),
+                media_meta={"width": 8, "height": 8})]
+    got = resize_images(spark.createDataFrame(rows), max_w=4,
+                        max_h=4).collect()[0]
+    assert (got.width, got.height, got.resized) == (4, 4, True)
+    back = decode_png(bytes(got.media_bytes))
+    assert np.array_equal(back, resize_nearest(img[:, :, None], 4, 4))
