@@ -135,14 +135,16 @@ def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
                  "pdf_bytes", "rtf", "eml", "doc_bytes",
                  "xml", "image_bytes", "csv", "audio_bytes",
-                 "markdown", "odt_bytes", "video_bytes")
+                 "markdown", "odt_bytes", "video_bytes",
+                 "xls_bytes", "ppt_bytes")
 
 
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 format breadth, value-verified end-to-end: each documents row
-    is wrapped into a container format chosen by doc_id % 14 (DOCX /
+    is wrapped into a container format chosen by doc_id % 16 (DOCX /
     PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / PNG / CSV /
-    WAV / Markdown / ODT / MP4 fixture writers), pushed through the REAL
+    WAV / Markdown / ODT / MP4 / legacy BIFF8 .xls / legacy .ppt
+    fixture writers), pushed through the REAL
     Arrow
     kernel, and the
     oracle recomputes the expected blocks (and the PNG media_ref dims)
@@ -172,7 +174,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 14
+                m = int(doc_id) % 16
                 kind = _BREADTH_FMTS[m]
                 if m == 0:
                     payload = b64mod.b64encode(make_mini_docx([text])).decode()
@@ -236,7 +238,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                     payload = b64mod.b64encode(
                         make_mini_odt([text])).decode()
-                else:
+                elif m == 13:
                     from geoparser_spark.operators.video_meta import (
                         make_mini_mp4,
                     )
@@ -246,6 +248,20 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                         height=(int(doc_id) % 4 + 1) * 8,
                         duration_ms=int(doc_id) % 997 + 1,
                         titles=[text])).decode()
+                elif m == 14:
+                    from geoparser_spark.operators.biff_legacy import (
+                        make_mini_xls,
+                    )
+
+                    payload = b64mod.b64encode(
+                        make_mini_xls([[text]])).decode()
+                else:
+                    from geoparser_spark.operators.biff_legacy import (
+                        make_mini_ppt,
+                    )
+
+                    payload = b64mod.b64encode(
+                        make_mini_ppt([[text]])).decode()
                 ids.append(doc_id)
                 spans.append([{"kind": kind, "text": payload,
                                "media_ref": None, "offset": 0}])
@@ -255,7 +271,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract(wrapped).select("doc_id", F.explode("spans").alias("s"))
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _BREADTH_FMTS]),
-        (F.col("doc_id").cast("long") % 14 + 1).cast("int"),
+        (F.col("doc_id").cast("long") % 16 + 1).cast("int"),
     )
     return ex.select(
         "doc_id",
@@ -268,7 +284,7 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BREADTH_SQL = """
 WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 14 AS m,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 16 AS m,
          CAST(doc_id AS BIGINT) AS id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
   FROM documents
@@ -280,7 +296,8 @@ SELECT doc_id,
               WHEN 7 THEN 'xml' WHEN 8 THEN 'image_bytes'
               WHEN 9 THEN 'csv' WHEN 10 THEN 'audio_bytes'
               WHEN 11 THEN 'markdown' WHEN 12 THEN 'odt_bytes'
-              ELSE 'video_bytes' END AS fmt,
+              WHEN 13 THEN 'video_bytes'
+              WHEN 14 THEN 'xls_bytes' ELSE 'ppt_bytes' END AS fmt,
        t AS text,
        CAST(NULL AS VARCHAR) AS media_ref,
        CAST(CASE WHEN m IN (5, 8, 10, 11, 13) THEN 1 ELSE 0 END AS INT) AS ord

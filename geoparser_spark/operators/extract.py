@@ -25,6 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from geoparser_spark.operators.html_main import extract_html_blocks
+from geoparser_spark.operators.biff_legacy import (
+    extract_ppt_b64_text_blocks,
+    extract_xls_b64_text_blocks,
+)
 from geoparser_spark.operators.doc_legacy import extract_doc_b64_text_blocks
 from geoparser_spark.operators.email_text import extract_eml_text_blocks
 from geoparser_spark.operators.office_text import (
@@ -70,6 +74,8 @@ _SPAN_EXTRACTORS: dict = {
     "doc_bytes": _as_text_spans(extract_doc_b64_text_blocks),
     "pptx_bytes": _as_text_spans(extract_pptx_b64_text_blocks),
     "xlsx_bytes": _as_text_spans(extract_xlsx_b64_text_blocks),
+    "xls_bytes": _as_text_spans(extract_xls_b64_text_blocks),
+    "ppt_bytes": _as_text_spans(extract_ppt_b64_text_blocks),
     "epub_bytes": _as_text_spans(extract_epub_b64_text_blocks),
     "odt_bytes": _as_text_spans(extract_odt_b64_text_blocks),
     "rtf": _as_text_spans(extract_rtf_text_blocks),
