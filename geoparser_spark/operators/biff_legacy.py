@@ -347,6 +347,15 @@ def _make_cfb(streams: list[tuple[str, bytes]]) -> bytes:
 
 
 def _rec(rtype: int, payload: bytes) -> bytes:
+    # real BIFF8 caps record data at 8224 bytes and overflows into
+    # Continue records; this FIXTURE writer does not implement
+    # continuation on the write side (the reader does), so reject
+    # oversize payloads loudly instead of emitting a corrupt u16 length
+    if len(payload) > 8224:
+        raise ValueError(
+            f"fixture record payload {len(payload)} B exceeds the BIFF8 "
+            "8224-byte record cap; make_mini_xls does not write "
+            "Continue records — shorten the cell text")
     return struct.pack("<HH", rtype, len(payload)) + payload
 
 

@@ -806,7 +806,7 @@ def lsh_recall_matrix(corpus: DataFrame, planted_offset: int,
     stack_args = ", ".join(
         f"CAST({t}D AS DOUBLE), t{k}, coalesce(f{k}, 0L)"
         for k, t in enumerate(thresholds))
-    return m.selectExpr(
+    matrix = m.selectExpr(
         "num_hashes", "bands",
         f"stack({len(thresholds)}, {stack_args})"
         " AS (threshold, n_truth, n_truth_found)",
@@ -816,3 +816,12 @@ def lsh_recall_matrix(corpus: DataFrame, planted_offset: int,
         .otherwise(F.col("n_truth_found") / F.col("n_truth"))
         .alias("recall"),
     )
+    # The result is |configs| x |thresholds| rows (a 9-cell matrix at
+    # the default sweep): materialize it NOW so the sigs/truth caches —
+    # corpus-sized, feeding 1 + 2·configs plan branches — can be
+    # released before returning, instead of pinning executor memory for
+    # the caller's lifetime (the duplicated_window_fraction lesson).
+    rows = matrix.collect()
+    sigs.unpersist()
+    truth.unpersist()
+    return spark.createDataFrame(rows, schema=matrix.schema)

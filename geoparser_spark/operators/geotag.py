@@ -219,20 +219,19 @@ def candidate_mentions(texts: DataFrame, surfaces: DataFrame,
     # so Catalyst plans them in a single WindowExec.
     end = F.col("pos") + F.col("n")
     w_same = Window.partitionBy("doc_id").orderBy("pos").rangeBetween(0, 0)
-    w_before = (
-        Window.partitionBy("doc_id").orderBy("pos")
-        .rangeBetween(-(max_n - 1), -1)
-    )
-    return (
-        matched
-        .withColumn("_same_end", F.max(end).over(w_same))
-        .withColumn("_before_end", F.max(end).over(w_before))
-        .where(
-            (F.col("_same_end") <= end)
-            & (F.coalesce(F.col("_before_end"), F.lit(-1)) < end)
+    out = matched.withColumn("_same_end", F.max(end).over(w_same))
+    keep = F.col("_same_end") <= end
+    if max_n > 1:
+        # max_n == 1: every span is 1 token, no earlier start can
+        # contain a later one — and rangeBetween(0, -1) would be an
+        # invalid frame, so the before-check only exists for n-grams
+        w_before = (
+            Window.partitionBy("doc_id").orderBy("pos")
+            .rangeBetween(-(max_n - 1), -1)
         )
-        .drop("_same_end", "_before_end")
-    )
+        out = out.withColumn("_before_end", F.max(end).over(w_before))
+        keep = keep & (F.coalesce(F.col("_before_end"), F.lit(-1)) < end)
+    return out.where(keep).drop("_same_end", "_before_end")
 
 
 def _class_weight() -> Column:
@@ -304,14 +303,20 @@ def select_primary(resolved: DataFrame) -> DataFrame:
 
 
 def geotag(extracted: DataFrame, gazetteer: DataFrame,
-           max_n: int = MAX_NGRAM) -> DataFrame:
+           max_n: int = MAX_NGRAM,
+           broadcast_surfaces: bool | str = True) -> DataFrame:
     """Full stage: extracted docs → geotagged(doc_id, locations).
 
     locations is array_sort'ed on rank (frequency, name, geonameid) so
-    the array order is reproducible across shuffles/partitionings."""
+    the array order is reproducible across shuffles/partitionings.
+    ``broadcast_surfaces`` passes through to candidate_mentions
+    (True / False / "auto" — "auto" counts the surface table against
+    BROADCAST_SURFACE_ROW_BUDGET; the count is a gazetteer-grain job
+    run at plan-BUILD time, so leave the default True for tiny test
+    gazetteers and plan-shape assertions)."""
     texts = doc_texts(extracted)
     surfaces = build_surface_forms(gazetteer, max_n)
-    cands = candidate_mentions(texts, surfaces, max_n)
+    cands = candidate_mentions(texts, surfaces, max_n, broadcast_surfaces)
     primaries = select_primary(resolve_mentions(cands))
     loc_struct = F.struct(
         F.col("rank"),

@@ -78,13 +78,21 @@ def extract_media_features(media: DataFrame, dim: int = 16,
     from geoparser_spark.operators import png_codec
 
     def one(b, dim=dim):
+        import struct as _struct
+        import zlib as _zlib
+
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
         if payload.startswith(png_codec.PNG_SIG):
+            # decode AND featurize inside the guard: a corrupt IDAT
+            # raises zlib.error, an out-of-range palette index
+            # IndexError — damaged input must degrade to the stub path
+            # (decode_ok=False), never kill the Arrow task
             try:
                 img = png_codec.decode_png(payload)
-            except (ValueError, NotImplementedError, OSError):
+                return png_codec.pixel_features(img, dim), True
+            except (ValueError, NotImplementedError, OSError,
+                    _zlib.error, _struct.error, IndexError):
                 return _stub_feature(payload, dim), False
-            return png_codec.pixel_features(img, dim), True
         return _stub_feature(payload, dim), False
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -236,25 +244,38 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256,
         for pdf in batches:
             ws, hs, outs, flags = [], [], [], []
             for b, meta in zip(pdf[bytes_col], pdf["media_meta"]):
+                import struct as _struct
+                import zlib as _zlib
+
                 payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
-                img = None
+                out_bytes = None
+                w0 = h0 = None
                 if payload.startswith(png_codec.PNG_SIG):
+                    # the whole real path is guarded: decode can raise
+                    # zlib.error on a corrupt IDAT, and any decode/
+                    # resample/encode surprise must fall back to the
+                    # stub, never kill the Arrow task
                     try:
                         img = png_codec.decode_png(payload)
-                    except (ValueError, NotImplementedError, OSError):
-                        img = None
-                if img is not None:
-                    h0, w0 = img.shape[:2]
-                else:
+                        h0, w0 = img.shape[:2]
+                        scale = min(max_w / max(w0, 1),
+                                    max_h / max(h0, 1), 1.0)
+                        w1 = max(int(w0 * scale), 1)
+                        h1 = max(int(h0 * scale), 1)
+                        out_bytes = png_codec.encode_png(
+                            png_codec.resize_nearest(img, w1, h1))
+                    except (ValueError, NotImplementedError, OSError,
+                            _zlib.error, _struct.error, IndexError):
+                        out_bytes = None
+                if out_bytes is None:
                     w0 = (meta or {}).get("width") or max_w
                     h0 = (meta or {}).get("height") or max_h
-                scale = min(max_w / max(w0, 1), max_h / max(h0, 1), 1.0)
-                w1, h1 = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
-                if img is not None:
-                    outs.append(png_codec.encode_png(
-                        png_codec.resize_nearest(img, w1, h1)))
-                else:
-                    outs.append(_stub_resize(payload, w1, h1))
+                    scale = min(max_w / max(w0, 1), max_h / max(h0, 1),
+                                1.0)
+                    w1 = max(int(w0 * scale), 1)
+                    h1 = max(int(h0 * scale), 1)
+                    out_bytes = _stub_resize(payload, w1, h1)
+                outs.append(out_bytes)
                 ws.append(w1)
                 hs.append(h1)
                 flags.append(scale < 1.0)

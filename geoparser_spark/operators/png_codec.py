@@ -120,6 +120,13 @@ def decode_png(raw: bytes) -> np.ndarray:
         i += 12 + length  # length + type + data + CRC
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
+    # untrusted-input guard: a 100-byte payload can DECLARE exabyte
+    # dimensions; bound the unfilter buffer before any allocation
+    # (64 MP ~ a 256 MB RGBA frame — beyond any sane corpus thumbnail)
+    if width > (1 << 20) or height > (1 << 20) or width * height > 64_000_000:
+        raise ValueError(
+            f"implausible PNG dimensions {width}x{height} (decompression "
+            "bomb guard)")
     if interlace != 0:
         raise NotImplementedError("Adam7 interlace not supported")
     if bit_depth != 8:
@@ -128,7 +135,11 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise ValueError(f"bad color type {color_type}")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    px = _unfilter(zlib.decompress(bytes(idat)), height, stride, ch)
+    # decompressobj with max_length caps inflation at exactly the
+    # scanline budget — a deflate bomb cannot expand past it
+    raw_px = zlib.decompressobj().decompress(
+        bytes(idat), height * (stride + 1))
+    px = _unfilter(raw_px, height, stride, ch)
     img = px.reshape(height, width, ch)
     if color_type == 3:
         if palette is None:
@@ -139,11 +150,12 @@ def decode_png(raw: bytes) -> np.ndarray:
 
 def encode_png(img: np.ndarray) -> bytes:
     """(H, W[, C]) uint8 -> PNG bytes, filter 0, one IDAT.  C = 1 emits
-    greyscale, 3 RGB, 4 RGBA."""
+    greyscale, 2 grey+alpha, 3 RGB, 4 RGBA — everything decode_png can
+    return round-trips."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
-    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if color_type is None:
         raise ValueError(f"cannot encode {c}-channel image")
     body = np.zeros((h, w * c + 1), dtype=np.uint8)
@@ -185,6 +197,10 @@ def pixel_features(img: np.ndarray, dim: int = 16) -> list[float]:
         img = img[:, :, None]
     c_max = img.shape[2] - 1
     n = h * w
+    if n == 0:
+        # a spec-legal zero-width/height PNG has no pixels: emit the
+        # shape slots and zeros rather than dividing by zero
+        return ([w / 4096.0, h / 4096.0] + [0.0] * dim)[:dim]
     feats: list[float] = [w / 4096.0, h / 4096.0]
     for c in range(3):
         band = img[:, :, min(c, c_max)].astype(np.int64)

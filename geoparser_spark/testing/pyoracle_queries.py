@@ -55,20 +55,23 @@ def _docs_with_planted(modulus: int) -> list[tuple[int, str]]:
 
 
 def _minhash_pairs(docs: list[tuple[int, str]], n: int, num_hashes: int,
-                   bands: int, threshold: float) -> list[tuple[int, int, float]]:
+                   bands: int, threshold: float,
+                   modulus: int | None = None) -> list[tuple[int, int, float]]:
     """Shared replica of dedup.minhash_lsh_pairs — shingling, per-seed
     min xxhash64, banded bucket join, exact Jaccard verify.  Memoized:
     three oracles (minhash_lsh, cluster, recall) drive the identical
     parameters, and the x32 per-shingle signature pass dominates
     oracle-build time.
 
-    Memo key is the same (sf_dir, modulus-independent doc count, params)
-    tuple family _PLANTED_CACHE uses — NOT id(docs): CPython recycles
+    Memo key is (sf_dir, modulus, doc count, params) — the same
+    identity family _PLANTED_CACHE uses, NOT id(docs): CPython recycles
     object ids, so an id-keyed memo could serve stale pairs if a caller
-    ever passed a transient list."""
+    ever passed a transient list; the explicit modulus keeps two
+    coincidentally-equal-length corpora from sharing a cache entry."""
     from geoparser_spark.testing.pyoracle import oracle_sf_dir
 
-    ck = (oracle_sf_dir(), len(docs), n, num_hashes, bands, threshold)
+    ck = (oracle_sf_dir(), modulus, len(docs), n, num_hashes, bands,
+          threshold)
     if ck in _PAIR_CACHE:
         return _PAIR_CACHE[ck]
     rows_per_band = num_hashes // bands
@@ -106,7 +109,8 @@ def minhash_lsh_pairs_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
     """Expected output of dedup.minhash_lsh_pairs over the planted
     corpus (see _minhash_pairs)."""
     docs = _docs_with_planted(modulus)
-    out = _minhash_pairs(docs, n, num_hashes, bands, threshold)
+    out = _minhash_pairs(docs, n, num_hashes, bands, threshold,
+                         modulus=modulus)
     return values_sql(out, ["id_a", "id_b", "jaccard"])
 
 
@@ -117,7 +121,8 @@ def minhash_cluster_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
     doc of the planted corpus labeled with its component min (isolated
     docs label themselves)."""
     docs = _docs_with_planted(modulus)
-    pairs = _minhash_pairs(docs, n, num_hashes, bands, threshold)
+    pairs = _minhash_pairs(docs, n, num_hashes, bands, threshold,
+                           modulus=modulus)
     parent = {int(i): int(i) for i, _ in docs}
 
     def find(x: int) -> int:
@@ -1090,7 +1095,8 @@ def lsh_recall_sql(modulus: int = 5, n: int = 3, num_hashes: int = 32,
         sb = set(shingles(tokens(copies[i]), n))
         if sa and sb and len(sa & sb) / len(sa | sb) >= threshold:
             truth.add(i)
-    found = _minhash_pairs(docs, n, num_hashes, bands, threshold)
+    found = _minhash_pairs(docs, n, num_hashes, bands, threshold,
+                           modulus=modulus)
     planted_found = {a for a, b, _ in found
                      if b - a == PLANT_ID_OFFSET}
     return values_sql(

@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--n-logical-parts", type=int, default=256)
     run.add_argument("--tiles", action="store_true")
     run.add_argument(
+        "--surface-broadcast", default="auto",
+        choices=("auto", "always", "never"),
+        help="tag-join strategy for the gazetteer surface table: "
+             "'always' broadcasts, 'never' takes the shuffled "
+             "first-token equi-join, 'auto' (default) counts surfaces "
+             "against geotag.BROADCAST_SURFACE_ROW_BUDGET — the real "
+             "12M-place GeoNames lands on the shuffled path "
+             "(BENCH/GAZETTEER_SCALE.md)")
+    run.add_argument(
         "--redistribute", choices=("mega-only", "all"), default="mega-only",
         help="'mega-only' (default) shuffles only mega-doc chunks; "
              "'all' restores the full-corpus salted repartition for "
@@ -291,7 +300,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     gaz = read_geonames_tsv(spark, args.gazetteer)
-    tagged = geotag(extracted, gaz)
+    bc = {"always": True, "never": False}.get(
+        getattr(args, "surface_broadcast", "auto"), "auto")
+    tagged = geotag(extracted, gaz, broadcast_surfaces=bc)
     tagged.write.mode("overwrite").parquet(os.path.join(args.output, "geotagged"))
 
     pts = points(spark.read.parquet(os.path.join(args.output, "geotagged")))

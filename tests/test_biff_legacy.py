@@ -114,3 +114,10 @@ def test_xls_roundtrip_property(rows):
 def test_xls_truncation_totality(tail):
     xls = make_mini_xls([["alpha beta", "gamma"]])
     assert isinstance(extract_xls_text_blocks(xls[:300] + tail), list)
+
+
+def test_fixture_writer_rejects_oversize_record():
+    import pytest
+
+    with pytest.raises(ValueError, match="8224"):
+        make_mini_xls([["x" * 9000]])

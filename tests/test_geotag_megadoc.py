@@ -62,3 +62,16 @@ def test_longest_match_dense_megadoc_bounded(spark):
     assert got.n_spans == 2 * R
     assert got.n_cands == 4 * R
     assert wall < 60, f"mega-doc longest-match took {wall:.1f}s"
+
+
+def test_unigram_only_max_n_1(spark):
+    """max_n=1 has no before-frame (rangeBetween(0,-1) would be an
+    invalid window); unigram matches must still come through."""
+    from pyspark.sql import Row
+    from geoparser_spark.operators.geotag import build_surface_forms
+
+    texts = spark.createDataFrame([Row(doc_id=1, text="Texas and Texas")])
+    surf = build_surface_forms(gazetteer_df(spark), max_tokens=1)
+    out = candidate_mentions(texts, surf, max_n=1).collect()
+    assert sorted({r.pos for r in out}) == [0, 2]
+    assert all(r.n == 1 for r in out)

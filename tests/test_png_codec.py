@@ -144,3 +144,71 @@ def test_resize_images_real_png_roundtrip(spark):
     assert (got.width, got.height, got.resized) == (4, 4, True)
     back = decode_png(bytes(got.media_bytes))
     assert np.array_equal(back, resize_nearest(img[:, :, None], 4, 4))
+
+
+def test_grey_alpha_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(4, 5, 2), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_bomb_dimensions_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2**31 - 1, 2**31 - 1, 8, 6, 0, 0, 0)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bomb"):
+        decode_png(png)
+
+
+def test_zero_width_png_features_no_crash():
+    ihdr = struct.pack(">IIBBBBB", 0, 3, 8, 0, 0, 0, 0)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + _chunk(b"IEND", b""))
+    img = decode_png(png)
+    assert img.shape == (3, 0, 1)
+    f = pixel_features(img, 16)
+    assert len(f) == 16 and f[1] == 3 / 4096.0
+
+
+def test_damaged_png_degrades_to_stub(spark):
+    """Corrupt IDAT (zlib.error) and oversize palette index
+    (IndexError) must fall back to the stub path with
+    decode_ok=False, never kill the Arrow task."""
+    from geoparser_spark.operators.multimodal import (
+        extract_media_features,
+        resize_images,
+    )
+
+    good = encode_png(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    corrupt = good[:40] + b"\xff\x00\xde\xad" + good[44:]
+    pal_bad = (PNG_SIG
+               + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3,
+                                             0, 0, 0))
+               + _chunk(b"PLTE", bytes([255, 0, 0]))
+               + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x09"))
+               + _chunk(b"IEND", b""))
+    rows = [Row(media_ref="c", media_bytes=bytearray(corrupt)),
+            Row(media_ref="p", media_bytes=bytearray(pal_bad))]
+    got = {r.media_ref: r for r in extract_media_features(
+        spark.createDataFrame(rows), dim=16).collect()}
+    assert got["c"].decode_ok is False
+    assert got["p"].decode_ok is False
+    rows2 = [Row(media_ref="c", media_bytes=bytearray(corrupt),
+                 media_meta={"width": 4, "height": 3})]
+    r2 = resize_images(spark.createDataFrame(rows2), max_w=2,
+                       max_h=2).collect()[0]
+    assert bytes(r2.media_bytes).startswith(b"RSZ:")  # stub fallback
+
+
+def test_resize_images_grey_alpha_real(spark):
+    from geoparser_spark.operators.multimodal import resize_images
+
+    img = np.arange(32, dtype=np.uint8).reshape(4, 4, 2)
+    rows = [Row(media_ref="ga", media_bytes=bytearray(encode_png(img)),
+                media_meta={"width": 4, "height": 4})]
+    got = resize_images(spark.createDataFrame(rows), max_w=2,
+                        max_h=2).collect()[0]
+    back = decode_png(bytes(got.media_bytes))
+    assert np.array_equal(back, resize_nearest(img, 2, 2))
