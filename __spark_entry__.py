@@ -3077,6 +3077,49 @@ def _stream_session_counts(spark, sf_dir):
     )
 
 
+def _stream_stateful_counts(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState)
+    promoted to a driver query: per-key running counts maintained in
+    GroupState across TWO separate availableNow runs over the same
+    checkpoint (the second run restarts from checkpointed state, so
+    the final counts prove cross-restart continuity, not just
+    single-run aggregation).  Events ride as integral cents in the
+    double state column — float64 sums of integers are exact in any
+    accumulation order, so the result is deterministic and the oracle
+    is one GROUP BY over the full replay."""
+    import os
+    import tempfile
+
+    from geoparser_spark.streaming.stateful import run_stateful_counts
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 7 == 0)
+        .select(F.col("user_id").cast("string").alias("key"),
+                F.round(F.col("value") * 100).cast("double").alias("value"),
+                "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="gp_stream_state_")
+    ev_dir, out, ckpt = (os.path.join(work, d)
+                         for d in ("ev", "out", "ckpt"))
+    ev.where(F.col("event_id") % 2 == 0).drop("event_id") \
+        .write.parquet(ev_dir)
+    run_stateful_counts(spark, ev_dir, out, ckpt).awaitTermination(300)
+    ev.where(F.col("event_id") % 2 == 1).drop("event_id") \
+        .write.mode("append").parquet(ev_dir)
+    run_stateful_counts(spark, ev_dir, out, ckpt).awaitTermination(300)
+    res = spark.read.parquet(out)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(F.col("batch_id").desc(),
+                                     F.col("n_events").desc())
+    return (
+        res.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+        .select("key", "n_events",
+                F.col("sum_value").cast("long").alias("sum_cents"))
+    )
+
+
 def _snapshot_expiry_accounting(spark, sf_dir):
     """Snapshot retention (plans/snapshots.expire_versions) as a
     driver-checked accounting row: v1 = even docs, v2 = append odd
@@ -3152,7 +3195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_cluster": _dedup_cluster,
         "dedup_simhash": _dedup_simhash,
-        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding_cosine": _dedup_cosine,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_lines": _dedup_lines,
@@ -3189,8 +3231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
         "sample_temperature": _sample_temperature,
-        # --- streaming (session-window state, bounded replay)
+        # --- streaming (session-window + custom GroupState, bounded replay)
         "stream_session_counts": _stream_session_counts,
+        "stream_stateful_counts": _stream_stateful_counts,
         # --- web graph
         "web_url_dedup": _web_url_dedup,
         "web_host_pagerank": _web_host_pagerank,
@@ -3199,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_append_dedup": _snapshot_append_dedup,
         "snapshot_expiry_accounting": _snapshot_expiry_accounting,
         # ---------------- entry 51+: breadth families ----------------
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_repetition_signals": _text_repetition,
         "text_compression_ratio": _text_compression,
         "text_unicode_norm": _text_unicode_norm,
@@ -4300,6 +4344,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM s GROUP BY user_id, sid"""
+    out["stream_stateful_counts"] = """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events WHERE user_id % 7 = 0 GROUP BY user_id"""
     out["snapshot_expiry_accounting"] = """
         SELECT CAST(3 AS BIGINT) AS latest_version,
                CAST(1 AS BIGINT) AS versions_remaining,
