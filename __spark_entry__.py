@@ -934,15 +934,15 @@ def _mm_frame_plan(spark, sf_dir):
 
 
 def _mm_media_features(spark, sf_dir):
-    """Multimodal feature extraction with a REAL pixel path: every
-    second selected doc becomes an actual PNG (deterministic gradient
-    pattern encoded by png_codec, decoded BACK to pixels inside the
-    Arrow kernel → integer-exact pixel statistics, decode_ok=true);
-    the rest stay raw text bytes through the deterministic stub
-    featurizer seam (decode_ok=false).  The oracle recomputes the PNG
-    rows' features straight from the PATTERN — it never touches the
-    codec — so any encode/unfilter/decode defect breaks value
-    equality."""
+    """Multimodal feature extraction with TWO real pixel paths: half
+    the selected docs become actual PNGs (deterministic greyscale
+    gradient, png_codec), the other half actual GIFs (deterministic
+    16-color palette + LZW-compressed index pattern, gif_codec) —
+    both decoded BACK to pixels inside the Arrow kernel →
+    integer-exact pixel statistics, decode_ok=true.  The oracle
+    recomputes each row's features straight from the PATTERN — it
+    never touches either codec — so any encode/unfilter/LZW/palette
+    defect breaks value equality."""
     from geoparser_spark.operators.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents").where(
@@ -953,6 +953,7 @@ def _mm_media_features(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        from geoparser_spark.operators.gif_codec import encode_gif
         from geoparser_spark.operators.png_codec import encode_png
 
         for pdf in batches:
@@ -965,7 +966,15 @@ def _mm_media_features(spark, sf_dir):
                             + np.arange(w)[None, :]) % 256).astype(np.uint8)
                     blobs.append(encode_png(img))
                 else:
-                    blobs.append(text.encode("utf-8"))
+                    w, h = i % 7 + 3, i % 4 + 2
+                    idx = ((i * 5 + np.arange(h)[:, None] * w
+                            + np.arange(w)[None, :]) % 16).astype(np.uint8)
+                    pal = np.stack([
+                        (np.arange(16) * 37) % 256,
+                        (np.arange(16) * 59) % 256,
+                        (np.arange(16) * 83) % 256,
+                    ], axis=1).astype(np.uint8)
+                    blobs.append(encode_gif(idx, pal))
                 refs.append(f"img://{i}")
             yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
 

@@ -1,0 +1,242 @@
+"""Pure-stdlib GIF pixel codec: LZW decode (+ a real LZW encoder for
+fixtures), palette application, Adam-style 4-pass de-interlace.
+
+Second REAL pixel path in the sandbox (PNG is png_codec):
+`decode_gif` returns an (H, W, 3) uint8 RGB array for GIF87a/GIF89a
+images with a global or local color table.  JPEG remains the
+documented codec seam (baseline DCT entropy decoding is a deployment
+dependency, not a spec walk).
+
+Spec: GIF89a specification (W3C/CompuServe) — logical screen
+descriptor, color tables, image descriptor, LZW-compressed index
+stream in 255-byte sub-blocks, variable code width 3..12 bits,
+clear/end codes, optional 4-pass interlace row order.
+
+Same untrusted-input discipline as png_codec: declared dimensions are
+capped before allocation, and the LZW expander stops at exactly
+width*height indices (a crafted stream cannot expand past the pixel
+budget).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+_MAX_PIXELS = 64_000_000
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-LZW → index array of exactly n_pixels entries (extra output
+    is discarded, underflow raises)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit reader: GIF packs codes LSB-first
+    acc = 0
+    acc_bits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while acc_bits < code_size:
+            if pos >= len(data):
+                if n_out == n_pixels:
+                    return out  # missing END code: tolerated when full
+                raise ValueError("LZW underflow")
+            acc |= data[pos] << acc_bits
+            acc_bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        acc_bits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            if n_out != n_pixels:
+                raise ValueError(
+                    f"LZW ended at {n_out}/{n_pixels} pixels")
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first LZW code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        if n_out >= n_pixels:
+            # drain politely until END or exhaustion; content complete
+            return out
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    raise ValueError("unreachable")
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order: list[int] = (list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2)))
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif(raw: bytes) -> np.ndarray:
+    """GIF bytes -> (H, W, 3) uint8 RGB of the FIRST image frame.
+    Raises ValueError on malformed/bomb input."""
+    if raw[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    if len(raw) < 13:
+        raise ValueError("truncated screen descriptor")
+    packed = raw[10]
+    gct: np.ndarray | None = None
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if i + 3 * n > len(raw):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(raw[i:i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(raw) and raw[i] != 0:
+                i += 1 + raw[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(raw):
+                raise ValueError("truncated image descriptor")
+            _, _, w, h = struct.unpack_from("<HHHH", raw, i + 1)
+            ipacked = raw[i + 9]
+            i += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if i + 3 * n > len(raw):
+                    raise ValueError("truncated local color table")
+                table = np.frombuffer(raw[i:i + 3 * n],
+                                      dtype=np.uint8).reshape(n, 3)
+                i += 3 * n
+            if table is None:
+                raise ValueError("no color table")
+            if w * h > _MAX_PIXELS or w == 0 or h == 0:
+                raise ValueError(
+                    f"implausible GIF dimensions {w}x{h}")
+            if i >= len(raw):
+                raise ValueError("missing LZW data")
+            min_code = raw[i]
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            i += 1
+            chunks = []
+            while i < len(raw) and raw[i] != 0:
+                ln = raw[i]
+                chunks.append(raw[i + 1:i + 1 + ln])
+                i += 1 + ln
+            idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("palette index out of range")
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:
+                rows = _deinterlace(rows)
+            return table[rows]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image frame")
+
+
+def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
+    """Real GIF-LZW: dictionary-building encoder with clear-on-full,
+    LSB-first bit packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += size
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    # width bookkeeping mirrors the decoder exactly: the decoder
+    # appends one table entry per received code EXCEPT the first after
+    # a clear, so its table length is next_code - 1 here; it widens
+    # when that length REACHES 1 << code_size — i.e. when next_code
+    # hits (1 << code_size) + 1 — and a CLEAR resets both sides when
+    # the 12-bit space fills (next_code 4097, before the fresh 4096
+    # entry could ever be looked up and emitted as a 13-bit code)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    prev = b""
+    for v in indices.tobytes():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        elif next_code == 4097:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev], code_size)
+    emit(end, code_size)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) uint8 index array + (N, 3) palette -> GIF89a bytes
+    (global color table padded to a power of two, one image frame)."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code)
+    data = _lzw_encode(min_code, indices.astype(np.uint8))
+    for j in range(0, len(data), 255):
+        chunk = data[j:j + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)

@@ -49,18 +49,23 @@ def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode: PNG is REAL (pure-stdlib zlib inflate + scanline
-    unfilter, operators/png_codec — returns an (H, W, C) uint8 numpy
-    array); JPEG/GIF pixel decode remain documented seams (no libjpeg
-    in this container — wire PIL/turbojpeg here in a deployment; their
-    CONTAINER metadata paths in image_meta.py are real)."""
-    from geoparser_spark.operators import png_codec
+    """Image decode: PNG and GIF are REAL (pure-stdlib —
+    operators/png_codec zlib inflate + scanline unfilter;
+    operators/gif_codec LZW + palette + de-interlace — both return an
+    (H, W, C) uint8 numpy array); JPEG pixel decode remains the
+    documented seam (baseline DCT entropy decoding needs libjpeg —
+    wire PIL/turbojpeg here in a deployment; its CONTAINER metadata
+    path in image_meta.py is real)."""
+    from geoparser_spark.operators import gif_codec, png_codec
 
-    if isinstance(payload, (bytes, bytearray)) and bytes(payload).startswith(
-            png_codec.PNG_SIG):
-        return png_codec.decode_png(bytes(payload))
+    if isinstance(payload, (bytes, bytearray)):
+        raw = bytes(payload)
+        if raw.startswith(png_codec.PNG_SIG):
+            return png_codec.decode_png(raw)
+        if raw[:6] in gif_codec.GIF_SIGS:
+            return gif_codec.decode_gif(raw)
     raise NotImplementedError(
-        "only PNG pixels decode in-sandbox; JPEG/GIF codecs are the "
+        "only PNG/GIF pixels decode in-sandbox; the JPEG codec is the "
         "documented deployment seam (see module docstring)")
 
 
@@ -68,27 +73,30 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                            bytes_col: str = "media_bytes",
                            ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
-    decode_ok).  Arrow-batched.  PNG payloads decode to REAL pixels and
-    emit real integer-exact pixel statistics (png_codec.pixel_features
-    — dims, per-channel mean/variance, intensity histogram, each an
-    integer aggregate + one IEEE division so a pure-Python oracle
-    reproduces them bit-for-bit); everything else goes through the
-    clearly-marked deterministic _stub_feature with decode_ok=False
-    (the embedding-model seam)."""
-    from geoparser_spark.operators import png_codec
+    decode_ok).  Arrow-batched.  PNG and GIF payloads decode to REAL
+    pixels and emit real integer-exact pixel statistics
+    (png_codec.pixel_features — dims, per-channel mean/variance,
+    intensity histogram, each an integer aggregate + one IEEE division
+    so a pure-Python oracle reproduces them bit-for-bit); everything
+    else goes through the clearly-marked deterministic _stub_feature
+    with decode_ok=False (the embedding-model seam)."""
+    from geoparser_spark.operators import gif_codec, png_codec
 
     def one(b, dim=dim):
         import struct as _struct
         import zlib as _zlib
 
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
-        if payload.startswith(png_codec.PNG_SIG):
+        is_png = payload.startswith(png_codec.PNG_SIG)
+        if is_png or payload[:6] in gif_codec.GIF_SIGS:
             # decode AND featurize inside the guard: a corrupt IDAT
             # raises zlib.error, an out-of-range palette index
-            # IndexError — damaged input must degrade to the stub path
-            # (decode_ok=False), never kill the Arrow task
+            # IndexError, a truncated LZW stream ValueError — damaged
+            # input must degrade to the stub path (decode_ok=False),
+            # never kill the Arrow task
             try:
-                img = png_codec.decode_png(payload)
+                img = (png_codec.decode_png(payload) if is_png
+                       else gif_codec.decode_gif(payload))
                 return png_codec.pixel_features(img, dim), True
             except (ValueError, NotImplementedError, OSError,
                     _zlib.error, _struct.error, IndexError):

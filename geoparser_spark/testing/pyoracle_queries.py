@@ -219,15 +219,17 @@ def simhash_pairs_sql(modulus: int = 5, max_hamming: int = 16) -> str:
 def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
     """Replica of the media-features query's BOTH paths:
 
-    * doc_id % 20 == 0 → REAL pixel statistics, recomputed straight
-      from the deterministic gradient PATTERN ((i*7 + y*w + x) % 256)
-      with pure-Python integer loops — the Spark side goes pattern →
+    * doc_id % 20 == 0 → PNG: REAL pixel statistics recomputed from
+      the greyscale gradient PATTERN ((i*7 + y*w + x) % 256) with
+      pure-Python integer loops — the Spark side goes pattern →
       encode_png → Arrow kernel → decode_png → features, so this
       replica catches any codec defect without sharing a line of it.
+    * doc_id % 20 == 10 → GIF: same discipline over the 16-color
+      palette pattern (idx = (i*5 + y*w + x) % 16, palette channel c
+      = idx·{37,59,83} mod 256) — the Spark side round-trips a real
+      LZW stream; the replica never runs LZW at all.
       Every statistic is an integer aggregate + one IEEE division,
       mirrored expression-for-expression from png_codec.pixel_features.
-    * otherwise → the _stub_feature sha256 replica over
-      encode(text, UTF-8) payloads.
 
     All emitted elements go through float32 before rounding, exactly
     as the Arrow FloatType column does."""
@@ -238,28 +240,28 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
         if i % 20 == 0:
             w, h = i % 9 + 4, i % 5 + 3
             n = w * h
-            pix = [(i * 7 + y * w + x) % 256
-                   for y in range(h) for x in range(w)]
-            s = sum(pix)
-            q = sum(p * p for p in pix)
-            feats = [w / 4096.0, h / 4096.0]
-            for _ in range(3):  # greyscale: channel index clamps to 0
-                feats.append(s / (n * 255.0))
-                feats.append((q * n - s * s) / (n * n * 65025.0))
-            bins = dim - len(feats)
-            counts = [0] * bins
-            for p in pix:
-                counts[(p * bins) // 256] += 1
-            feats.extend(c / n for c in counts)
-            ok = True
+            # greyscale: all three channel slots read channel 0
+            chans = [[(i * 7 + y * w + x) % 256
+                      for y in range(h) for x in range(w)]] * 3
         else:
-            payload = t.encode("utf-8")
-            hh = hashlib.sha256(payload or b"").digest()
-            v = np.frombuffer((hh * ((dim * 4) // len(hh) + 1))[: dim * 4],
-                              dtype=np.uint32).astype(np.float64)
-            nrm = np.linalg.norm(v) or 1.0
-            feats = list(v / nrm)
-            ok = False
+            w, h = i % 7 + 3, i % 4 + 2
+            n = w * h
+            idxs = [(i * 5 + y * w + x) % 16
+                    for y in range(h) for x in range(w)]
+            muls = (37, 59, 83)
+            chans = [[(k * m) % 256 for k in idxs] for m in muls]
+        feats = [w / 4096.0, h / 4096.0]
+        for band in chans:
+            sb = sum(band)
+            qb = sum(p * p for p in band)
+            feats.append(sb / (n * 255.0))
+            feats.append((qb * n - sb * sb) / (n * n * 65025.0))
+        bins = dim - len(feats)
+        counts = [0] * bins
+        for p in chans[0]:
+            counts[(p * bins) // 256] += 1
+        feats.extend(c / n for c in counts)
+        ok = True
         out.append((
             f"img://{i}",
             ok,
