@@ -3086,6 +3086,25 @@ def _stream_session_counts(spark, sf_dir):
     )
 
 
+_SHUFFLE_SEED = 7
+
+
+def _sample_global_shuffle(spark, sf_dir):
+    """Deterministic global training-data shuffle
+    (operators/sampling.shuffle_rank): seeded-hash total order with a
+    dense 1-based rank, computed via top-byte range buckets + a
+    256-row offset map so no single task sorts the corpus.  The ORDER
+    itself is the checked value — the oracle replays the (xxhash64,
+    id) sort in pure Python and emits the same (doc_id, shuffle_rank)
+    pairs."""
+    from geoparser_spark.operators.sampling import shuffle_rank
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 3 == 0).select("doc_id"))
+    return shuffle_rank(docs, seed=_SHUFFLE_SEED).select(
+        "doc_id", "shuffle_rank")
+
+
 def _stream_stateful_counts(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState)
     promoted to a driver query: per-key running counts maintained in
@@ -3200,7 +3219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family
         "dedup_exact": _dedup_exact,
         "dedup_exact_hashed": _dedup_exact_hashed,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_cluster": _dedup_cluster,
         "dedup_simhash": _dedup_simhash,
@@ -3240,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _sample_hash,
         "split_hash": _split_hash,
         "sample_temperature": _sample_temperature,
+        "sample_global_shuffle": _sample_global_shuffle,
         # --- streaming (session-window + custom GroupState, bounded replay)
         "stream_session_counts": _stream_session_counts,
         "stream_stateful_counts": _stream_stateful_counts,
@@ -3252,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_expiry_accounting": _snapshot_expiry_accounting,
         # ---------------- entry 51+: breadth families ----------------
         "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "text_repetition_signals": _text_repetition,
         "text_compression_ratio": _text_compression,
         "text_unicode_norm": _text_unicode_norm,
@@ -4353,6 +4373,8 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM s GROUP BY user_id, sid"""
+    out["sample_global_shuffle"] = PQ.shuffle_rank_sql(
+        modulus=3, seed=_SHUFFLE_SEED)
     out["stream_stateful_counts"] = """
         SELECT CAST(user_id AS VARCHAR) AS key,
                count(*) AS n_events,

@@ -185,3 +185,70 @@ def temperature_mix(df: DataFrame, temperature: float,
     rates = temperature_rates_bp(counts, temperature, target_frac, den)
     return weighted_sample(df, rates, id_col=id_col, group_col=group_col,
                            default_bp=den, den=den)
+
+
+def shuffle_rank(df: DataFrame, id_col: str = "doc_id",
+                 seed: int = 0) -> DataFrame:
+    """Deterministic GLOBAL shuffle order for training-data export: the
+    final step of every LLM pipeline is a corpus-wide permutation so
+    adjacent training batches decorrelate, and a seeded hash sort is
+    the distributed-stable way to get one — xxhash64(id, seed) is the
+    sort key, so the permutation is a pure function of (ids, seed):
+    re-runs, retries and different partitionings all produce the SAME
+    order, and changing the seed reshuffles.
+
+    Returns the input plus a dense 1-based ``shuffle_rank``.  The rank
+    needs a total order, which costs one RANGE exchange (sort on the
+    hash) — unavoidable for a materialized global permutation, and
+    exactly the exchange the subsequent ordered write would pay
+    anyway.  Hash ties (two ids hashing equal) break on the id itself,
+    keeping the order total and reproducible.
+
+    At export time most callers skip the rank and just
+    ``df.repartitionByRange/sortWithinPartitions`` on the same key —
+    this operator exists so the ORDER ITSELF is a value-checkable
+    artifact (the driver hashes (id, rank) pairs against a replica).
+
+    Shape: a bare ``row_number() OVER (ORDER BY hash)`` would move the
+    whole corpus into ONE window partition (the classic single-task
+    sort).  Instead the hash's top byte becomes a RANGE bucket
+    (arithmetic shiftright is monotone over the signed key, so bucket
+    asc + within-bucket key asc IS the global order), ranks are
+    computed per bucket, and a 256-row exclusive-cumsum offset map —
+    one tiny collected aggregate — lifts them to global ranks.  One
+    corpus exchange on the bucket, 256 balanced sort tasks.
+    """
+    from pyspark.sql import Window
+
+    # seed rides as LONG: xxhash64's int32 path hashes differently
+    # than int64 (the pack_sequences lesson), and the pure-Python
+    # replica folds 64-bit values
+    key = F.xxhash64(F.col(id_col), F.lit(seed).cast("long"))
+    bucket = F.shiftright(key, 56).cast("int")  # signed: -128..127
+    counts = {
+        r["b"]: r["n"]
+        for r in df.select(bucket.alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[F.lit(x) for b in sorted(offsets)
+          for x in (b, offsets[b])]) if offsets else F.create_map()
+    w = (
+        Window.partitionBy("_sbucket")
+        .orderBy(F.col("_skey").asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("_skey", key)
+        .withColumn("_sbucket", bucket)
+        .withColumn(
+            "shuffle_rank",
+            (F.row_number().over(w)
+             + F.element_at(off_map, F.col("_sbucket"))).cast("long"),
+        )
+        .drop("_skey", "_sbucket")
+    )

@@ -1166,3 +1166,18 @@ def lsh_recall_matrix_sql(modulus: int = 20,
             out.append((nh, bands, float(t), nt, nf, recall))
     return values_sql(out, ["num_hashes", "bands", "threshold",
                             "n_truth", "n_truth_found", "recall"])
+
+
+def shuffle_rank_sql(modulus: int = 3, seed: int = 7) -> str:
+    """Replica of sampling.shuffle_rank over every modulus-th doc: sort
+    by (spark_xxhash64(doc_id, seed), doc_id) — both 64-bit signed,
+    matching the operator's long-cast seed — and emit dense 1-based
+    ranks.  The replica never buckets; if the operator's range-bucket
+    + offset lift disagreed with the plain total order anywhere, the
+    hash check catches it."""
+    rows = read_table("documents", "doc_id",
+                      f"doc_id % {modulus} = 0")
+    ids = [int(r[0]) for r in rows]
+    order = sorted(ids, key=lambda i: (spark_xxhash64(i, seed), i))
+    out = [(i, rank) for rank, i in enumerate(order, start=1)]
+    return values_sql(out, ["doc_id", "shuffle_rank"])

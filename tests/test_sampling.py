@@ -147,3 +147,25 @@ def test_temperature_mix_deterministic(spark):
     b = sorted(r.doc_id for r in
                temperature_mix(d.repartition(13), 4.0, 0.4).collect())
     assert a == b and 0 < len(a) < 300
+
+
+def test_shuffle_rank_deterministic_and_seeded(spark):
+    from geoparser_spark.operators.sampling import shuffle_rank
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.shuffle_rank
+         for r in shuffle_rank(df, seed=1).collect()}
+    # dense 1..n, stable across partitionings
+    assert sorted(a.values()) == list(range(1, 501))
+    b = {r.doc_id: r.shuffle_rank
+         for r in shuffle_rank(df.repartition(13), seed=1).collect()}
+    assert a == b
+    c = {r.doc_id: r.shuffle_rank
+         for r in shuffle_rank(df, seed=2).collect()}
+    assert c != a                       # seed actually reshuffles
+    assert sorted(c.values()) == list(range(1, 501))
+    # a shuffle must not correlate with id order: long monotone id runs
+    # in rank order would mean it is not a permutation worth the name
+    by_rank = [doc for doc, _ in sorted(a.items(), key=lambda kv: kv[1])]
+    runs = sum(1 for x, y in zip(by_rank, by_rank[1:]) if y == x + 1)
+    assert runs < 25
