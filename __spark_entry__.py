@@ -947,7 +947,7 @@ def _mm_media_features(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").where(
         F.col("doc_id") % 10 == 0
-    ).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
 
     def wrap(batches):
         import numpy as np
@@ -956,9 +956,15 @@ def _mm_media_features(spark, sf_dir):
         from geoparser_spark.operators.gif_codec import encode_gif
         from geoparser_spark.operators.png_codec import encode_png
 
+        # loop-invariant 16-color palette (channel c = idx*{37,59,83})
+        pal = np.stack([
+            (np.arange(16) * 37) % 256,
+            (np.arange(16) * 59) % 256,
+            (np.arange(16) * 83) % 256,
+        ], axis=1).astype(np.uint8)
         for pdf in batches:
             refs, blobs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 if i % 20 == 0:
                     w, h = i % 9 + 4, i % 5 + 3
@@ -969,11 +975,6 @@ def _mm_media_features(spark, sf_dir):
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w
                             + np.arange(w)[None, :]) % 16).astype(np.uint8)
-                    pal = np.stack([
-                        (np.arange(16) * 37) % 256,
-                        (np.arange(16) * 59) % 256,
-                        (np.arange(16) * 83) % 256,
-                    ], axis=1).astype(np.uint8)
                     blobs.append(encode_gif(idx, pal))
                 refs.append(f"img://{i}")
             yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
@@ -3039,6 +3040,29 @@ def _eval_lsh_recall_matrix(spark, sf_dir):
         corpus, _MATRIX_GRADE_OFFSET, _MATRIX_CONFIGS, _MATRIX_THRESHOLDS)
 
 
+def _run_stream_in_two_batches(spark, first, second, runner):
+    """Shared scaffold for the streaming driver queries: write `first`
+    as the stream input, run the availableNow query to completion,
+    append `second`, run again against the SAME checkpoint (state
+    continuity across restarts is the point), and return the output
+    dir.  awaitTermination's result is CHECKED — on a steal-stalled
+    host a silent timeout would let the second run start against a
+    still-active checkpoint and fail with a confusing error."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="gp_stream_q_")
+    ev_dir, out, ckpt = (os.path.join(work, d)
+                         for d in ("ev", "out", "ckpt"))
+    first.write.parquet(ev_dir)
+    if not runner(spark, ev_dir, out, ckpt).awaitTermination(300):
+        raise TimeoutError("streaming driver query run 1 did not finish")
+    second.write.mode("append").parquet(ev_dir)
+    if not runner(spark, ev_dir, out, ckpt).awaitTermination(300):
+        raise TimeoutError("streaming driver query run 2 did not finish")
+    return out
+
+
 def _stream_session_counts(spark, sf_dir):
     """Structured-Streaming session windows promoted to a driver query:
     the same 30-minute-gap semantics as events_sessionize, computed by
@@ -3051,9 +3075,6 @@ def _stream_session_counts(spark, sf_dir):
     DuckDB lag/cumsum sessionization with session_window's boundary
     rule (a new session starts at gap >= 30 min, end = last + 30 min).
     """
-    import os
-    import tempfile
-
     from geoparser_spark.streaming.incremental import run_session_counts
 
     ev = (
@@ -3062,21 +3083,18 @@ def _stream_session_counts(spark, sf_dir):
         .select("ts", "user_id",
                 F.round(F.col("value") * 100).cast("long").alias("value"))
     )
-    work = tempfile.mkdtemp(prefix="gp_stream_sess_")
-    ev_dir, out, ckpt = (os.path.join(work, d)
-                         for d in ("ev", "out", "ckpt"))
-    ev.write.parquet(ev_dir)
-    schema = "ts timestamp, user_id bigint, value bigint"
-    run_session_counts(spark, ev_dir, out, ckpt,
-                       schema=schema).awaitTermination(300)
     sentinel = ev.agg(F.max("ts").alias("m")).select(
         (F.col("m") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
         F.lit(-1).cast("long").alias("user_id"),
         F.lit(0).cast("long").alias("value"),
     )
-    sentinel.write.mode("append").parquet(ev_dir)
-    run_session_counts(spark, ev_dir, out, ckpt,
-                       schema=schema).awaitTermination(300)
+    schema = "ts timestamp, user_id bigint, value bigint"
+
+    def runner(spark_, ev_dir, out, ckpt):
+        return run_session_counts(spark_, ev_dir, out, ckpt,
+                                  schema=schema)
+
+    out = _run_stream_in_two_batches(spark, ev, sentinel, runner)
     return (
         spark.read.parquet(out)
         .where(F.col("user_id") >= 0)
@@ -3115,9 +3133,6 @@ def _stream_stateful_counts(spark, sf_dir):
     double state column — float64 sums of integers are exact in any
     accumulation order, so the result is deterministic and the oracle
     is one GROUP BY over the full replay."""
-    import os
-    import tempfile
-
     from geoparser_spark.streaming.stateful import run_stateful_counts
 
     ev = (
@@ -3127,15 +3142,12 @@ def _stream_stateful_counts(spark, sf_dir):
                 F.round(F.col("value") * 100).cast("double").alias("value"),
                 "event_id")
     )
-    work = tempfile.mkdtemp(prefix="gp_stream_state_")
-    ev_dir, out, ckpt = (os.path.join(work, d)
-                         for d in ("ev", "out", "ckpt"))
-    ev.where(F.col("event_id") % 2 == 0).drop("event_id") \
-        .write.parquet(ev_dir)
-    run_stateful_counts(spark, ev_dir, out, ckpt).awaitTermination(300)
-    ev.where(F.col("event_id") % 2 == 1).drop("event_id") \
-        .write.mode("append").parquet(ev_dir)
-    run_stateful_counts(spark, ev_dir, out, ckpt).awaitTermination(300)
+    out = _run_stream_in_two_batches(
+        spark,
+        ev.where(F.col("event_id") % 2 == 0).drop("event_id"),
+        ev.where(F.col("event_id") % 2 == 1).drop("event_id"),
+        run_stateful_counts,
+    )
     res = spark.read.parquet(out)
     from pyspark.sql import Window as W
 

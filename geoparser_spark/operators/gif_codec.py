@@ -223,6 +223,11 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     (global color table padded to a power of two, one image frame)."""
     h, w = indices.shape
     n = len(palette)
+    if not 1 <= n <= 256:
+        # bits-1 above 7 would overflow the 3-bit GCT size field in the
+        # packed byte and emit a structurally corrupt header; an empty
+        # palette would silently compute bits from (-1).bit_length()
+        raise ValueError(f"GIF palette must have 1..256 entries, got {n}")
     bits = max(1, (n - 1).bit_length())
     size = 1 << bits
     pal = np.zeros((size, 3), dtype=np.uint8)

@@ -235,9 +235,13 @@ def shuffle_rank(df: DataFrame, id_col: str = "doc_id",
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
+    # offsets and the within-bucket rank add in LONG: a corpus past
+    # 2^31 rows (the operator's stated scale) would overflow an int32
+    # sum before any after-the-fact cast could save it
     off_map = F.create_map(
-        *[F.lit(x) for b in sorted(offsets)
-          for x in (b, offsets[b])]) if offsets else F.create_map()
+        *[x for b in sorted(offsets)
+          for x in (F.lit(b), F.lit(offsets[b]).cast("long"))]
+    ) if offsets else F.create_map()
     w = (
         Window.partitionBy("_sbucket")
         .orderBy(F.col("_skey").asc(), F.col(id_col).asc())
@@ -247,8 +251,8 @@ def shuffle_rank(df: DataFrame, id_col: str = "doc_id",
         .withColumn("_sbucket", bucket)
         .withColumn(
             "shuffle_rank",
-            (F.row_number().over(w)
-             + F.element_at(off_map, F.col("_sbucket"))).cast("long"),
+            F.row_number().over(w).cast("long")
+            + F.element_at(off_map, F.col("_sbucket")),
         )
         .drop("_skey", "_sbucket")
     )

@@ -233,9 +233,9 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
 
     All emitted elements go through float32 before rounding, exactly
     as the Arrow FloatType column does."""
-    rows = read_table("documents", "doc_id, text", f"doc_id % {modulus} = 0")
+    rows = read_table("documents", "doc_id", f"doc_id % {modulus} = 0")
     out = []
-    for i, t in rows:
+    for (i,) in rows:
         i = int(i)
         if i % 20 == 0:
             w, h = i % 9 + 4, i % 5 + 3

@@ -80,3 +80,11 @@ def test_media_features_real_gif_path(spark):
     assert got.decode_ok is True
     expect = pixel_features(pal[idx], 16)
     assert got.feature == pytest.approx([np.float32(x) for x in expect])
+
+
+def test_encode_rejects_bad_palette_sizes():
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    for n in (0, 257, 300):
+        pal = np.zeros((n, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="palette"):
+            encode_gif(idx, pal)
