@@ -142,7 +142,7 @@ def main() -> int:
         "profile_histogram", "events_cube", "dedup_substring",
         "text_unicode_norm", "dedup_lsh_incremental", "ann_knn_join",
         "sample_temperature", "curation_familiarity2", "text_all_signals",
-        "eval_lsh_recall_matrix",
+        "eval_lsh_recall_matrix", "sample_global_shuffle",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}
