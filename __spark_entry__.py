@@ -3215,73 +3215,23 @@ def _snapshot_expiry_accounting(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for graded evidence: the driver's correctness
-    # window covers the FIRST 50 entries, so the flagship families
-    # (extract/geotag, the full dedup+ANN+curation+text+sampling LLM
-    # pipeline, web, streaming, snapshots) lead, and the relational
-    # breadth (q1-q15, events analytics, multimodal, TPC-H) follows —
-    # every entry is still value-oracled by the local harness either
-    # way (tools/check_oracles.py runs all of them).
+    # window covers the FIRST 50 entries.  Rounds 1-4 ran the flagship
+    # extract/geotag + LLM-pipeline families through that window (all
+    # green, CORRECTNESS_r04.json 50/50); round 5 rotates per VERDICT
+    # r4 #2 — five canary flagships stay on top, then the 45 breadth
+    # queries that have never had a driver row (serve q1-q15, events
+    # analytics incl. as-of/interval/salted joins, multimodal, source
+    # round-trips) fill slots 6-50, accumulating driver-green coverage
+    # to ~95/124 across rounds.  Every entry is still value-oracled by
+    # the local harness either way (tools/check_oracles.py runs all).
     return {
-        # --- flagship extraction + geotag (the north-star pipeline)
+        # --- canary flagships (driver-green r4; regression tripwires)
         "pipeline_extract_spans": _flagship_extract,
         "extract_format_breadth": _extract_format_breadth,
-        "geotag_candidates": _geotag_candidates,
-        "geotag_primary": _geotag_primary,
         "geotag_full_pipeline": _geotag_full,
-        # --- dedup family
-        "dedup_exact": _dedup_exact,
-        "dedup_exact_hashed": _dedup_exact_hashed,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_cluster": _dedup_cluster,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_embedding_cosine": _dedup_cosine,
-        "dedup_embedding_lsh": _dedup_embedding_lsh,
-        "dedup_lines": _dedup_lines,
-        "dedup_lines_cms": _dedup_lines_cms,
-        "dedup_levenshtein": _dedup_levenshtein,
-        "dedup_semantic": _dedup_semantic,
-        "dedup_substring": _dedup_substring,
-        "dedup_lsh_incremental": _dedup_lsh_incremental,
-        "dedup_winnow": _dedup_winnow,
-        # --- similarity / ANN + banding self-evaluation
-        "sim_topk_bruteforce": _sim_topk,
-        "ann_ivf_topk": _ann_ivf,
-        "ann_knn_join": _ann_knn_join,
-        "eval_lsh_recall": _eval_lsh_recall,
-        "eval_lsh_recall_matrix": _eval_lsh_recall_matrix,
-        # --- curation
-        "curation_pipeline": _curation_pipeline,
-        "curation_decontaminate": _curation_decontaminate,
-        "curation_familiarity": _curation_familiarity,
-        "curation_familiarity2": _curation_familiarity2,
-        "curation_source_filter": _curation_source_filter,
-        # --- text signals / tokenization
-        "text_token_count": _text_tokens,
-        "text_lang_id": _text_lang,
-        "text_quality_score": _text_quality,
-        "text_fingerprint": _text_fingerprint,
-        "text_all_signals": _text_all_signals,
-        "text_pii_scrub": _text_pii_scrub,
-        "text_chunk_windows": _text_chunk_windows,
-        "text_pack_sequences": _text_pack_sequences,
-        "text_tfidf_topk": _text_tfidf_topk,
-        "text_bpe_encode": _text_bpe_encode,
-        # --- sampling / splits
-        "sample_hash": _sample_hash,
-        "split_hash": _split_hash,
-        "sample_temperature": _sample_temperature,
-        "sample_global_shuffle": _sample_global_shuffle,
-        # --- streaming (session-window + custom GroupState, bounded replay)
-        "stream_session_counts": _stream_session_counts,
-        "stream_stateful_counts": _stream_stateful_counts,
-        # --- web graph
-        "web_url_dedup": _web_url_dedup,
-        "web_host_pagerank": _web_host_pagerank,
-        # --- snapshot / MERGE / retention layer
-        "snapshot_merge_upsert": _snapshot_merge_upsert,
         "snapshot_append_dedup": _snapshot_append_dedup,
-        "snapshot_expiry_accounting": _snapshot_expiry_accounting,
-        # ---------------- entry 51+: breadth families ----------------
+        # --- slots 6-50: never-driver-checked breadth (rotation) ---
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "text_repetition_signals": _text_repetition,
@@ -3291,8 +3241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh,
         "sample_cap_per_group": _sample_cap_per_group,
         "sample_weighted": _sample_weighted,
-        "eval_keyword_match": _eval_keyword_match,
-        "eval_keyword_total": _eval_keyword_total,
         "snapshot_time_travel": _snapshot_time_travel,
         "web_extract_links": _web_extract_links,
         "warc_roundtrip": _warc_roundtrip,
@@ -3322,11 +3270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_join": _events_salted_join,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
-        "geo_zorder_cells": _geo_zorder_cells,
-        "docs_rollup_counts": _docs_rollup_counts,
-        "docs_length_quartiles": _docs_length_quartiles,
-        "profile_documents": _profile_documents,
-        "profile_histogram": _profile_histogram,
         "multimodal_frame_plan": _mm_frame_plan,
         "multimodal_media_features": _mm_media_features,
         "multimodal_image_meta": _mm_image_meta,
@@ -3334,6 +3277,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": _mm_audio_meta,
         "multimodal_video_meta": _mm_video_meta,
         "multimodal_clip_plan": _mm_clip_plan,
+        # ------- entry 51+: driver-green in r4 (harness still runs all)
+        "geotag_candidates": _geotag_candidates,
+        "geotag_primary": _geotag_primary,
+        "dedup_exact": _dedup_exact,
+        "dedup_exact_hashed": _dedup_exact_hashed,
+        "dedup_cluster": _dedup_cluster,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding_cosine": _dedup_cosine,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "dedup_lines": _dedup_lines,
+        "dedup_lines_cms": _dedup_lines_cms,
+        "dedup_levenshtein": _dedup_levenshtein,
+        "dedup_semantic": _dedup_semantic,
+        "dedup_substring": _dedup_substring,
+        "dedup_lsh_incremental": _dedup_lsh_incremental,
+        "dedup_winnow": _dedup_winnow,
+        "sim_topk_bruteforce": _sim_topk,
+        "ann_ivf_topk": _ann_ivf,
+        "ann_knn_join": _ann_knn_join,
+        "eval_lsh_recall": _eval_lsh_recall,
+        "eval_lsh_recall_matrix": _eval_lsh_recall_matrix,
+        "curation_pipeline": _curation_pipeline,
+        "curation_decontaminate": _curation_decontaminate,
+        "curation_familiarity": _curation_familiarity,
+        "curation_familiarity2": _curation_familiarity2,
+        "curation_source_filter": _curation_source_filter,
+        "text_token_count": _text_tokens,
+        "text_lang_id": _text_lang,
+        "text_quality_score": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "text_all_signals": _text_all_signals,
+        "text_pii_scrub": _text_pii_scrub,
+        "text_chunk_windows": _text_chunk_windows,
+        "text_pack_sequences": _text_pack_sequences,
+        "text_tfidf_topk": _text_tfidf_topk,
+        "text_bpe_encode": _text_bpe_encode,
+        "sample_hash": _sample_hash,
+        "split_hash": _split_hash,
+        "sample_temperature": _sample_temperature,
+        "sample_global_shuffle": _sample_global_shuffle,
+        "stream_session_counts": _stream_session_counts,
+        "stream_stateful_counts": _stream_stateful_counts,
+        "web_url_dedup": _web_url_dedup,
+        "web_host_pagerank": _web_host_pagerank,
+        "snapshot_merge_upsert": _snapshot_merge_upsert,
+        "snapshot_expiry_accounting": _snapshot_expiry_accounting,
+        "eval_keyword_match": _eval_keyword_match,
+        "eval_keyword_total": _eval_keyword_total,
+        "geo_zorder_cells": _geo_zorder_cells,
+        "docs_rollup_counts": _docs_rollup_counts,
+        "docs_length_quartiles": _docs_length_quartiles,
+        "profile_documents": _profile_documents,
+        "profile_histogram": _profile_histogram,
         "tpch_q1_pricing": _tpch_q1,
         "tpch_q3_shipping": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,

@@ -22,9 +22,21 @@ reason.  vmstat samples steal every 2 s for the whole session so
 round-over-round comparisons can tell plan regressions from platform
 noise.
 
+Every session also embeds TWO zero-Spark platform micro-controls
+(VERDICT r4 #1), run at session start and end at the same process
+count: a cache-resident HTML-parse loop (CPU-ceiling probe) and
+strided sums over 64 MB/process buffers (shared-memory-bus probe).
+Their throughputs ride in the JSON under "controls", so a cross-round
+wall comparison can first normalize by the box's own measured health
+in the SAME window — bandwidth-bound query families on this VM swing
+26-65% with bus contention while cache-resident ones stay flat, and
+the control pair tells the two stories apart without separate probe
+runs.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), BENCH_N_DOCS (override corpus size),
-     BENCH_RUNS (override measured runs per query, default 4).
+     BENCH_RUNS (override measured runs per query, default 4),
+     BENCH_SKIP_CONTROLS=1 (skip the platform controls).
 """
 
 from __future__ import annotations
@@ -105,12 +117,30 @@ def run_pipeline(spark, n_docs: int, gaz, mega_every: int = 1000,
     return min(walls), n
 
 
+def _platform_controls(procs: int) -> dict:
+    """Both micro-controls at ``procs`` processes; {} when skipped."""
+    if os.environ.get("BENCH_SKIP_CONTROLS"):
+        return {}
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from scaling_bench import CONTROL, CONTROL_BW, platform_control_at
+
+    return {
+        "parse_tp": round(platform_control_at(procs, CONTROL), 1),
+        "bw_tp": round(platform_control_at(procs, CONTROL_BW), 2),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
     n_docs = int(os.environ.get("BENCH_N_DOCS", max(int(200_000 * sf), 1000)))
     n_runs = int(os.environ.get("BENCH_RUNS", 4))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     steal = _StealSampler()
+    # platform controls BEFORE the JVM exists: the measurement is the
+    # box, not contention with our own executor threads
+    ctl_start = _platform_controls(cpus)
     spark = get_spark(app_name="geoparser-bench")
     from geoparser_spark.testing.gazetteer import gazetteer_df
 
@@ -155,6 +185,10 @@ def main() -> int:
                 walls.append(time.monotonic() - t0)
         times[name] = round(min(walls), 3)
 
+    spark.stop()
+    # and again AFTER: start-vs-end drift flags a window that degraded
+    # mid-session (one more story min-of-4 cannot tell on its own)
+    ctl_end = _platform_controls(cpus)
     result = {
         "metric": "extract_geotag_wall_sec",
         "value": round(wall, 3),
@@ -165,9 +199,9 @@ def main() -> int:
         "docs_per_sec": round(n_docs / wall, 2),
         "runs_per_query": n_runs,
         "steal": steal.stop(),
+        "controls": {"procs": cpus, "start": ctl_start, "end": ctl_end},
     }
     print(json.dumps(result))
-    spark.stop()
     return 0
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import base64
 import binascii
+import math
 import re
 import struct
 
@@ -146,6 +147,10 @@ def _fmt_number(v: float) -> str:
     """Deterministic cell rendering for numeric records: integers plain,
     everything else shortest-roundtrip repr (mirrors how the xlsx path
     surfaces raw <v> values)."""
+    # inf/nan first: int(inf) raises OverflowError/ValueError, which is
+    # outside the module's "damaged input degrades to []" except tuples
+    if not math.isfinite(v):
+        return repr(v)
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)

@@ -733,6 +733,14 @@ def lsh_recall_matrix(corpus: DataFrame, planted_offset: int,
     Returns (num_hashes, bands, threshold, n_truth, n_truth_found,
     recall) with recall = 1.0 when n_truth = 0 (vacuous).
     """
+    for nh, bands in configs:
+        # a (64, 24) config would silently measure a 48-hash scheme
+        # (rows = nh // bands truncates the signature tail) while
+        # REPORTING num_hashes=64 — reject mislabeled measurements
+        if bands <= 0 or nh % bands:
+            raise ValueError(
+                f"num_hashes must divide evenly into bands, got "
+                f"({nh}, {bands})")
     spark = corpus.sparkSession
     max_h = max(nh for nh, _ in configs)
     sigs = minhash_signatures(corpus, n, max_h, text_col, id_col).persist()

@@ -49,14 +49,15 @@ def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode: PNG and GIF are REAL (pure-stdlib —
-    operators/png_codec zlib inflate + scanline unfilter;
-    operators/gif_codec LZW + palette + de-interlace — both return an
-    (H, W, C) uint8 numpy array); JPEG pixel decode remains the
-    documented seam (baseline DCT entropy decoding needs libjpeg —
-    wire PIL/turbojpeg here in a deployment; its CONTAINER metadata
-    path in image_meta.py is real)."""
-    from geoparser_spark.operators import gif_codec, png_codec
+    """Image decode: PNG, GIF and baseline JPEG are REAL (pure
+    stdlib+numpy — operators/png_codec zlib inflate + scanline
+    unfilter; operators/gif_codec LZW + palette + de-interlace;
+    operators/jpeg_codec Huffman entropy decode + FIXED-POINT integer
+    IDCT, bit-deterministic per ISO 10918-1 — each returns an
+    (H, W[, C]) uint8 numpy array).  Progressive/arithmetic JPEG,
+    Adam7/16-bit PNG raise NotImplementedError (degrade contract);
+    other formats (TIFF/WEBP/...) stay the documented decoder seam."""
+    from geoparser_spark.operators import gif_codec, jpeg_codec, png_codec
 
     if isinstance(payload, (bytes, bytearray)):
         raw = bytes(payload)
@@ -64,23 +65,26 @@ def decode_image(payload: bytes) -> "object":
             return png_codec.decode_png(raw)
         if raw[:6] in gif_codec.GIF_SIGS:
             return gif_codec.decode_gif(raw)
+        if raw.startswith(jpeg_codec.JPEG_SIG):
+            return jpeg_codec.decode_jpeg(raw)
     raise NotImplementedError(
-        "only PNG/GIF pixels decode in-sandbox; the JPEG codec is the "
-        "documented deployment seam (see module docstring)")
+        "only PNG/GIF/baseline-JPEG pixels decode in-sandbox; other "
+        "formats are the documented decoder seam (see module docstring)")
 
 
 def extract_media_features(media: DataFrame, dim: int = 16,
                            bytes_col: str = "media_bytes",
                            ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
-    decode_ok).  Arrow-batched.  PNG and GIF payloads decode to REAL
-    pixels and emit real integer-exact pixel statistics
+    decode_ok).  Arrow-batched.  PNG, GIF and baseline-JPEG payloads
+    decode to REAL pixels and emit real integer-exact pixel statistics
     (png_codec.pixel_features — dims, per-channel mean/variance,
     intensity histogram, each an integer aggregate + one IEEE division
-    so a pure-Python oracle reproduces them bit-for-bit); everything
-    else goes through the clearly-marked deterministic _stub_feature
-    with decode_ok=False (the embedding-model seam)."""
-    from geoparser_spark.operators import gif_codec, png_codec
+    so a pure-Python oracle reproduces them bit-for-bit; JPEG pixels
+    themselves are bit-deterministic via the fixed-point integer IDCT);
+    everything else goes through the clearly-marked deterministic
+    _stub_feature with decode_ok=False (the embedding-model seam)."""
+    from geoparser_spark.operators import gif_codec, jpeg_codec, png_codec
 
     def one(b, dim=dim):
         import struct as _struct
@@ -88,14 +92,17 @@ def extract_media_features(media: DataFrame, dim: int = 16,
 
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
         is_png = payload.startswith(png_codec.PNG_SIG)
-        if is_png or payload[:6] in gif_codec.GIF_SIGS:
+        is_jpeg = payload.startswith(jpeg_codec.JPEG_SIG)
+        if is_png or is_jpeg or payload[:6] in gif_codec.GIF_SIGS:
             # decode AND featurize inside the guard: a corrupt IDAT
             # raises zlib.error, an out-of-range palette index
-            # IndexError, a truncated LZW stream ValueError — damaged
-            # input must degrade to the stub path (decode_ok=False),
-            # never kill the Arrow task
+            # IndexError, a truncated LZW stream ValueError, a
+            # progressive JPEG NotImplementedError — damaged or
+            # unsupported input must degrade to the stub path
+            # (decode_ok=False), never kill the Arrow task
             try:
                 img = (png_codec.decode_png(payload) if is_png
+                       else jpeg_codec.decode_jpeg(payload) if is_jpeg
                        else gif_codec.decode_gif(payload))
                 return png_codec.pixel_features(img, dim), True
             except (ValueError, NotImplementedError, OSError,

@@ -144,7 +144,12 @@ def decode_png(raw: bytes) -> np.ndarray:
     if color_type == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
-        img = palette[img[:, :, 0]]
+        idx = img[:, :, 0]
+        # mirror gif_codec: a numpy IndexError here would violate the
+        # documented malformed-stream ValueError contract
+        if idx.size and int(idx.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        img = palette[idx]
     return img
 
 

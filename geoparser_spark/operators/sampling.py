@@ -187,8 +187,30 @@ def temperature_mix(df: DataFrame, temperature: float,
                            default_bp=den, den=den)
 
 
+#: finest range-bucket grain: top 16 bits of the sort hash.  The
+#: per-bucket count collect is bounded by 2^16 rows (~1 MB) no matter
+#: the corpus size, and every coarser grain is a prefix of this one
+#: (bucket_b = bucket_16 >> (16 - b)), so ONE counting job serves any
+#: derived bucket width.
+_SHUFFLE_MAX_BITS = 16
+_SHUFFLE_MIN_BITS = 8
+
+
+def _shuffle_bucket_bits(n_rows: int,
+                         target_rows_per_bucket: int = 4_000_000) -> int:
+    """Bucket width (in hash bits) for an ``n_rows`` corpus: enough
+    buckets that each sort task holds ~``target_rows_per_bucket`` rows,
+    clamped to [8, 16].  10^12 rows -> 16 bits -> 65,536 sort tasks of
+    ~15M rows each; small test corpora stay at 256 buckets.  Pure
+    driver arithmetic, unit-tested directly."""
+    needed = max(1, -(-n_rows // max(1, target_rows_per_bucket)))
+    bits = (needed - 1).bit_length()  # ceil(log2(needed)), 0 for 1
+    return min(_SHUFFLE_MAX_BITS, max(_SHUFFLE_MIN_BITS, bits))
+
+
 def shuffle_rank(df: DataFrame, id_col: str = "doc_id",
-                 seed: int = 0) -> DataFrame:
+                 seed: int = 0, bucket_bits: int | None = None,
+                 target_rows_per_bucket: int = 4_000_000) -> DataFrame:
     """Deterministic GLOBAL shuffle order for training-data export: the
     final step of every LLM pipeline is a corpus-wide permutation so
     adjacent training batches decorrelate, and a seeded hash sort is
@@ -211,48 +233,79 @@ def shuffle_rank(df: DataFrame, id_col: str = "doc_id",
 
     Shape: a bare ``row_number() OVER (ORDER BY hash)`` would move the
     whole corpus into ONE window partition (the classic single-task
-    sort).  Instead the hash's top byte becomes a RANGE bucket
-    (arithmetic shiftright is monotone over the signed key, so bucket
-    asc + within-bucket key asc IS the global order), ranks are
-    computed per bucket, and a 256-row exclusive-cumsum offset map —
-    one tiny collected aggregate — lifts them to global ranks.  One
-    corpus exchange on the bucket, 256 balanced sort tasks.
+    sort).  Instead the hash's top ``bucket_bits`` bits become a RANGE
+    bucket (arithmetic shiftright is monotone over the signed key, so
+    bucket asc + within-bucket key asc IS the global order), ranks are
+    computed per bucket, and an exclusive-cumsum offset table — one
+    tiny collected aggregate, broadcast back — lifts them to global
+    ranks.  One corpus exchange on the bucket, 2^bucket_bits balanced
+    sort tasks.
+
+    ``bucket_bits`` SCALES WITH THE DATA: by default the counting job
+    (always at 16-bit grain, a <=65,536-row collect regardless of
+    corpus size) also yields the row count, and the bucket width is
+    derived so each sort task holds ~``target_rows_per_bucket`` rows —
+    a 10^12-row corpus sorts across 65,536 tasks, not a fixed 256.
+    Coarser grains are bit-prefixes of the 16-bit grain, so the merge
+    is driver-side arithmetic on the already-collected counts.
+
+    The counts and the ranking are two Spark jobs over the same input
+    plan; if a nondeterministic source shifts between them, a bucket
+    absent from the offset table fails LOUDLY (raise_error) instead of
+    silently emitting NULL ranks.  Callers with nondeterministic inputs
+    should persist upstream first.
     """
     from pyspark.sql import Window
 
+    if bucket_bits is not None and not (
+            _SHUFFLE_MIN_BITS <= bucket_bits <= _SHUFFLE_MAX_BITS):
+        raise ValueError(
+            f"bucket_bits must be in [{_SHUFFLE_MIN_BITS}, "
+            f"{_SHUFFLE_MAX_BITS}], got {bucket_bits}")
     # seed rides as LONG: xxhash64's int32 path hashes differently
     # than int64 (the pack_sequences lesson), and the pure-Python
     # replica folds 64-bit values
     key = F.xxhash64(F.col(id_col), F.lit(seed).cast("long"))
-    bucket = F.shiftright(key, 56).cast("int")  # signed: -128..127
-    counts = {
+    fine = F.shiftright(key, 64 - _SHUFFLE_MAX_BITS).cast("int")
+    fine_counts = {
         r["b"]: r["n"]
-        for r in df.select(bucket.alias("b"))
+        for r in df.select(fine.alias("b"))
         .groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
+    bits = (bucket_bits if bucket_bits is not None
+            else _shuffle_bucket_bits(sum(fine_counts.values()),
+                                      target_rows_per_bucket))
+    counts: dict[int, int] = {}
+    for b16, n in fine_counts.items():
+        counts[b16 >> (_SHUFFLE_MAX_BITS - bits)] = counts.get(
+            b16 >> (_SHUFFLE_MAX_BITS - bits), 0) + n
     # offsets and the within-bucket rank add in LONG: a corpus past
     # 2^31 rows (the operator's stated scale) would overflow an int32
     # sum before any after-the-fact cast could save it
-    off_map = F.create_map(
-        *[x for b in sorted(offsets)
-          for x in (F.lit(b), F.lit(offsets[b]).cast("long"))]
-    ) if offsets else F.create_map()
+    offsets: list[tuple[int, int]] = []
+    acc = 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, schema="_sbucket int, _soff long")
+    bucket = F.shiftright(key, 64 - bits).cast("int")
     w = (
         Window.partitionBy("_sbucket")
         .orderBy(F.col("_skey").asc(), F.col(id_col).asc())
     )
+    lifted = F.when(
+        F.col("_soff").isNull(),
+        F.raise_error(F.concat(
+            F.lit("shuffle_rank: bucket "), F.col("_sbucket").cast("string"),
+            F.lit(" missing from offset table — input changed between "
+                  "the counting and ranking jobs; persist the input"))),
+    ).otherwise(F.row_number().over(w).cast("long") + F.col("_soff"))
     return (
         df.withColumn("_skey", key)
         .withColumn("_sbucket", bucket)
-        .withColumn(
-            "shuffle_rank",
-            F.row_number().over(w).cast("long")
-            + F.element_at(off_map, F.col("_sbucket")),
-        )
-        .drop("_skey", "_sbucket")
+        .join(F.broadcast(off_df), "_sbucket", "left")
+        .withColumn("shuffle_rank", lifted)
+        .drop("_skey", "_sbucket", "_soff")
     )

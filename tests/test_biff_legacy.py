@@ -6,6 +6,7 @@ damage totality (hypothesis)."""
 from __future__ import annotations
 
 import base64
+import math
 import struct
 
 from hypothesis import given, settings
@@ -62,6 +63,31 @@ def test_xls_number_and_rk_cells():
            + _rec(_REC_EOF, b""))
     xls = _make_cfb([("Workbook", glb + sheet)])
     assert extract_xls_text_blocks(xls) == ["3.5 123", "inline"]
+
+
+def test_xls_nonfinite_number_cells_do_not_crash():
+    """ADVICE r4: int(inf) raises OverflowError, which is outside the
+    damage except-tuples — a crafted NUMBER with an IEEE inf payload
+    (or the RK float path 0x7FF00004 -> inf) must render, not kill the
+    Arrow task."""
+    from geoparser_spark.operators.biff_legacy import _fmt_number, _rk_value
+
+    assert _fmt_number(float("inf")) == "inf"
+    assert _fmt_number(float("-inf")) == "-inf"
+    assert _fmt_number(float("nan")) == "nan"
+    assert _rk_value(0x7FF00000) == float("inf")
+    assert math.isnan(_rk_value(0x7FF00004))  # nonzero mantissa -> nan
+
+    inf_num = _rec(_REC_NUMBER, struct.pack("<HHHd", 0, 0, 0, float("inf")))
+    inf_rk = _rec(_REC_RK, struct.pack("<HHHI", 0, 1, 0, 0x7FF00000))
+    sheet = (_rec(_REC_BOF, struct.pack("<HHHHII", 0x0600, 0x0010,
+                                        0, 0, 0, 0))
+             + inf_num + inf_rk + _rec(_REC_EOF, b""))
+    glb = (_rec(_REC_BOF, struct.pack("<HHHHII", 0x0600, 0x0005,
+                                      0, 0, 0, 0))
+           + _rec(_REC_EOF, b""))
+    xls = _make_cfb([("Workbook", glb + sheet)])
+    assert extract_xls_text_blocks(xls) == ["inf inf"]
 
 
 def test_ppt_roundtrip_paragraphs_both_atoms():

@@ -1,0 +1,199 @@
+"""JPEG codec: coefficient-exact decode, integer-IDCT determinism,
+round-trips, sampling geometry, restart markers, degrade contract.
+
+The exactness discipline mirrors test_png_codec/test_gif_codec: the
+entropy layer is lossless, so encoding a QUANTIZED COEFFICIENT pattern
+and decoding must land exactly IDCT(pattern) — any defect in marker
+parsing, Huffman tables, bit unstuffing, zigzag, dequant or the
+fixed-point IDCT breaks bit equality.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoparser_spark.operators.jpeg_codec import (
+    FLAT_Q,
+    _A,
+    _IDCT_SCALE,
+    decode_jpeg,
+    encode_jpeg_coeffs,
+    encode_jpeg_gray,
+    idct2d_int,
+    ycbcr_to_rgb_int,
+)
+
+
+def _assemble(grid: np.ndarray) -> np.ndarray:
+    by, bx = grid.shape[:2]
+    return (idct2d_int(grid.reshape(-1, 8, 8))
+            .reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8))
+
+
+def test_idct_basis_matches_pure_python_mirror():
+    """The 64 basis integers are the codec's only transcendental input;
+    the pyoracle replica recomputes them with math.cos — pin equality
+    so the oracle can never drift from the engine."""
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            want = round(_IDCT_SCALE * cu / 2.0
+                         * math.cos((2 * x + 1) * u * math.pi / 16.0))
+            assert int(_A[u, x]) == want
+
+
+def test_idct_dc_only_block_is_flat():
+    # DC-only: every sample = round(dc * A[0,x]^2 * 64 / 2^26) + 128;
+    # with dc = 8k the orthonormal DC gain (1/8 per axis... combined
+    # 1/8) makes the block exactly flat
+    blk = np.zeros((1, 8, 8), dtype=np.int64)
+    blk[0, 0, 0] = 80
+    out = idct2d_int(blk)
+    assert (out == out[0, 0, 0]).all()
+    assert out[0, 0, 0] == 128 + 10
+
+
+def test_gray_coefficient_exact_decode():
+    rng = np.random.RandomState(11)
+    for _ in range(6):
+        by, bx = rng.randint(1, 4), rng.randint(1, 5)
+        grid = rng.randint(-64, 64, size=(by, bx, 8, 8)).astype(np.int64)
+        h = by * 8 - rng.randint(0, 7)
+        w = bx * 8 - rng.randint(0, 7)
+        img = decode_jpeg(encode_jpeg_coeffs([grid], h, w))
+        assert img.shape == (h, w)
+        assert np.array_equal(img, _assemble(grid)[:h, :w])
+
+
+def test_gray_pixel_roundtrip_flat_q():
+    img0 = ((np.arange(24)[:, None] * 3 + np.arange(40)[None, :] * 7)
+            % 256).astype(np.uint8)
+    img1 = decode_jpeg(encode_jpeg_gray(img0))
+    assert img1.shape == img0.shape
+    assert np.abs(img0.astype(int) - img1.astype(int)).max() <= 2
+
+
+def test_gray_pixel_roundtrip_lossy_q_bounded():
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    rng = np.random.RandomState(3)
+    img0 = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    img1 = decode_jpeg(encode_jpeg_gray(img0, q=q))
+    # heavy quantization: content is lossy but bounded by q's energy
+    assert np.abs(img0.astype(int) - img1.astype(int)).max() <= 96
+    assert np.abs(img0.astype(float) - img1.astype(float)).mean() <= 24
+
+
+@pytest.mark.parametrize("samplings", [
+    [(1, 1), (1, 1), (1, 1)],   # 4:4:4
+    [(2, 1), (1, 1), (1, 1)],   # 4:2:2
+    [(2, 2), (1, 1), (1, 1)],   # 4:2:0
+])
+def test_color_coefficient_exact(samplings):
+    rng = np.random.RandomState(5)
+    mcus_y, mcus_x = 2, 2
+    hy, vy = samplings[0]
+    gy = rng.randint(-30, 30,
+                     size=(mcus_y * vy, mcus_x * hy, 8, 8)).astype(np.int64)
+    gcb = rng.randint(-20, 20, size=(mcus_y, mcus_x, 8, 8)).astype(np.int64)
+    gcr = rng.randint(-20, 20, size=(mcus_y, mcus_x, 8, 8)).astype(np.int64)
+    h, w = mcus_y * 8 * vy - 3, mcus_x * 8 * hy - 5
+    img = decode_jpeg(encode_jpeg_coeffs([gy, gcb, gcr], h, w,
+                                         samplings=samplings))
+    assert img.shape == (h, w, 3)
+    py = _assemble(gy)
+    pcb = np.repeat(np.repeat(_assemble(gcb), vy, 0), hy, 1)
+    pcr = np.repeat(np.repeat(_assemble(gcr), vy, 0), hy, 1)
+    exp = ycbcr_to_rgb_int(py[:h, :w], pcb[:h, :w], pcr[:h, :w])
+    assert np.array_equal(img, exp)
+
+
+def test_restart_interval_resets_predictors():
+    rng = np.random.RandomState(9)
+    grid = rng.randint(-25, 25, size=(2, 5, 8, 8)).astype(np.int64)
+    blob = encode_jpeg_coeffs([grid], 16, 40, restart_interval=3)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    assert np.array_equal(decode_jpeg(blob), _assemble(grid))
+
+
+def test_zrl_long_zero_runs():
+    grid = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    grid[0, 0, 0, 0] = 5
+    grid[0, 0, 7, 7] = -3  # zigzag index 63: needs ZRL x3 + code
+    img = decode_jpeg(encode_jpeg_coeffs([grid], 8, 8))
+    assert np.array_equal(img, _assemble(grid))
+
+
+def test_progressive_and_12bit_rejected():
+    prog = (bytes([0xFF, 0xD8, 0xFF, 0xC2]) + struct.pack(">H", 8)
+            + b"\x08\x00\x08\x00\x08\x01")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    deep = (bytes([0xFF, 0xD8, 0xFF, 0xC0]) + struct.pack(">H", 8)
+            + b"\x0c\x00\x08\x00\x08\x01")
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(deep)
+
+
+def test_malformed_streams_valueerror():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")          # EOI before SOS
+    blob = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob[: len(blob) // 2]))  # truncated scan
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_decode_totality_on_garbage(raw):
+    """Damaged input raises ValueError/NotImplementedError — never an
+    unguarded numpy/struct/KeyError that would kill an Arrow task."""
+    try:
+        decode_jpeg(b"\xff\xd8" + raw)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_decode_image_routes_jpeg(spark):
+    from geoparser_spark.operators.multimodal import decode_image
+
+    img0 = ((np.arange(16)[:, None] + np.arange(16)[None, :] * 5)
+            % 256).astype(np.uint8)
+    out = decode_image(encode_jpeg_gray(img0))
+    assert out.shape == (16, 16)
+    assert np.abs(out.astype(int) - img0.astype(int)).max() <= 2
+
+
+def test_media_features_real_jpeg_path(spark):
+    """extract_media_features: a coefficient-space JPEG fixture decodes
+    to REAL pixels (decode_ok=True) with integer-exact stats; a damaged
+    JPEG and a progressive JPEG both degrade to the stub path."""
+    import pandas as pd
+
+    from geoparser_spark.operators.multimodal import extract_media_features
+    from geoparser_spark.operators.png_codec import pixel_features
+
+    grid = np.arange(64, dtype=np.int64).reshape(1, 1, 8, 8) % 17 - 8
+    good = encode_jpeg_coeffs([grid], 8, 8)
+    expected = pixel_features(_assemble(grid), 16)
+    bad = good[:40] + b"\x00" * 10
+    prog = (bytes([0xFF, 0xD8, 0xFF, 0xC2]) + struct.pack(">H", 8)
+            + b"\x08\x00\x08\x00\x08\x01")
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["good", "bad", "prog"],
+                      "media_bytes": [good, bad, prog]}))
+    rows = {r.media_ref: r for r in extract_media_features(df).collect()}
+    assert rows["good"].decode_ok
+    got = [float(x) for x in rows["good"].feature]
+    assert got == pytest.approx([np.float32(v) for v in expected])
+    assert not rows["bad"].decode_ok
+    assert not rows["prog"].decode_ok

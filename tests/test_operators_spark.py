@@ -176,6 +176,17 @@ def test_line_dedup_drops_corpus_boilerplate(spark):
     assert out3[2] == f"{boiler} Gamma stands alone."
 
 
+def test_lsh_recall_matrix_rejects_uneven_bands(spark):
+    """ADVICE r4: (64, 24) would silently measure a 48-hash scheme
+    (rows = nh // bands truncates) while reporting num_hashes=64 — the
+    config must be rejected before any data is touched."""
+    df = _docs_df(spark)
+    with pytest.raises(ValueError, match="divide evenly"):
+        D.lsh_recall_matrix(df, 1000, configs=[(64, 24)], thresholds=[0.5])
+    with pytest.raises(ValueError, match="divide evenly"):
+        D.lsh_recall_matrix(df, 1000, configs=[(32, 0)], thresholds=[0.5])
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     got = {
         (r.id_a, r.id_b): r.jaccard

@@ -88,6 +88,21 @@ def test_palette_expands_to_rgb():
     assert img[1, 0].tolist() == [0, 0, 255]
 
 
+def test_palette_index_out_of_range_is_valueerror():
+    """ADVICE r4: indices past the PLTE length must raise the
+    documented ValueError, not a numpy IndexError (gif_codec already
+    bounds-checks; mirror it)."""
+    pal = bytes([255, 0, 0, 0, 255, 0])  # only 2 entries
+    rows = b"\x00" + bytes([0, 1, 5])    # index 5 out of range
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal)
+           + _chunk(b"IDAT", zlib.compress(rows))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+
+
 def test_interlace_and_16bit_rejected():
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     png = PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(

@@ -169,3 +169,35 @@ def test_shuffle_rank_deterministic_and_seeded(spark):
     by_rank = [doc for doc, _ in sorted(a.items(), key=lambda kv: kv[1])]
     runs = sum(1 for x, y in zip(by_rank, by_rank[1:]) if y == x + 1)
     assert runs < 25
+
+
+def test_shuffle_rank_bucket_bits_scale_with_data(spark):
+    """VERDICT r4 #4: the sort parallelism must scale past 256 tasks.
+    The bucket width is derived from the row count (unit-checked on the
+    driver helper at the operator's own 10^12-row target), an explicit
+    16-bit grain produces identical ranks to the 8-bit grain (bucketing
+    is a physical choice, never a value), and the physical plan's range
+    key actually uses the requested width (shiftright by 48, not 56)."""
+    from geoparser_spark.operators.sampling import (
+        _shuffle_bucket_bits, shuffle_rank)
+
+    # driver arithmetic: 10^12 rows -> 65,536 buckets of ~15M rows
+    assert _shuffle_bucket_bits(10**12) == 16
+    assert 2 ** _shuffle_bucket_bits(10**12) == 65_536 > 256
+    assert _shuffle_bucket_bits(0) == 8          # clamp floor
+    assert _shuffle_bucket_bits(500) == 8        # test-scale corpora
+    assert _shuffle_bucket_bits(4_000_000 * 300) == 9
+    assert _shuffle_bucket_bits(10**9, target_rows_per_bucket=1) == 16
+
+    df = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.shuffle_rank
+         for r in shuffle_rank(df, seed=3, bucket_bits=8).collect()}
+    b16 = shuffle_rank(df, seed=3, bucket_bits=16)
+    b = {r.doc_id: r.shuffle_rank for r in b16.collect()}
+    assert a == b and sorted(a.values()) == list(range(1, 401))
+    plan = b16._jdf.queryExecution().executedPlan().toString()
+    assert "shiftright" in plan and ", 48)" in plan and ", 56)" not in plan
+
+    import pytest
+    with pytest.raises(ValueError):
+        shuffle_rank(df, bucket_bits=4)

@@ -75,15 +75,19 @@ def work(n):
     return time.monotonic() - t0
 
 if __name__ == "__main__":
-    lo, hi = int(sys.argv[1]), int(sys.argv[2])
+    levels = [int(x) for x in sys.argv[1:]]
     per, res = 8000, {}
-    for procs in (lo, hi):
+    for procs in levels:
         with mp.Pool(procs) as p:
             t0 = time.monotonic()
             p.map(work, [per] * procs)
             res[procs] = procs * per / (time.monotonic() - t0)
-    print(json.dumps({"tp_lo": res[lo], "tp_hi": res[hi],
-                      "eff": (res[hi] / res[lo]) / (hi / lo)}))
+    out = {f"tp_{p}": res[p] for p in levels}
+    if len(levels) == 2:
+        lo, hi = levels
+        out = {"tp_lo": res[lo], "tp_hi": res[hi],
+               "eff": (res[hi] / res[lo]) / (hi / lo)}
+    print(json.dumps(out))
 """
 
 
@@ -101,15 +105,19 @@ def work(n):
     return time.monotonic() - t0
 
 if __name__ == "__main__":
-    lo, hi = int(sys.argv[1]), int(sys.argv[2])
+    levels = [int(x) for x in sys.argv[1:]]
     res = {}
-    for procs in (lo, hi):
+    for procs in levels:
         with mp.Pool(procs) as p:
             t0 = time.monotonic()
             p.map(work, [6] * procs)
             res[procs] = procs * 6 / (time.monotonic() - t0)
-    print(json.dumps({"tp_lo": res[lo], "tp_hi": res[hi],
-                      "eff": (res[hi] / res[lo]) / (hi / lo)}))
+    out = {f"tp_{p}": res[p] for p in levels}
+    if len(levels) == 2:
+        lo, hi = levels
+        out = {"tp_lo": res[lo], "tp_hi": res[hi],
+               "eff": (res[hi] / res[lo]) / (hi / lo)}
+    print(json.dumps(out))
 """
 
 
@@ -122,6 +130,20 @@ def platform_control(lo: int, hi: int, script: str = CONTROL) -> dict:
                         check=True, capture_output=True, text=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def platform_control_at(procs: int, script: str = CONTROL) -> float:
+    """Single-level control throughput (work-units/sec at ``procs``
+    processes).  bench.py embeds BOTH controls in every session
+    (VERDICT r4 #1) so cross-round walls can be normalized against the
+    box's measured health in the SAME window instead of argued from
+    separate probe runs: the parse control tracks the CPU ceiling, the
+    strided-sum control the shared-memory-bus ceiling that this VM's
+    steal/contention windows squeeze first."""
+    out = subprocess.run([sys.executable, "-c", script, str(procs)],
+                         check=True, capture_output=True, text=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)[f"tp_{procs}"]
 
 
 def main() -> int:
