@@ -934,15 +934,19 @@ def _mm_frame_plan(spark, sf_dir):
 
 
 def _mm_media_features(spark, sf_dir):
-    """Multimodal feature extraction with TWO real pixel paths: half
-    the selected docs become actual PNGs (deterministic greyscale
-    gradient, png_codec), the other half actual GIFs (deterministic
-    16-color palette + LZW-compressed index pattern, gif_codec) —
-    both decoded BACK to pixels inside the Arrow kernel →
+    """Multimodal feature extraction with THREE real pixel paths: the
+    selected docs split round-robin into actual PNGs (deterministic
+    greyscale gradient, png_codec), actual GIFs (deterministic
+    16-color palette + LZW-compressed index pattern, gif_codec) and
+    actual baseline JPEGs (deterministic coefficient-space pattern
+    through the lossless entropy layer, jpeg_codec — decoded pixels
+    are exactly the fixed-point integer IDCT of pattern x qtable) —
+    each decoded BACK to pixels inside the Arrow kernel →
     integer-exact pixel statistics, decode_ok=true.  The oracle
-    recomputes each row's features straight from the PATTERN — it
-    never touches either codec — so any encode/unfilter/LZW/palette
-    defect breaks value equality."""
+    recomputes each row's features straight from the PATTERN (for
+    JPEG: a pure-Python integer-IDCT replay) — it never touches any
+    codec — so any encode/unfilter/LZW/palette/Huffman/IDCT defect
+    breaks value equality."""
     from geoparser_spark.operators.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents").where(
@@ -954,6 +958,7 @@ def _mm_media_features(spark, sf_dir):
         import pandas as pd
 
         from geoparser_spark.operators.gif_codec import encode_gif
+        from geoparser_spark.operators.jpeg_codec import encode_jpeg_coeffs
         from geoparser_spark.operators.png_codec import encode_png
 
         # loop-invariant 16-color palette (channel c = idx*{37,59,83})
@@ -966,16 +971,34 @@ def _mm_media_features(spark, sf_dir):
             refs, blobs = [], []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                if i % 20 == 0:
+                if i % 30 == 0:
                     w, h = i % 9 + 4, i % 5 + 3
                     img = ((i * 7 + np.arange(h)[:, None] * w
                             + np.arange(w)[None, :]) % 256).astype(np.uint8)
                     blobs.append(encode_png(img))
-                else:
+                elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w
                             + np.arange(w)[None, :]) % 16).astype(np.uint8)
                     blobs.append(encode_gif(idx, pal))
+                else:
+                    # baseline JPEG, coefficient-space fixture: the
+                    # entropy layer is lossless, so decode recovers
+                    # exactly this grid and pixels = intIDCT(grid)
+                    # (FLAT_Q is all-ones); w/h exercise edge cropping
+                    k = i // 30
+                    bw, bh = k % 3 + 1, k % 2 + 1
+                    w, h = 8 * bw - k % 5, 8 * bh - k % 3
+                    by, bx = np.arange(bh), np.arange(bw)
+                    u, v = np.arange(8), np.arange(8)
+                    grid = ((i * 7 + by[:, None, None, None] * 11
+                             + bx[None, :, None, None] * 13
+                             + u[None, None, :, None] * 8
+                             + v[None, None, None, :] * 3) % 9 - 4
+                            ).astype(np.int64)
+                    grid[:, :, 0, 0] = ((i + by[:, None] * 3
+                                         + bx[None, :]) % 17) - 8
+                    blobs.append(encode_jpeg_coeffs([grid], h, w))
                 refs.append(f"img://{i}")
             yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
 

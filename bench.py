@@ -176,11 +176,17 @@ def main() -> int:
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {"extract_geotag_pipeline": round(wall, 3)}
+    from geoparser_spark.plans.caching import release_all
+
     for name in q_names:
         walls = []
         for r in range(n_runs + 1):  # run 0 is warmup, discarded
             t0 = time.monotonic()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            release_all()  # enforced cache release INSIDE the timed
+            # region: the cost of dropping a query's caches is part of
+            # that query's wall, and caches never accumulate across
+            # the 46-query session (plans/caching.py)
             if r > 0:
                 walls.append(time.monotonic() - t0)
         times[name] = round(min(walls), 3)

@@ -334,8 +334,11 @@ def line_dedup_cms(docs: DataFrame, max_repeats: int = 2,
     # joins: each sk_d filter below otherwise drives an INDEPENDENT
     # subtree — depth full corpus scans + depth distinct shuffles
     # instead of one (observed in the committed plan before this fix).
-    # The cache is bounded at depth x width rows (~32 K at 4x8192).
-    sketch = line_freq_sketch(docs, depth, width, text_col, id_col).persist()
+    # The cache is bounded at depth x width rows (~32 K at 4x8192);
+    # release is still enforced via plans.caching like the big ones.
+    from geoparser_spark.plans.caching import track
+
+    sketch = track(line_freq_sketch(docs, depth, width, text_col, id_col))
     sketch.count()
     lines = _sentence_lines(docs, text_col, id_col)
     est_cols = []
@@ -546,20 +549,19 @@ def duplicated_window_fraction(docs: DataFrame, n: int = 50,
     aggregate, the re-probe side) and Spark does not dedupe common
     subplans — without it the tokenize+hash scan executes three times
     (the same class text_stats.tfidf_topk's persist_tf documents).
-    Like persist_tf, the CALLER owns the release: after materializing
-    the returned plan, call ``spark.catalog.clearCache()`` or keep a
-    handle via ``persist_hashed=False`` + your own persist if the
-    session is long-lived — the cache is corpus-×-windows sized and
-    this function cannot know when the last consumer has run.
+    The cache is corpus-×-windows sized; release is ENFORCED via
+    plans.caching (caller's ``with released():`` scope, or the global
+    scope drained by ``release_all()`` — see plans/caching.py).
     """
     from geoparser_spark.operators.curation import _gram_hashes
+    from geoparser_spark.plans.caching import track
 
     hashed = docs.select(
         F.col(id_col),
         _gram_hashes(tokens_col(text_col), n).alias("_wh"),
     )
     if persist_hashed:
-        hashed = hashed.persist()
+        hashed = track(hashed)
     wind = hashed.select(id_col, F.explode("_wh").alias("h"))
     dup = (wind.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
            .where(F.col("freq") > 1).select("h"))
@@ -741,9 +743,13 @@ def lsh_recall_matrix(corpus: DataFrame, planted_offset: int,
             raise ValueError(
                 f"num_hashes must divide evenly into bands, got "
                 f"({nh}, {bands})")
+    from geoparser_spark.plans.caching import track
+
     spark = corpus.sparkSession
     max_h = max(nh for nh, _ in configs)
-    sigs = minhash_signatures(corpus, n, max_h, text_col, id_col).persist()
+    # track() on top of the explicit unpersist at the end: if the run
+    # dies mid-matrix the scope still drains the caches
+    sigs = track(minhash_signatures(corpus, n, max_h, text_col, id_col))
     base = sigs.where(F.col("id") < planted_offset)
     plants = sigs.where(F.col("id") >= planted_offset).select(
         F.pmod("id", F.lit(planted_offset)).alias("base_id"),
@@ -760,8 +766,8 @@ def lsh_recall_matrix(corpus: DataFrame, planted_offset: int,
             (F.size(F.array_intersect("gs_a", "gs_b"))
              / F.size(F.array_union("gs_a", "gs_b"))).alias("jexact"),
         )
-        .persist()
     )
+    truth = track(truth)
 
     def banded(side: DataFrame, id_expr, extra: list[str],
                nh: int, bands: int) -> DataFrame:

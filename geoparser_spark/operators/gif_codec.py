@@ -98,12 +98,21 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 def decode_gif(raw: bytes) -> np.ndarray:
-    """GIF bytes -> (H, W, 3) uint8 RGB of the FIRST image frame.
-    Raises ValueError on malformed/bomb input."""
+    """GIF bytes -> (H, W, 3) uint8 RGB of the FIRST image frame,
+    composited on the logical screen: a frame whose descriptor is
+    offset or smaller than the screen lands at (left, top) on a canvas
+    filled with the header's background color (GCT[bg]; black when no
+    GCT covers bg).  Animated GIFs therefore have an EXPLICIT
+    first-frame contract — decoding returns at frame 1 and never walks
+    the trailing image descriptors, so a multi-frame stream cannot
+    mis-parse (tests/test_gif_codec.py pins both).  Raises ValueError
+    on malformed/bomb input."""
     if raw[:6] not in GIF_SIGS:
         raise ValueError("not a GIF (bad signature)")
     if len(raw) < 13:
         raise ValueError("truncated screen descriptor")
+    sw, sh = struct.unpack_from("<HH", raw, 6)
+    bg = raw[11]
     packed = raw[10]
     gct: np.ndarray | None = None
     i = 13
@@ -123,7 +132,7 @@ def decode_gif(raw: bytes) -> np.ndarray:
         elif b == 0x2C:  # image descriptor
             if i + 10 > len(raw):
                 raise ValueError("truncated image descriptor")
-            _, _, w, h = struct.unpack_from("<HHHH", raw, i + 1)
+            left, top, w, h = struct.unpack_from("<HHHH", raw, i + 1)
             ipacked = raw[i + 9]
             i += 10
             table = gct
@@ -156,7 +165,22 @@ def decode_gif(raw: bytes) -> np.ndarray:
             rows = idx.reshape(h, w)
             if ipacked & 0x40:
                 rows = _deinterlace(rows)
-            return table[rows]
+            frame = table[rows]
+            if (left, top) == (0, 0) and (w, h) == (sw, sh):
+                return frame
+            # frame 1 is offset / smaller than the logical screen:
+            # composite on the background color (spec: bg index into
+            # the GCT; black when absent or out of range)
+            if sw * sh > _MAX_PIXELS or sw == 0 or sh == 0:
+                raise ValueError(
+                    f"implausible GIF screen dimensions {sw}x{sh}")
+            if left + w > sw or top + h > sh:
+                raise ValueError("frame exceeds logical screen")
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            if gct is not None and bg < len(gct):
+                canvas[:, :] = gct[bg]
+            canvas[top:top + h, left:left + w] = frame
+            return canvas
         elif b == 0x3B:  # trailer
             break
         else:

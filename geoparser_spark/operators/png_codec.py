@@ -5,10 +5,11 @@ This makes ONE pixel path REAL end-to-end in the sandbox (no PIL /
 libjpeg present): `decode_png` returns an (H, W, C) uint8 numpy array
 for the formats that dominate synthetic/test corpora — 8-bit
 greyscale (color type 0), RGB (2), palette (3), grey+alpha (4) and
-RGBA (6), non-interlaced.  JPEG/GIF pixel decode remain documented
-engine seams (operators/multimodal.decode_image); Adam7 interlacing
-and 16-bit depth raise a clear NotImplementedError rather than
-guessing.
+RGBA (6) — sequential or Adam7-interlaced (real corpora contain Adam7
+PNGs; each of the seven reduced images unfilters independently and
+scatters back on the spec §2.6 grid).  16-bit depth raises a clear
+NotImplementedError rather than guessing; GIF and baseline JPEG have
+their own real codecs (operators/gif_codec, operators/jpeg_codec).
 
 Scale note: this runs INSIDE Arrow-batched kernels (mapInPandas), so
 the per-image numpy unfilter is vectorized per scanline; the Spark
@@ -32,6 +33,12 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # color type -> raw channels per pixel (before palette expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass grid (spec §2.6): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
@@ -91,8 +98,9 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 
 def decode_png(raw: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, C) uint8 array (C = 1/2/3/4 per color type;
-    palette images expand to RGB).  Raises ValueError on malformed
-    streams, NotImplementedError on interlace/16-bit."""
+    palette images expand to RGB).  Sequential and Adam7-interlaced
+    streams both decode; raises ValueError on malformed streams,
+    NotImplementedError on 16-bit depth."""
     if not raw.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     i = len(PNG_SIG)
@@ -127,20 +135,42 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise ValueError(
             f"implausible PNG dimensions {width}x{height} (decompression "
             "bomb guard)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     if bit_depth != 8:
         raise NotImplementedError(f"bit depth {bit_depth} not supported")
     if color_type not in _CHANNELS:
         raise ValueError(f"bad color type {color_type}")
     ch = _CHANNELS[color_type]
-    stride = width * ch
-    # decompressobj with max_length caps inflation at exactly the
-    # scanline budget — a deflate bomb cannot expand past it
-    raw_px = zlib.decompressobj().decompress(
-        bytes(idat), height * (stride + 1))
-    px = _unfilter(raw_px, height, stride, ch)
-    img = px.reshape(height, width, ch)
+    if interlace == 0:
+        stride = width * ch
+        # decompressobj with max_length caps inflation at exactly the
+        # scanline budget — a deflate bomb cannot expand past it
+        raw_px = zlib.decompressobj().decompress(
+            bytes(idat), height * (stride + 1))
+        px = _unfilter(raw_px, height, stride, ch)
+        img = px.reshape(height, width, ch)
+    else:
+        # Adam7 (spec §2.6): seven independent reduced images, each
+        # filtered as its own scanline run, scattered back on a fixed
+        # (x0, y0, dx, dy) grid.  The total inflate budget is the sum
+        # of the pass budgets — same bomb cap as the sequential path.
+        passes = [(x0, y0, dx, dy, -(-(width - x0) // dx),
+                   -(-(height - y0) // dy))
+                  for x0, y0, dx, dy in _ADAM7
+                  if width > x0 and height > y0]
+        budget = sum(ph * (pw * ch + 1) for *_, pw, ph in passes)
+        raw_px = zlib.decompressobj().decompress(bytes(idat), budget)
+        if len(raw_px) < budget:
+            raise ValueError(
+                f"IDAT underflow: {len(raw_px)} < {budget}")
+        img = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            span = ph * (pw * ch + 1)
+            sub = _unfilter(raw_px[off:off + span], ph, pw * ch, ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            off += span
     if color_type == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
@@ -153,25 +183,42 @@ def decode_png(raw: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """(H, W[, C]) uint8 -> PNG bytes, filter 0, one IDAT.  C = 1 emits
     greyscale, 2 grey+alpha, 3 RGB, 4 RGBA — everything decode_png can
-    return round-trips."""
+    return round-trips.  ``interlace=True`` emits the same pixels as an
+    Adam7 stream: each of the seven spec §2.6 sub-images serialized as
+    its own filter-0 scanline run (test fixtures for the interlaced
+    decode path — real corpora contain Adam7 PNGs)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if color_type is None:
         raise ValueError(f"cannot encode {c}-channel image")
-    body = np.zeros((h, w * c + 1), dtype=np.uint8)
-    body[:, 1:] = img.reshape(h, w * c)
-    idat = zlib.compress(body.tobytes(), 6)
+    if not interlace:
+        body = np.zeros((h, w * c + 1), dtype=np.uint8)
+        body[:, 1:] = img.reshape(h, w * c)
+        raw = body.tobytes()
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            body = np.zeros((ph, pw * c + 1), dtype=np.uint8)
+            body[:, 1:] = sub.reshape(ph, pw * c)
+            parts.append(body.tobytes())
+        raw = b"".join(parts)
+    idat = zlib.compress(raw, 6)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))
 

@@ -343,7 +343,9 @@ def semdedup_prune(embeddings: DataFrame, centroids: np.ndarray,
 
     Returns (vec_id, ivf_list, pruned: int 0/1) for every input row.
     """
-    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col).select(
+    from geoparser_spark.plans.caching import track
+
+    assigned = track(ivf_assign(embeddings, centroids, vec_col=vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         "ivf_list",
@@ -352,8 +354,10 @@ def semdedup_prune(embeddings: DataFrame, centroids: np.ndarray,
         # the quadratic pass (the oracle replica caches norms the same
         # way, so the float ops stay bit-identical)
         "nrm", _norm(F.col("v")),
-    ).persist()  # feeds both join sides + the final flag join: without
-    # this the n_lists x dim literal fold re-evaluates 3x per vector
+    ))  # feeds both join sides + the final flag join: without the
+    # persist the n_lists x dim literal fold re-evaluates 3x per
+    # vector; release enforced via plans.caching (released()/
+    # release_all())
     keep = assigned.select(
         F.col("id").alias("id_keep"), F.col("v").alias("v_keep"),
         F.col("nrm").alias("n_keep"), "ivf_list")

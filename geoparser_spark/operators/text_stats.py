@@ -52,14 +52,19 @@ def tfidf_topk(docs: DataFrame, k: int = 3, doc_id_col: str = "doc_id",
     buffers every ("the", doc) row in one partition — the heavy-hitter
     OOM shape line_dedup was dinged for; the vocabulary-grain groupBy
     + join stays map-side-combined and skew-free.
+
+    Release is ENFORCED via plans.caching: the cache registers in the
+    caller's ``with released():`` scope (or the global scope drained
+    by ``release_all()``) — see plans/caching.py.
     """
+    from geoparser_spark.plans.caching import track
     toks = docs.select(
         F.col(doc_id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     if persist_tf:
-        tf = tf.persist()
+        tf = track(tf)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (

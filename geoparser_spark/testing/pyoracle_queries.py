@@ -216,18 +216,54 @@ def simhash_pairs_sql(modulus: int = 5, max_hamming: int = 16) -> str:
 
 # --------------------------------------------------------- media features
 
-def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
-    """Replica of the media-features query's BOTH paths:
+def _jpeg_idct_replica(grid: list, bh: int, bw: int,
+                       h: int, w: int) -> list:
+    """Pure-Python integer-IDCT replay for the JPEG fixture: basis
+    A[u][x] = round(2^13 * c(u)/2 * cos((2x+1)uπ/16)) recomputed here
+    with math.cos (the decoder builds the same 64 integers — landing
+    them independently IS the check), dequant by FLAT_Q (all ones),
+    s = A^T F A at scale 2^26, one round-half-up arithmetic shift,
+    +128 level shift, clamp, crop to (h, w).  Every step is exact
+    int arithmetic, so this replica is bit-identical to
+    jpeg_codec.idct2d_int without sharing a line of numpy."""
+    A = [[round((1 << 13) * ((1.0 / math.sqrt(2.0)) if u == 0 else 1.0)
+                / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16.0))
+          for x in range(8)] for u in range(8)]
+    half, shift = 1 << 25, 26
+    img = [[0] * (8 * bw) for _ in range(8 * bh)]
+    for by in range(bh):
+        for bx in range(bw):
+            F = grid[by][bx]
+            for x in range(8):
+                for y in range(8):
+                    s = 0
+                    for u in range(8):
+                        t = 0
+                        for v in range(8):
+                            t += F[u][v] * A[v][y]
+                        s += A[u][x] * t
+                    p = ((s + half) >> shift) + 128
+                    img[by * 8 + x][bx * 8 + y] = min(255, max(0, p))
+    return [img[y][x] for y in range(h) for x in range(w)]
 
-    * doc_id % 20 == 0 → PNG: REAL pixel statistics recomputed from
+
+def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
+    """Replica of the media-features query's THREE paths:
+
+    * doc_id % 30 == 0 → PNG: REAL pixel statistics recomputed from
       the greyscale gradient PATTERN ((i*7 + y*w + x) % 256) with
       pure-Python integer loops — the Spark side goes pattern →
       encode_png → Arrow kernel → decode_png → features, so this
       replica catches any codec defect without sharing a line of it.
-    * doc_id % 20 == 10 → GIF: same discipline over the 16-color
+    * doc_id % 30 == 10 → GIF: same discipline over the 16-color
       palette pattern (idx = (i*5 + y*w + x) % 16, palette channel c
       = idx·{37,59,83} mod 256) — the Spark side round-trips a real
       LZW stream; the replica never runs LZW at all.
+    * doc_id % 30 == 20 → baseline JPEG: the fixture lives in
+      COEFFICIENT space (lossless entropy layer), so decoded pixels
+      are exactly intIDCT(pattern) — replayed by _jpeg_idct_replica's
+      pure-Python integer loops; the Spark side runs the real Huffman
+      decode + fixed-point IDCT in jpeg_codec.
       Every statistic is an integer aggregate + one IEEE division,
       mirrored expression-for-expression from png_codec.pixel_features.
 
@@ -237,19 +273,30 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
     out = []
     for (i,) in rows:
         i = int(i)
-        if i % 20 == 0:
+        if i % 30 == 0:
             w, h = i % 9 + 4, i % 5 + 3
             n = w * h
             # greyscale: all three channel slots read channel 0
             chans = [[(i * 7 + y * w + x) % 256
                       for y in range(h) for x in range(w)]] * 3
-        else:
+        elif i % 30 == 10:
             w, h = i % 7 + 3, i % 4 + 2
             n = w * h
             idxs = [(i * 5 + y * w + x) % 16
                     for y in range(h) for x in range(w)]
             muls = (37, 59, 83)
             chans = [[(k * m) % 256 for k in idxs] for m in muls]
+        else:
+            k = i // 30
+            bw, bh = k % 3 + 1, k % 2 + 1
+            w, h = 8 * bw - k % 5, 8 * bh - k % 3
+            n = w * h
+            grid = [[[[(i * 7 + by * 11 + bx * 13 + u * 8 + v * 3) % 9 - 4
+                       if (u, v) != (0, 0)
+                       else (i + by * 3 + bx) % 17 - 8
+                       for v in range(8)] for u in range(8)]
+                     for bx in range(bw)] for by in range(bh)]
+            chans = [_jpeg_idct_replica(grid, bh, bw, h, w)] * 3
         feats = [w / 4096.0, h / 4096.0]
         for band in chans:
             sb = sum(band)

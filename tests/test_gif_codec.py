@@ -88,3 +88,70 @@ def test_encode_rejects_bad_palette_sizes():
         pal = np.zeros((n, 3), dtype=np.uint8)
         with pytest.raises(ValueError, match="palette"):
             encode_gif(idx, pal)
+
+
+def _frame_blocks(indices: np.ndarray, left: int, top: int,
+                  min_code: int = 2) -> bytes:
+    """Image descriptor + LZW sub-blocks for one frame (no LCT)."""
+    import struct
+
+    from geoparser_spark.operators.gif_codec import _lzw_encode
+
+    h, w = indices.shape
+    out = bytearray(b"\x2C" + struct.pack("<HHHH", left, top, w, h)
+                    + b"\x00" + bytes([min_code]))
+    data = _lzw_encode(min_code, indices.astype(np.uint8))
+    for j in range(0, len(data), 255):
+        chunk = data[j:j + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def test_animated_gif_first_frame_composited_on_background():
+    """VERDICT r5 #7: the first-frame contract, explicit.  A two-frame
+    GIF89a whose frame 1 is OFFSET inside a larger logical screen must
+    decode to frame 1 composited at (left, top) on the background
+    color — and frame 2's pixels must never appear (decode returns at
+    frame 1, so trailing descriptors cannot mis-parse)."""
+    import struct
+
+    gct = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90],
+                    [200, 100, 50]], dtype=np.uint8)
+    sw, sh, bg = 6, 5, 3
+    raw = bytearray(b"GIF89a")
+    raw += struct.pack("<HHBBB", sw, sh, 0x80 | (2 - 1), bg, 0)
+    raw += gct.tobytes()
+    # graphic control extension between header and frame 1 (delay etc.)
+    raw += b"\x21\xF9\x04\x00\x0A\x00\x00\x00"
+    f1 = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw += _frame_blocks(f1, left=1, top=1)
+    # frame 2: full-screen, constant palette index 2 — must NOT appear
+    raw += b"\x21\xF9\x04\x00\x0A\x00\x00\x00"
+    raw += _frame_blocks(np.full((sh, sw), 2, dtype=np.uint8),
+                         left=0, top=0)
+    raw += b"\x3B"
+
+    img = decode_gif(bytes(raw))
+    assert img.shape == (sh, sw, 3)
+    expect = np.zeros((sh, sw, 3), dtype=np.uint8)
+    expect[:, :] = gct[bg]
+    expect[1:3, 1:4] = gct[f1]
+    assert np.array_equal(img, expect)
+    # frame 2 is constant gct[2]; if it leaked, some pixel outside the
+    # frame-1 rect would be gct[2] instead of the background
+    assert not np.array_equal(img[0, 0], gct[2])
+
+
+def test_gif_frame_exceeding_screen_is_valueerror():
+    import struct
+
+    gct = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    raw = bytearray(b"GIF89a")
+    raw += struct.pack("<HHBBB", 4, 4, 0x80 | 0, 0, 0)
+    raw += gct.tobytes()
+    raw += _frame_blocks(np.zeros((3, 3), dtype=np.uint8), left=2, top=2)
+    raw += b"\x3B"
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        decode_gif(bytes(raw))

@@ -11,6 +11,8 @@ import zlib
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 
 from geoparser_spark.operators.png_codec import (
@@ -103,14 +105,54 @@ def test_palette_index_out_of_range_is_valueerror():
         decode_png(png)
 
 
-def test_interlace_and_16bit_rejected():
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    png = PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(
-        b"IDAT", zlib.compress(b"\x00\x00\x00")) + _chunk(b"IEND", b"")
+def test_16bit_rejected_and_bad_signature():
+    ihdr_16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png = PNG_SIG + _chunk(b"IHDR", ihdr_16) + _chunk(
+        b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(png)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+def test_adam7_decodes_same_pixels_as_sequential_twin():
+    """VERDICT r5 #6: an interlaced fixture must decode to the SAME
+    pixels as its non-interlaced twin — same image, two encodings.
+    Shapes straddle the 8x8 Adam7 tile (sub-tile, exact, ragged) and
+    every channel count; sub-tile shapes exercise skipped passes."""
+    rng = np.random.default_rng(42)
+    for shape in [(3, 5), (8, 8, 3), (9, 13, 4), (1, 1), (2, 2),
+                  (16, 7, 2), (5, 17, 3), (1, 9), (11, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        seq = decode_png(encode_png(img, interlace=False))
+        ada = decode_png(encode_png(img, interlace=True))
+        assert np.array_equal(seq, ada), shape
+        ref = img[:, :, None] if img.ndim == 2 else img
+        assert np.array_equal(ada, ref), shape
+
+
+def test_adam7_truncated_idat_is_valueerror():
+    full = encode_png(np.arange(120, dtype=np.uint8).reshape(10, 12),
+                      interlace=True)
+    # rebuild with an IDAT missing its final pass bytes: underflow must
+    # be a loud ValueError, not silently-zero pixels
+    short = zlib.compress(zlib.decompress(
+        _idat_payload(full))[:-5])
+    png = (PNG_SIG + _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 12, 10, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", short) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT underflow"):
+        decode_png(png)
+
+
+def _idat_payload(png: bytes) -> bytes:
+    i = len(PNG_SIG)
+    while i + 8 <= len(png):
+        (length,), ctype = struct.unpack(">I", png[i:i + 4]), png[i + 4:i + 8]
+        if ctype == b"IDAT":
+            return png[i + 8:i + 8 + length]
+        i += 12 + length
+    raise AssertionError("no IDAT")
 
 
 def test_resize_nearest_exact_indices():
@@ -215,6 +257,18 @@ def test_damaged_png_degrades_to_stub(spark):
     r2 = resize_images(spark.createDataFrame(rows2), max_w=2,
                        max_h=2).collect()[0]
     assert bytes(r2.media_bytes).startswith(b"RSZ:")  # stub fallback
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(1, 4),
+       st.booleans(), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_property_including_adam7(h, w, c, interlace, seed):
+    """Hypothesis round-trip over both encodings (VERDICT r5 #6):
+    arbitrary shape/channels/seed, sequential and Adam7."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(img, interlace=interlace)), img)
 
 
 def test_resize_images_grey_alpha_real(spark):

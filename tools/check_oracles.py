@@ -72,6 +72,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        finally:
+            # per-query drain of operator-internal caches (enforced
+            # release — plans/caching.py): a 124-query session must
+            # not accumulate corpus-sized persists
+            from geoparser_spark.plans.caching import release_all
+            release_all()
         if name not in oracles:
             print(f"ROWS-ONLY {name}: spark rows={len(srows)}")
             continue
