@@ -118,17 +118,23 @@ def run_pipeline(spark, n_docs: int, gaz, mega_every: int = 1000,
 
 
 def _platform_controls(procs: int) -> dict:
-    """Both micro-controls at ``procs`` processes; {} when skipped."""
+    """Both micro-controls at ``procs`` processes; {} when skipped.
+    NEVER raises: a transient subprocess failure (fork/OOM right after
+    a 32-thread JVM session) must not discard the whole session's
+    measurements — the JSON artifact is the round's record."""
     if os.environ.get("BENCH_SKIP_CONTROLS"):
         return {}
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "tools"))
-    from scaling_bench import CONTROL, CONTROL_BW, platform_control_at
+    try:
+        from scaling_bench import CONTROL, CONTROL_BW, platform_control_at
 
-    return {
-        "parse_tp": round(platform_control_at(procs, CONTROL), 1),
-        "bw_tp": round(platform_control_at(procs, CONTROL_BW), 2),
-    }
+        return {
+            "parse_tp": round(platform_control_at(procs, CONTROL), 1),
+            "bw_tp": round(platform_control_at(procs, CONTROL_BW), 2),
+        }
+    except Exception as e:  # noqa: BLE001 — control is advisory
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def main() -> int:

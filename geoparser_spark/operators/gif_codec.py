@@ -102,7 +102,9 @@ def decode_gif(raw: bytes) -> np.ndarray:
     composited on the logical screen: a frame whose descriptor is
     offset or smaller than the screen lands at (left, top) on a canvas
     filled with the header's background color (GCT[bg]; black when no
-    GCT covers bg).  Animated GIFs therefore have an EXPLICIT
+    GCT covers bg); a frame that OVERFLOWS an under-declared screen
+    enlarges the canvas to fit, as browsers do.  Animated GIFs
+    therefore have an EXPLICIT
     first-frame contract — decoding returns at frame 1 and never walks
     the trailing image descriptors, so a multi-frame stream cannot
     mis-parse (tests/test_gif_codec.py pins both).  Raises ValueError
@@ -170,13 +172,15 @@ def decode_gif(raw: bytes) -> np.ndarray:
                 return frame
             # frame 1 is offset / smaller than the logical screen:
             # composite on the background color (spec: bg index into
-            # the GCT; black when absent or out of range)
-            if sw * sh > _MAX_PIXELS or sw == 0 or sh == 0:
+            # the GCT; black when absent or out of range).  Wild
+            # encoders under-declare the screen (even 0x0) — browsers
+            # enlarge the canvas to fit the frame, so mirror that
+            # tolerance instead of rejecting valid-in-practice files.
+            ch, cw = max(sh, top + h), max(sw, left + w)
+            if ch * cw > _MAX_PIXELS:
                 raise ValueError(
-                    f"implausible GIF screen dimensions {sw}x{sh}")
-            if left + w > sw or top + h > sh:
-                raise ValueError("frame exceeds logical screen")
-            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+                    f"implausible GIF canvas dimensions {cw}x{ch}")
+            canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
             if gct is not None and bg < len(gct):
                 canvas[:, :] = gct[bg]
             canvas[top:top + h, left:left + w] = frame

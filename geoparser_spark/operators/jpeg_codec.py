@@ -293,11 +293,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + nv
         elif marker in (SOF0, SOF1):
+            if len(body) < 6:
+                raise ValueError("SOF truncated")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("SOF component list truncated")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
@@ -309,11 +313,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"{_SOF_UNSUPPORTED[marker]} JPEG not supported (baseline "
                 "sequential only — the documented degrade path)")
         elif marker == DRI:
+            if len(body) < 2:
+                raise ValueError("DRI truncated")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == SOS:
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("SOS truncated")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("SOS component list truncated")
             scan = []
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
@@ -511,12 +521,22 @@ def encode_jpeg_coeffs(coeff_grids: list[np.ndarray],
 
     ``coeff_grids[ci]`` is (blocks_y, blocks_x, 8, 8) int for component
     ci (1 grid = grayscale, 3 = YCbCr).  Grid shapes must match the MCU
-    geometry implied by ``samplings`` (default all 1x1)."""
+    geometry implied by ``samplings`` (default all 1x1).
+
+    Quant tables follow the usual lum/chroma split: component 0 uses
+    ``qtables[0]``, components 1 AND 2 share ``qtables[1]`` — a third
+    DISTINCT table is rejected rather than silently collapsed onto the
+    Cb table (review finding: decode would dequantize Cr with the
+    wrong table and produce wrong pixels with no error)."""
     nc = len(coeff_grids)
     if nc not in (1, 3):
         raise ValueError("1 or 3 components")
     samplings = samplings or [(1, 1)] * nc
     qtables = qtables if qtables is not None else [FLAT_Q] * nc
+    if len(qtables) >= 3 and not np.array_equal(qtables[2], qtables[1]):
+        raise ValueError(
+            "baseline encoder emits 2 quant tables (lum/chroma); "
+            "qtables[2] must equal qtables[1]")
     hmax = max(s[0] for s in samplings)
     vmax = max(s[1] for s in samplings)
     mcus_x = -(-w_img // (8 * hmax))

@@ -54,9 +54,10 @@ def decode_image(payload: bytes) -> "object":
     unfilter; operators/gif_codec LZW + palette + de-interlace;
     operators/jpeg_codec Huffman entropy decode + FIXED-POINT integer
     IDCT, bit-deterministic per ISO 10918-1 — each returns an
-    (H, W[, C]) uint8 numpy array).  Progressive/arithmetic JPEG,
-    Adam7/16-bit PNG raise NotImplementedError (degrade contract);
-    other formats (TIFF/WEBP/...) stay the documented decoder seam."""
+    (H, W[, C]) uint8 numpy array; PNG includes Adam7 and 16-bit
+    depth).  Progressive/arithmetic JPEG and sub-byte-depth PNG raise
+    NotImplementedError (degrade contract); other formats
+    (TIFF/WEBP/...) stay the documented decoder seam."""
     from geoparser_spark.operators import gif_codec, jpeg_codec, png_codec
 
     if isinstance(payload, (bytes, bytearray)):

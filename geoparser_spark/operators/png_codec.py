@@ -7,9 +7,13 @@ for the formats that dominate synthetic/test corpora — 8-bit
 greyscale (color type 0), RGB (2), palette (3), grey+alpha (4) and
 RGBA (6) — sequential or Adam7-interlaced (real corpora contain Adam7
 PNGs; each of the seven reduced images unfilters independently and
-scatters back on the spec §2.6 grid).  16-bit depth raises a clear
-NotImplementedError rather than guessing; GIF and baseline JPEG have
-their own real codecs (operators/gif_codec, operators/jpeg_codec).
+scatters back on the spec §2.6 grid), at EVERY spec-legal bit depth:
+16-bit samples unfilter at bpp = ch*2 and keep the most-significant
+byte (the spec's own rescale to 8 bits); sub-byte depths 1/2/4
+(grey/palette) unpack MSB-first from ceil(w*d/8)-byte scanlines, grey
+rescaled by the exact integer factor 255/(2^d-1).  GIF and baseline
+JPEG have their own real codecs (operators/gif_codec,
+operators/jpeg_codec).
 
 Scale note: this runs INSIDE Arrow-batched kernels (mapInPandas), so
 the per-image numpy unfilter is vectorized per scanline; the Spark
@@ -99,8 +103,9 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 def decode_png(raw: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, C) uint8 array (C = 1/2/3/4 per color type;
     palette images expand to RGB).  Sequential and Adam7-interlaced
-    streams both decode; raises ValueError on malformed streams,
-    NotImplementedError on 16-bit depth."""
+    streams both decode, at every spec-legal depth (1/2/4/8/16 — 16-bit
+    keeps each sample's MSB, sub-byte unpacks MSB-first with exact
+    integer grey rescale); raises ValueError on malformed streams."""
     if not raw.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     i = len(PNG_SIG)
@@ -137,19 +142,50 @@ def decode_png(raw: bytes) -> np.ndarray:
             "bomb guard)")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
-    if bit_depth != 8:
-        raise NotImplementedError(f"bit depth {bit_depth} not supported")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise ValueError(f"bad color type {color_type}")
+    if bit_depth == 16 and color_type == 3:
+        # spec §4.1.2: palette images are 1/2/4/8-bit only
+        raise ValueError("16-bit palette PNG is not spec-legal")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"bit depth {bit_depth} invalid for color type {color_type}")
     ch = _CHANNELS[color_type]
+    # Filters operate on BYTES (spec §6.2): for 16-bit samples bpp =
+    # ch*2; for sub-byte depths (grey/palette only, so ch == 1) each
+    # scanline packs pixels MSB-first into ceil(w*d/8) bytes and the
+    # filter's "corresponding byte" offset is 1.
+    bps = max(bit_depth // 8, 1)
+    bpp = ch * bps
+
+    def _row_bytes(w: int) -> int:
+        return (w * ch * bit_depth + 7) // 8
+
+    def _to8(px: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Unfiltered scanline bytes -> (h, w, ch) uint8 samples.
+        16-bit keeps each sample's MSB (the spec's own rescale);
+        sub-byte unpacks MSB-first and keeps RAW values (grey rescale
+        happens once at the end; palette values are indices)."""
+        if bit_depth == 16:
+            return px.reshape(h, w, ch, 2)[:, :, :, 0]
+        if bit_depth == 8:
+            return px.reshape(h, w, ch)
+        bits = np.unpackbits(px.reshape(h, -1), axis=1)[:, :w * bit_depth]
+        vals = bits.reshape(h, w, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        return (vals * weights).sum(axis=2, dtype=np.uint16) \
+            .astype(np.uint8)[:, :, None]
+
     if interlace == 0:
-        stride = width * ch
+        stride = _row_bytes(width)
         # decompressobj with max_length caps inflation at exactly the
         # scanline budget — a deflate bomb cannot expand past it
         raw_px = zlib.decompressobj().decompress(
             bytes(idat), height * (stride + 1))
-        px = _unfilter(raw_px, height, stride, ch)
-        img = px.reshape(height, width, ch)
+        px = _unfilter(raw_px, height, stride, bpp)
+        img = _to8(px, height, width)
     else:
         # Adam7 (spec §2.6): seven independent reduced images, each
         # filtered as its own scanline run, scattered back on a fixed
@@ -159,7 +195,7 @@ def decode_png(raw: bytes) -> np.ndarray:
                    -(-(height - y0) // dy))
                   for x0, y0, dx, dy in _ADAM7
                   if width > x0 and height > y0]
-        budget = sum(ph * (pw * ch + 1) for *_, pw, ph in passes)
+        budget = sum(ph * (_row_bytes(pw) + 1) for *_, pw, ph in passes)
         raw_px = zlib.decompressobj().decompress(bytes(idat), budget)
         if len(raw_px) < budget:
             raise ValueError(
@@ -167,10 +203,14 @@ def decode_png(raw: bytes) -> np.ndarray:
         img = np.zeros((height, width, ch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
-            span = ph * (pw * ch + 1)
-            sub = _unfilter(raw_px[off:off + span], ph, pw * ch, ch)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            span = ph * (_row_bytes(pw) + 1)
+            sub = _unfilter(raw_px[off:off + span], ph, _row_bytes(pw),
+                            bpp)
+            img[y0::dy, x0::dx] = _to8(sub, ph, pw)
             off += span
+    if color_type == 0 and bit_depth < 8:
+        # exact integer rescale to 8 bits: 255 is divisible by 1/3/15
+        img = img * np.uint8(255 // ((1 << bit_depth) - 1))
     if color_type == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")

@@ -144,14 +144,35 @@ def test_animated_gif_first_frame_composited_on_background():
     assert not np.array_equal(img[0, 0], gct[2])
 
 
-def test_gif_frame_exceeding_screen_is_valueerror():
+def test_gif_frame_exceeding_screen_enlarges_canvas():
+    """Wild encoders under-declare the screen; browsers enlarge the
+    canvas to fit the frame — mirror that tolerance (review finding:
+    rejecting these regressed valid-in-practice files to the stub)."""
     import struct
 
     gct = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
     raw = bytearray(b"GIF89a")
     raw += struct.pack("<HHBBB", 4, 4, 0x80 | 0, 0, 0)
     raw += gct.tobytes()
-    raw += _frame_blocks(np.zeros((3, 3), dtype=np.uint8), left=2, top=2)
+    f1 = np.zeros((3, 3), dtype=np.uint8)
+    raw += _frame_blocks(f1, left=2, top=2)
     raw += b"\x3B"
-    with pytest.raises(ValueError, match="exceeds logical screen"):
-        decode_gif(bytes(raw))
+    img = decode_gif(bytes(raw))
+    assert img.shape == (5, 5, 3)  # canvas grew from 4x4 to fit 2+3
+    expect = np.zeros((5, 5, 3), dtype=np.uint8)
+    expect[:, :] = gct[0]          # bg index 0
+    expect[2:5, 2:5] = gct[f1]
+    assert np.array_equal(img, expect)
+
+
+def test_gif_zero_screen_decodes_frame():
+    import struct
+
+    gct = np.array([[9, 8, 7], [1, 1, 1]], dtype=np.uint8)
+    raw = bytearray(b"GIF89a")
+    raw += struct.pack("<HHBBB", 0, 0, 0x80 | 0, 0, 0)
+    raw += gct.tobytes()
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    raw += _frame_blocks(idx, left=0, top=0)
+    raw += b"\x3B"
+    assert np.array_equal(decode_gif(bytes(raw)), gct[idx])

@@ -105,14 +105,113 @@ def test_palette_index_out_of_range_is_valueerror():
         decode_png(png)
 
 
-def test_16bit_rejected_and_bad_signature():
-    ihdr_16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    png = PNG_SIG + _chunk(b"IHDR", ihdr_16) + _chunk(
-        b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(png)
+def test_bad_signature_and_bad_depth_rejected():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+    ihdr_3 = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)  # depth 3
+    png = PNG_SIG + _chunk(b"IHDR", ihdr_3) + _chunk(
+        b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bad bit depth"):
+        decode_png(png)
+    # sub-byte truecolor is not spec-legal
+    ihdr_2rgb = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    png = PNG_SIG + _chunk(b"IHDR", ihdr_2rgb) + _chunk(
+        b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="invalid for color type"):
+        decode_png(png)
+
+
+def _pack_subbyte(vals: np.ndarray, d: int) -> bytes:
+    """Pack (H, W) values into PNG scanlines at depth d: MSB-first,
+    each row padded to a whole byte, filter byte 0."""
+    h, w = vals.shape
+    rows = []
+    for y in range(h):
+        bits = []
+        for x in range(w):
+            bits.extend((int(vals[y, x]) >> (d - 1 - i)) & 1
+                        for i in range(d))
+        bits.extend([0] * (-len(bits) % 8))
+        rows.append(b"\x00" + np.packbits(
+            np.array(bits, dtype=np.uint8)).tobytes())
+    return b"".join(rows)
+
+
+def test_subbyte_grey_decodes_with_exact_rescale():
+    """Depths 1/2/4 grey: values unpack MSB-first and rescale by the
+    exact integer 255/(2^d-1)."""
+    rng = np.random.default_rng(21)
+    for d in (1, 2, 4):
+        for w, h in [(1, 1), (3, 2), (8, 3), (9, 4), (17, 2)]:
+            vals = rng.integers(0, 1 << d, size=(h, w), dtype=np.uint8)
+            png = (PNG_SIG
+                   + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, d,
+                                                 0, 0, 0, 0))
+                   + _chunk(b"IDAT", zlib.compress(_pack_subbyte(vals, d)))
+                   + _chunk(b"IEND", b""))
+            got = decode_png(png)
+            assert got.shape == (h, w, 1), (d, w, h)
+            assert np.array_equal(
+                got[:, :, 0], vals * (255 // ((1 << d) - 1))), (d, w, h)
+
+
+def test_subbyte_palette_decodes_to_rgb():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                   dtype=np.uint8)
+    vals = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]], dtype=np.uint8)
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal.tobytes())
+           + _chunk(b"IDAT", zlib.compress(_pack_subbyte(vals, 2)))
+           + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), pal[vals])
+
+
+def _encode_png16(img16: np.ndarray, interlace: bool = False) -> bytes:
+    """Test-side 16-bit encoder: big-endian samples, filter 0."""
+    h, w, c = img16.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    be = img16.astype(">u2")
+    if not interlace:
+        rows = b"".join(b"\x00" + be[y].tobytes() for y in range(h))
+    else:
+        from geoparser_spark.operators.png_codec import _ADAM7
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = be[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        rows = b"".join(parts)
+    return (PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16,
+                                          color_type, 0, 0,
+                                          1 if interlace else 0))
+            + _chunk(b"IDAT", zlib.compress(rows))
+            + _chunk(b"IEND", b""))
+
+
+def test_16bit_decodes_msb():
+    """16-bit samples unfilter at bpp = ch*2 and rescale to 8 bits by
+    keeping the MSB (the spec's own depth rescale)."""
+    rng = np.random.default_rng(13)
+    for shape in [(3, 5, 1), (4, 4, 3), (2, 7, 4), (9, 10, 2)]:
+        img16 = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        for interlace in (False, True):
+            got = decode_png(_encode_png16(img16, interlace=interlace))
+            assert np.array_equal(got, (img16 >> 8).astype(np.uint8)), \
+                (shape, interlace)
+
+
+def test_16bit_palette_is_valueerror():
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0))
+           + _chunk(b"PLTE", bytes([1, 2, 3]))
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="spec-legal"):
+        decode_png(png)
 
 
 def test_adam7_decodes_same_pixels_as_sequential_twin():
