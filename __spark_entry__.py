@@ -938,9 +938,10 @@ def _mm_media_features(spark, sf_dir):
     selected docs split round-robin into actual PNGs (deterministic
     greyscale gradient, png_codec), actual GIFs (deterministic
     16-color palette + LZW-compressed index pattern, gif_codec) and
-    actual baseline JPEGs (deterministic coefficient-space pattern
-    through the lossless entropy layer, jpeg_codec — decoded pixels
-    are exactly the fixed-point integer IDCT of pattern x qtable) —
+    actual JPEGs — alternating BASELINE and PROGRESSIVE encodings of a
+    deterministic coefficient-space pattern (both entropy layers are
+    lossless, jpeg_codec; decoded pixels are exactly the fixed-point
+    integer IDCT of pattern x qtable either way) —
     each decoded BACK to pixels inside the Arrow kernel →
     integer-exact pixel statistics, decode_ok=true.  The oracle
     recomputes each row's features straight from the PATTERN (for
@@ -958,7 +959,10 @@ def _mm_media_features(spark, sf_dir):
         import pandas as pd
 
         from geoparser_spark.operators.gif_codec import encode_gif
-        from geoparser_spark.operators.jpeg_codec import encode_jpeg_coeffs
+        from geoparser_spark.operators.jpeg_codec import (
+            encode_jpeg_coeffs,
+            encode_jpeg_coeffs_progressive,
+        )
         from geoparser_spark.operators.png_codec import encode_png
 
         # loop-invariant 16-color palette (channel c = idx*{37,59,83})
@@ -998,7 +1002,13 @@ def _mm_media_features(spark, sf_dir):
                             ).astype(np.int64)
                     grid[:, :, 0, 0] = ((i + by[:, None] * 3
                                          + bx[None, :]) % 17) - 8
-                    blobs.append(encode_jpeg_coeffs([grid], h, w))
+                    # alternate baseline / PROGRESSIVE encodings of the
+                    # same grid: the multi-scan entropy layer is also
+                    # lossless, so the oracle's integer-IDCT replay
+                    # covers both decode paths with one formula
+                    enc = (encode_jpeg_coeffs if k % 2 == 0
+                           else encode_jpeg_coeffs_progressive)
+                    blobs.append(enc([grid], h, w))
                 refs.append(f"img://{i}")
             yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
 

@@ -18,12 +18,17 @@ Every decoded pixel is therefore a pure function of the coefficient
 stream — bit-identical across runs, machines and numpy versions — so a
 pure-Python oracle can replay it without sharing a line of this code.
 
-Supported: baseline DCT (SOF0), grayscale or 3-component YCbCr with
-sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals,
-multiple DQT/DHT segments, 0xFF00 byte unstuffing.  Progressive
-(SOF2), arithmetic coding, 12-bit precision and hierarchical modes
-raise NotImplementedError — callers degrade to the stub featurizer
-exactly like the Adam7-PNG guard.  Damaged streams raise ValueError.
+Supported: baseline DCT (SOF0) AND progressive DCT (SOF2 — spectral
+selection and successive approximation per Annex G: interleaved or
+single-component DC scans, DC/AC refinement passes, EOB runs;
+coefficients accumulate across scans and the SAME fixed-point IDCT
+runs once at EOI, so progressive pixels are exactly as deterministic
+as baseline), grayscale or 3-component YCbCr with sampling factors up
+to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multiple DQT/DHT
+segments, 0xFF00 byte unstuffing.  Arithmetic coding, 12-bit
+precision and hierarchical modes raise NotImplementedError — callers
+degrade to the stub featurizer exactly like the sub-byte-PNG guard.
+Damaged streams raise ValueError.
 
 The encoder exists for fixtures and round-trip tests: it accepts
 either pixels (float FDCT + quantize — lossy, as real JPEG is) or
@@ -49,8 +54,9 @@ DRI = 0xDD
 COM = 0xFE
 SOF0 = 0xC0  # baseline sequential
 SOF1 = 0xC1  # extended sequential (8-bit decodes identically)
+SOF2 = 0xC2  # progressive (spectral selection + successive approximation)
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive", 0xC3: "lossless", 0xC5: "differential sequential",
+    0xC3: "lossless", 0xC5: "differential sequential",
     0xC6: "differential progressive", 0xC7: "differential lossless",
     0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "differential arithmetic seq",
@@ -238,11 +244,11 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes -> (H, W) uint8 grayscale or (H, W, 3) uint8 RGB.
 
-    Baseline sequential only; progressive/arithmetic/12-bit raise
-    NotImplementedError (degrade contract), malformed streams raise
-    ValueError.  Chroma subsampling upsamples by pixel replication
-    (nearest) — deterministic and documented, the same choice fast
-    integer decoders default to."""
+    Baseline sequential (SOF0/1) and progressive (SOF2) both decode;
+    arithmetic/12-bit/hierarchical raise NotImplementedError (degrade
+    contract), malformed streams raise ValueError.  Chroma subsampling
+    upsamples by pixel replication (nearest) — deterministic and
+    documented, the same choice fast integer decoders default to."""
     d = payload
     if len(d) < 4 or d[0] != 0xFF or d[1] != SOI:
         raise ValueError("not a JPEG stream")
@@ -251,6 +257,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart_interval = 0
+    prog_grids = None   # progressive: raw coefficient state across scans
     while pos + 2 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -259,6 +266,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         if marker == EOI:
+            if prog_grids is not None:
+                return _assemble_planes(frame, [
+                    g * _qtable_for(qtables, c)
+                    for g, c in zip(prog_grids, frame["comps"])])
             raise ValueError("EOI before SOS")
         if pos + 4 > len(d):
             raise ValueError("marker segment truncated")
@@ -292,7 +303,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("DHT truncated")
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (SOF0, SOF1):
+        elif marker in (SOF0, SOF1, SOF2):
             if len(body) < 6:
                 raise ValueError("SOF truncated")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -307,11 +318,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps,
+                     "prog": marker == SOF2}
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"{_SOF_UNSUPPORTED[marker]} JPEG not supported (baseline "
-                "sequential only — the documented degrade path)")
+                "and progressive DCT only — the documented degrade path)")
         elif marker == DRI:
             if len(body) < 2:
                 raise ValueError("DRI truncated")
@@ -322,23 +334,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if not body:
                 raise ValueError("SOS truncated")
             ns = body[0]
-            if len(body) < 1 + 2 * ns:
-                raise ValueError("SOS component list truncated")
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("SOS parameters truncated")
             scan = []
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
                 scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            return _decode_scan(d, pos + 2 + seglen, frame, scan,
-                                qtables, htables, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if not frame["prog"]:
+                return _decode_scan(d, pos + 2 + seglen, frame, scan,
+                                    qtables, htables, restart_interval)
+            if prog_grids is None:
+                prog_grids = _alloc_grids(frame)
+            pos = _decode_prog_scan(
+                d, pos + 2 + seglen, frame, prog_grids, scan,
+                ss, se, ah, al, htables, restart_interval)
+            continue
         pos += 2 + seglen
-    raise ValueError("no SOS marker found")
+    raise ValueError("no SOS marker found" if prog_grids is None
+                     else "progressive stream missing EOI")
 
 
-def _decode_scan(d, start, frame, scan, qtables, htables,
-                 restart_interval) -> np.ndarray:
+def _mcu_geometry(frame) -> tuple[int, int, int, int]:
+    """Validate dims/sampling, return (hmax, vmax, mcus_x, mcus_y)."""
     comps = frame["comps"]
-    if len(scan) != len(comps):
-        raise NotImplementedError("non-interleaved multi-scan JPEG")
     h_img, w_img = frame["h"], frame["w"]
     if h_img == 0 or w_img == 0:
         raise ValueError("zero image dimension")
@@ -353,6 +373,52 @@ def _decode_scan(d, start, frame, scan, qtables, htables,
         raise ValueError("image dimensions exceed decode budget")
     mcus_x = -(-w_img // (8 * hmax))
     mcus_y = -(-h_img // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_grids(frame) -> list[np.ndarray]:
+    """One MCU-padded raw-coefficient grid per component."""
+    _, _, mcus_x, mcus_y = _mcu_geometry(frame)
+    return [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 8, 8),
+                     dtype=np.int64) for c in frame["comps"]]
+
+
+def _qtable_for(qtables, comp) -> np.ndarray:
+    q = qtables.get(comp["tq"])
+    if q is None:
+        raise ValueError("missing quant table for component")
+    return q
+
+
+def _assemble_planes(frame, grids_dq) -> np.ndarray:
+    """DEQUANTIZED per-component grids -> pixels: batched fixed-point
+    IDCT, replication upsample, crop, fixed-point color convert —
+    shared by the baseline and progressive paths."""
+    comps = frame["comps"]
+    h_img, w_img = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        by, bx = grids_dq[ci].shape[:2]
+        px = idct2d_int(grids_dq[ci].reshape(-1, 8, 8))
+        plane = (px.reshape(by, bx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        # upsample by replication to full MCU-grid resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h_img, :w_img])
+    if len(planes) == 1:
+        return planes[0]
+    return ycbcr_to_rgb_int(*planes)
+
+
+def _decode_scan(d, start, frame, scan, qtables, htables,
+                 restart_interval) -> np.ndarray:
+    comps = frame["comps"]
+    if len(scan) != len(comps):
+        raise NotImplementedError("non-interleaved multi-scan JPEG")
+    hmax, vmax, mcus_x, mcus_y = _mcu_geometry(frame)
     by_id = {s["id"]: s for s in scan}
     reader = _BitReader(d, start)
     pred = {c["id"]: 0 for c in comps}
@@ -404,21 +470,186 @@ def _decode_scan(d, start, frame, scan, qtables, htables,
                     raster[ZIGZAG] = zz
                     grids[ci][my * c["v"] + v, mx * c["h"] + hh] = (
                         raster.reshape(8, 8) * q)
-    # IDCT per component (one batched einsum each), assemble planes
-    planes = []
-    for ci, c in enumerate(comps):
-        by, bx = grids[ci].shape[:2]
-        px = idct2d_int(grids[ci].reshape(-1, 8, 8))
-        plane = (px.reshape(by, bx, 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
-        # upsample by replication to full MCU-grid resolution
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:h_img, :w_img])
-    if len(planes) == 1:
-        return planes[0]
-    return ycbcr_to_rgb_int(*planes)
+    return _assemble_planes(frame, grids)
+
+
+def _noninterleaved_blocks(frame, comp) -> tuple[int, int]:
+    """Block dims of a NON-INTERLEAVED scan over ``comp`` (A.2.2):
+    ceil-by-8 of the component's scaled sample dims — smaller than the
+    MCU-padded grid whenever another component has a larger factor."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    chh = -(-frame["h"] * comp["v"] // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _next_marker(d: bytes, p: int) -> int:
+    """Position of the next segment marker at/after ``p`` (skipping
+    stuffed 0xFF00 and RSTn inside leftover entropy bytes)."""
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 \
+                and not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    raise ValueError("unterminated scan (no following marker)")
+
+
+def _decode_prog_scan(d, start, frame, grids, scan, ss, se, ah, al,
+                      htables, restart_interval) -> int:
+    """Decode ONE progressive scan (Annex G) into the raw-coefficient
+    ``grids``; returns the stream position of the next marker.
+
+    DC scans (Ss=Se=0) may be interleaved (MCU order) or single-
+    component; AC scans are single-component over the non-interleaved
+    block raster.  First passes (Ah=0) decode magnitudes at point
+    transform Al; refinement passes (Ah>0) append one bit per
+    coefficient, with AC refinement interleaving correction bits for
+    already-nonzero coefficients exactly as G.1.2.3 specifies (the
+    libjpeg-interoperable reading)."""
+    comps = frame["comps"]
+    if ss > 63 or se > 63 or ss > se or al > 13 or ah > 14:
+        raise ValueError("bad progressive scan parameters")
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("AC scans must be single-component")
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    for s in scan:
+        if s["id"] not in by_id:
+            raise ValueError("scan component not in frame")
+    reader = _BitReader(d, start)
+    hmax, vmax, mcus_x, mcus_y = _mcu_geometry(frame)
+    p1 = 1 << al
+
+    if ss == 0:                                    # ---- DC scan
+        tbls = {}
+        for s in scan:
+            if ah == 0:
+                t = htables.get((0, s["dc"]))
+                if t is None:
+                    raise ValueError("missing DC Huffman table for scan")
+                tbls[s["id"]] = t
+        pred = {s["id"]: 0 for s in scan}
+
+        def dc_unit(cid, blk):
+            if ah == 0:
+                t = reader.decode(tbls[cid])
+                pred[cid] += _extend(reader.receive(t), t)
+                blk[0, 0] = pred[cid] * p1
+            else:
+                if reader.read_bit():
+                    blk[0, 0] |= p1
+
+        if len(scan) > 1:                          # interleaved MCUs
+            n_mcu = mcus_x * mcus_y
+            for m in range(n_mcu):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.restart()
+                    pred = {s["id"]: 0 for s in scan}
+                my, mx = divmod(m, mcus_x)
+                for s in scan:
+                    ci = by_id[s["id"]]
+                    c = comps[ci]
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            dc_unit(c["id"], grids[ci][my * c["v"] + v,
+                                                       mx * c["h"] + hh])
+        else:                                      # single component
+            ci = by_id[scan[0]["id"]]
+            bh, bw = _noninterleaved_blocks(frame, comps[ci])
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        reader.restart()
+                        pred = {s["id"]: 0 for s in scan}
+                    dc_unit(scan[0]["id"], grids[ci][by, bx])
+                    n += 1
+        return _next_marker(d, reader.pos)
+
+    # ---- AC scan (single component)
+    sel = scan[0]
+    ac_tbl = htables.get((1, sel["ac"]))
+    if ac_tbl is None:
+        raise ValueError("missing AC Huffman table for scan")
+    ci = by_id[sel["id"]]
+    bh, bw = _noninterleaved_blocks(frame, comps[ci])
+    zz = ZIGZAG  # scan index k -> raster position
+    eobrun = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n and n % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            n += 1
+            blk = grids[ci][by, bx].reshape(-1)   # raster-flat view
+            if ah == 0:                           # -- first AC pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16               # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[zz[k]] = _extend(reader.receive(s), s) * p1
+                    k += 1
+            else:                                 # -- AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r   # includes this block
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            val = 0               # ZRL: 16 zero-history
+                        elif s == 1:
+                            val = p1 if reader.read_bit() else -p1
+                        else:
+                            raise ValueError(
+                                "AC refinement magnitude must be 1")
+                        while k <= se:
+                            pos_r = zz[k]
+                            if blk[pos_r] != 0:
+                                if reader.read_bit() \
+                                        and not (blk[pos_r] & p1):
+                                    blk[pos_r] += (p1 if blk[pos_r] > 0
+                                                   else -p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[zz[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:                # correction bits only
+                        pos_r = zz[k]
+                        if blk[pos_r] != 0:
+                            if reader.read_bit() \
+                                    and not (blk[pos_r] & p1):
+                                blk[pos_r] += (p1 if blk[pos_r] > 0
+                                               else -p1)
+                        k += 1
+                    eobrun -= 1
+    return _next_marker(d, reader.pos)
 
 
 # -------------------------------------------------------------- encoder
@@ -630,6 +861,247 @@ def encode_jpeg_coeffs(coeff_grids: list[np.ndarray],
                         w.write(code, length)
     w.flush()
     out += w.out
+    out += bytes([0xFF, EOI])
+    return bytes(out)
+
+
+# Progressive AC table: the K.3 baseline tables lack the EOBn symbols
+# (r<<4 with r>0, s=0) progressive EOB runs need, so fixtures use one
+# flat canonical table holding EVERY (r, s<=10) symbol at 9 bits —
+# inefficient but spec-legal (176 codes < 2^9, longest code not all-1s)
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+
+
+def _sig(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): sign-preserving MAGNITUDE shift
+    (DC uses a plain arithmetic shift instead — the spec's asymmetry)."""
+    m = abs(v) >> al
+    return m if v >= 0 else -m
+
+
+def encode_jpeg_coeffs_progressive(
+        coeff_grids: list[np.ndarray], h_img: int, w_img: int,
+        qtables: list[np.ndarray] | None = None,
+        samplings: list[tuple[int, int]] | None = None,
+        scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """QUANTIZED coefficient grids -> PROGRESSIVE (SOF2) JPEG bytes.
+    The multi-scan entropy layer is collectively lossless, so
+    ``decode_jpeg`` recovers exactly these coefficients — pixels are
+    bit-identical to the baseline encoding of the same grids, which is
+    how the tests pin the progressive decode path without a second
+    oracle.
+
+    ``scans`` is a list of (component_indices, Ss, Se, Ah, Al); the
+    default script exercises spectral selection AND successive
+    approximation on both DC (interleaved) and AC (per component,
+    first pass + refinement): DC(Al=1), DC refine, per-component
+    AC 1..5 and 6..63 at Al=2, then two AC refinement sweeps."""
+    nc = len(coeff_grids)
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 components")
+    samplings = samplings or [(1, 1)] * nc
+    qtables = qtables if qtables is not None else [FLAT_Q] * nc
+    if len(qtables) >= 3 and not np.array_equal(qtables[2], qtables[1]):
+        raise ValueError(
+            "progressive encoder emits 2 quant tables (lum/chroma); "
+            "qtables[2] must equal qtables[1]")
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    for ci, g in enumerate(coeff_grids):
+        want = (mcus_y * samplings[ci][1], mcus_x * samplings[ci][0])
+        if g.shape[:2] != want:
+            raise ValueError(
+                f"component {ci} grid {g.shape[:2]} != {want} for "
+                f"{w_img}x{h_img} at sampling {samplings[ci]}")
+    if scans is None:
+        scans = [(list(range(nc)), 0, 0, 0, 1),
+                 (list(range(nc)), 0, 0, 1, 0)]
+        for ci in range(nc):
+            scans += [([ci], 1, 5, 0, 2), ([ci], 6, 63, 0, 2)]
+        for ci in range(nc):
+            scans += [([ci], 1, 63, 2, 1), ([ci], 1, 63, 1, 0)]
+
+    out = bytearray(b"\xff" + bytes([SOI]))
+    emitted = set()
+    for ci in range(nc):
+        tid = min(ci, 1)
+        if tid not in emitted:
+            out += _dqt_seg(tid, qtables[min(tid, len(qtables) - 1)])
+            emitted.add(tid)
+    sof = struct.pack(">BHHB", 8, h_img, w_img, nc)
+    for ci in range(nc):
+        hh, vv = samplings[ci]
+        sof += bytes([ci + 1, (hh << 4) | vv, min(ci, 1)])
+    out += _seg(SOF2, sof)
+    out += _dht_seg(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    if nc == 3:
+        out += _dht_seg(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+    out += _dht_seg(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    dc_enc = [_build_encode_table(_DC_LUM_BITS, _DC_LUM_VALS),
+              _build_encode_table(_DC_CHR_BITS, _DC_CHR_VALS)]
+    ac_enc = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def zz_of(ci, by, bx):
+        return coeff_grids[ci][by, bx].reshape(-1)[ZIGZAG]
+
+    def blocks_of(ci):
+        """Non-interleaved raster block list (A.2.2 dims)."""
+        hh, vv = samplings[ci]
+        cw = -(-w_img * hh // hmax)
+        chh = -(-h_img * vv // vmax)
+        return [(by, bx) for by in range(-(-chh // 8))
+                for bx in range(-(-cw // 8))]
+
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, (min(ci, 1) << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(SOS, sos)
+        w = _BitWriter()
+        if ss == 0 and ah == 0:          # DC first pass
+            pred = {ci: 0 for ci in comp_idx}
+            units = []
+            if len(comp_idx) > 1:
+                for m in range(mcus_x * mcus_y):
+                    my, mx = divmod(m, mcus_x)
+                    for ci in comp_idx:
+                        hh, vv = samplings[ci]
+                        units += [(ci, my * vv + v, mx * hh + hx)
+                                  for v in range(vv) for hx in range(hh)]
+            else:
+                ci = comp_idx[0]
+                units = [(ci, by, bx) for by, bx in blocks_of(ci)]
+            for ci, by, bx in units:
+                dc = int(zz_of(ci, by, bx)[0]) >> al    # arithmetic
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = _csize(diff)
+                code, length = dc_enc[min(ci, 1)][t]
+                w.write(code, length)
+                if t:
+                    w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        elif ss == 0:                    # DC refinement: 1 bit/unit
+            units = []
+            if len(comp_idx) > 1:
+                for m in range(mcus_x * mcus_y):
+                    my, mx = divmod(m, mcus_x)
+                    for ci in comp_idx:
+                        hh, vv = samplings[ci]
+                        units += [(ci, my * vv + v, mx * hh + hx)
+                                  for v in range(vv) for hx in range(hh)]
+            else:
+                ci = comp_idx[0]
+                units = [(ci, by, bx) for by, bx in blocks_of(ci)]
+            for ci, by, bx in units:
+                w.write((int(zz_of(ci, by, bx)[0]) >> al) & 1, 1)
+        elif ah == 0:                    # AC first pass
+            ci = comp_idx[0]
+            eobrun = 0
+
+            def flush_eob():
+                # one EOBn symbol covers any run 1..32767: r = floor
+                # (log2(n)), r extension bits hold n - 2^r
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, length = ac_enc[r << 4]
+                    w.write(code, length)
+                    if r:
+                        w.write(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for by, bx in blocks_of(ci):
+                zz = zz_of(ci, by, bx)
+                run = 0
+                for k in range(ss, se + 1):
+                    t = _sig(int(zz[k]), al)
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, length = ac_enc[0xF0]
+                        w.write(code, length)
+                        run -= 16
+                    s = _csize(t)
+                    if s > 10:
+                        raise ValueError("AC coeff out of range")
+                    code, length = ac_enc[(run << 4) | s]
+                    w.write(code, length)
+                    w.write(t if t > 0 else t + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        else:                            # AC refinement (G.1.2.3)
+            ci = comp_idx[0]
+            eobrun = 0
+            bits: list[int] = []    # correction bits riding the EOBRUN
+
+            def flush_eob_refine():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, length = ac_enc[r << 4]
+                    w.write(code, length)
+                    if r:
+                        w.write(eobrun - (1 << r), r)
+                    eobrun = 0
+                for b in bits:
+                    w.write(b, 1)
+                bits.clear()
+
+            for by, bx in blocks_of(ci):
+                zz = zz_of(ci, by, bx)
+                ab = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                # last newly-significant index: ZRLs beyond it fold
+                # into the EOB run instead (libjpeg's EOB bound)
+                eob_idx = max((j for j, t in enumerate(ab) if t == 1),
+                              default=-1)
+                run = 0
+                block_bits: list[int] = []
+                for j, t in enumerate(ab):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs are emitted at ANY nonzero coefficient once
+                    # 16+ zero-history positions are pending, so the
+                    # decoder's ZRL walk sees this block's correction
+                    # bits in position order
+                    while run > 15 and j <= eob_idx:
+                        flush_eob_refine()
+                        code, length = ac_enc[0xF0]
+                        w.write(code, length)
+                        run -= 16
+                        for b in block_bits:
+                            w.write(b, 1)
+                        block_bits = []
+                    if t > 1:            # already significant
+                        block_bits.append(t & 1)
+                        continue
+                    flush_eob_refine()   # newly significant
+                    code, length = ac_enc[(run << 4) | 1]
+                    w.write(code, length)
+                    w.write(1 if int(zz[ss + j]) > 0 else 0, 1)
+                    for b in block_bits:
+                        w.write(b, 1)
+                    block_bits = []
+                    run = 0
+                if run or block_bits:
+                    eobrun += 1
+                    bits.extend(block_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob_refine()
+            flush_eob_refine()
+        w.flush()
+        out += w.out
     out += bytes([0xFF, EOI])
     return bytes(out)
 

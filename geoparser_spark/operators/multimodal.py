@@ -54,8 +54,9 @@ def decode_image(payload: bytes) -> "object":
     unfilter; operators/gif_codec LZW + palette + de-interlace;
     operators/jpeg_codec Huffman entropy decode + FIXED-POINT integer
     IDCT, bit-deterministic per ISO 10918-1 — each returns an
-    (H, W[, C]) uint8 numpy array; PNG includes Adam7 and 16-bit
-    depth).  Progressive/arithmetic JPEG and sub-byte-depth PNG raise
+    (H, W[, C]) uint8 numpy array; PNG covers every spec-legal depth
+    and Adam7; JPEG covers baseline AND progressive DCT).
+    Arithmetic-coded/12-bit/hierarchical JPEG raise
     NotImplementedError (degrade contract); other formats
     (TIFF/WEBP/...) stay the documented decoder seam."""
     from geoparser_spark.operators import gif_codec, jpeg_codec, png_codec
@@ -97,8 +98,8 @@ def extract_media_features(media: DataFrame, dim: int = 16,
         if is_png or is_jpeg or payload[:6] in gif_codec.GIF_SIGS:
             # decode AND featurize inside the guard: a corrupt IDAT
             # raises zlib.error, an out-of-range palette index
-            # IndexError, a truncated LZW stream ValueError, a
-            # progressive JPEG NotImplementedError — damaged or
+            # IndexError, a truncated LZW stream ValueError, an
+            # arithmetic-coded JPEG NotImplementedError — damaged or
             # unsupported input must degrade to the stub path
             # (decode_ok=False), never kill the Arrow task
             try:

@@ -259,11 +259,13 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
       palette pattern (idx = (i*5 + y*w + x) % 16, palette channel c
       = idx·{37,59,83} mod 256) — the Spark side round-trips a real
       LZW stream; the replica never runs LZW at all.
-    * doc_id % 30 == 20 → baseline JPEG: the fixture lives in
-      COEFFICIENT space (lossless entropy layer), so decoded pixels
-      are exactly intIDCT(pattern) — replayed by _jpeg_idct_replica's
-      pure-Python integer loops; the Spark side runs the real Huffman
-      decode + fixed-point IDCT in jpeg_codec.
+    * doc_id % 30 == 20 → JPEG (alternating BASELINE and PROGRESSIVE
+      encodings by k = i//30 parity): the fixture lives in COEFFICIENT
+      space and both entropy layers are lossless, so decoded pixels
+      are exactly intIDCT(pattern) either way — replayed by
+      _jpeg_idct_replica's pure-Python integer loops; the Spark side
+      runs the real Huffman decode (sequential or Annex G multi-scan)
+      + fixed-point IDCT in jpeg_codec.
       Every statistic is an integer aggregate + one IEEE division,
       mirrored expression-for-expression from png_codec.pixel_features.
 

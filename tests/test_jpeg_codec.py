@@ -17,6 +17,7 @@ import numpy as np
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Row
 
 from geoparser_spark.operators.jpeg_codec import (
     FLAT_Q,
@@ -131,11 +132,11 @@ def test_zrl_long_zero_runs():
     assert np.array_equal(img, _assemble(grid))
 
 
-def test_progressive_and_12bit_rejected():
-    prog = (bytes([0xFF, 0xD8, 0xFF, 0xC2]) + struct.pack(">H", 8)
-            + b"\x08\x00\x08\x00\x08\x01")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+def test_arithmetic_and_12bit_rejected():
+    arith = (bytes([0xFF, 0xD8, 0xFF, 0xCA]) + struct.pack(">H", 8)
+             + b"\x08\x00\x08\x00\x08\x01")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
     deep = (bytes([0xFF, 0xD8, 0xFF, 0xC0]) + struct.pack(">H", 8)
             + b"\x0c\x00\x08\x00\x08\x01")
     with pytest.raises(NotImplementedError, match="12-bit"):
@@ -197,3 +198,150 @@ def test_media_features_real_jpeg_path(spark):
     assert got == pytest.approx([np.float32(v) for v in expected])
     assert not rows["bad"].decode_ok
     assert not rows["prog"].decode_ok
+
+
+def _rand_grids(rng, nc, mcus_x, mcus_y, samplings, lo=-40, hi=40):
+    grids = []
+    for ci in range(nc):
+        hh, vv = samplings[ci]
+        g = rng.integers(lo, hi, size=(mcus_y * vv, mcus_x * hh, 8, 8))
+        g = g.astype(np.int64)
+        # tame some high-frequency cells to zero so EOB runs occur
+        g[:, :, 4:, 4:] = 0
+        grids.append(g)
+    return grids
+
+
+def test_progressive_gray_matches_baseline():
+    """Default script (DC SA + spectral selection + AC refinement):
+    progressive pixels must be bit-identical to the baseline encoding
+    of the same quantized coefficients."""
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    for (h, w) in [(8, 8), (16, 24), (13, 21), (8, 40)]:
+        grids = _rand_grids(rng, 1, -(-w // 8), -(-h // 8), [(1, 1)])
+        base = decode_jpeg(encode_jpeg_coeffs(grids, h, w))
+        prog = decode_jpeg(encode_jpeg_coeffs_progressive(grids, h, w))
+        assert np.array_equal(base, prog), (h, w)
+
+
+def test_progressive_color_420_matches_baseline():
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    rng = np.random.default_rng(37)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    for (h, w) in [(16, 16), (24, 40), (13, 21)]:
+        mx, my = -(-w // 16), -(-h // 16)
+        grids = _rand_grids(rng, 3, mx, my, samp)
+        base = decode_jpeg(encode_jpeg_coeffs(grids, h, w, samplings=samp))
+        prog = decode_jpeg(
+            encode_jpeg_coeffs_progressive(grids, h, w, samplings=samp))
+        assert np.array_equal(base, prog), (h, w)
+
+
+def test_progressive_noninterleaved_block_raster():
+    """Luma with h-factor 2 in a 24-wide image: the MCU-padded grid has
+    4 block columns but a non-interleaved AC scan covers only
+    ceil(24/8)=3 — exercises the A.2.2 traversal difference."""
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    h, w = 16, 24
+    grids = _rand_grids(rng, 3, -(-w // 16), -(-h // 16), samp)
+    # MCU-padding block column of luma: AC progressive never writes it;
+    # zero it so baseline and progressive agree coefficient-for-
+    # coefficient (its pixels are cropped away either way)
+    grids[0][:, 3:, :, :] = 0
+    grids[0][:, 3:, 0, 0] = rng.integers(-20, 20)  # DC still covered
+    base = decode_jpeg(encode_jpeg_coeffs(grids, h, w, samplings=samp))
+    prog = decode_jpeg(
+        encode_jpeg_coeffs_progressive(grids, h, w, samplings=samp))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_spectral_only_and_custom_scripts():
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    rng = np.random.default_rng(43)
+    h, w = 16, 16
+    grids = _rand_grids(rng, 1, 2, 2, [(1, 1)])
+    base = decode_jpeg(encode_jpeg_coeffs(grids, h, w))
+    scripts = [
+        # spectral selection only, no successive approximation
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        # three AC bands
+        [([0], 0, 0, 0, 0), ([0], 1, 2, 0, 0), ([0], 3, 20, 0, 0),
+         ([0], 21, 63, 0, 0)],
+        # deep successive approximation on AC (3 refinement passes)
+        [([0], 0, 0, 0, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+         ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1),
+         ([0], 1, 63, 1, 0)],
+    ]
+    for sc in scripts:
+        prog = decode_jpeg(
+            encode_jpeg_coeffs_progressive(grids, h, w, scans=sc))
+        assert np.array_equal(base, prog), sc
+
+
+def test_progressive_sparse_blocks_exercise_eob_runs():
+    """Mostly-zero grids drive long EOB runs (EOBn symbols with
+    extension bits) through both first and refinement AC passes."""
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    rng = np.random.default_rng(47)
+    h, w = 64, 64
+    grids = [np.zeros((8, 8, 8, 8), dtype=np.int64)]
+    grids[0][:, :, 0, 0] = rng.integers(-30, 30, size=(8, 8))
+    grids[0][2, 3, 5, 6] = 7
+    grids[0][7, 7, 1, 1] = -3
+    grids[0][0, 0, 7, 7] = 1   # newly significant only in last pass
+    base = decode_jpeg(encode_jpeg_coeffs(grids, h, w))
+    prog = decode_jpeg(encode_jpeg_coeffs_progressive(grids, h, w))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_routes_through_multimodal(spark):
+    from geoparser_spark.operators.jpeg_codec import (
+        FLAT_Q,
+        encode_jpeg_coeffs_progressive,
+    )
+    from geoparser_spark.operators.multimodal import extract_media_features
+    from geoparser_spark.operators.png_codec import pixel_features
+
+    rng = np.random.default_rng(53)
+    grids = _rand_grids(rng, 1, 2, 1, [(1, 1)])
+    payload = encode_jpeg_coeffs_progressive(grids, 8, 16, qtables=[FLAT_Q])
+    img = decode_jpeg(payload)
+    rows = [Row(media_ref="pjpeg", media_bytes=bytearray(payload))]
+    got = extract_media_features(
+        spark.createDataFrame(rows), dim=16).collect()[0]
+    assert got.decode_ok is True
+    expect = pixel_features(img[:, :, None] if img.ndim == 2 else img, 16)
+    assert got.feature == pytest.approx([np.float32(x) for x in expect])
+
+
+def test_progressive_truncated_is_valueerror():
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    rng = np.random.default_rng(59)
+    grids = _rand_grids(rng, 1, 2, 2, [(1, 1)])
+    full = encode_jpeg_coeffs_progressive(grids, 16, 16)
+    with pytest.raises(ValueError):
+        decode_jpeg(full[:len(full) // 2])
+    # progressive stream with the EOI sliced off
+    with pytest.raises(ValueError):
+        decode_jpeg(full[:-2])
