@@ -304,6 +304,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + nv
         elif marker in (SOF0, SOF1, SOF2):
+            if frame is not None:    # one frame per non-hierarchical image
+                raise ValueError("multiple SOF markers in stream")
             if len(body) < 6:
                 raise ValueError("SOF truncated")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -334,6 +336,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if not body:
                 raise ValueError("SOS truncated")
             ns = body[0]
+            if not 1 <= ns <= 4:     # B.2.3: 1 <= Ns <= 4
+                raise ValueError("SOS component count out of range")
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("SOS parameters truncated")
             scan = []
@@ -442,13 +446,13 @@ def _decode_scan(d, start, frame, scan, qtables, htables,
             ac_tbl = htables.get((1, sel["ac"]))
             if dc_tbl is None or ac_tbl is None:
                 raise ValueError("missing Huffman table for scan")
-            q = qtables.get(c["tq"])
-            if q is None:
-                raise ValueError("missing quant table for component")
+            q = _qtable_for(qtables, c)
             for v in range(c["v"]):
                 for hh in range(c["h"]):
                     zz = np.zeros(64, dtype=np.int64)
                     t = reader.decode(dc_tbl)
+                    if t > 11:   # F.1.2.1.1: 8-bit DC category <= 11
+                        raise ValueError("DC magnitude category out of range")
                     diff = _extend(reader.receive(t), t)
                     pred[c["id"]] += diff
                     zz[0] = pred[c["id"]]
@@ -535,6 +539,8 @@ def _decode_prog_scan(d, start, frame, grids, scan, ss, se, ah, al,
         def dc_unit(cid, blk):
             if ah == 0:
                 t = reader.decode(tbls[cid])
+                if t > 11:   # F.1.2.1.1: 8-bit DC category <= 11
+                    raise ValueError("DC magnitude category out of range")
                 pred[cid] += _extend(reader.receive(t), t)
                 blk[0, 0] = pred[cid] * p1
             else:
@@ -924,6 +930,15 @@ def encode_jpeg_coeffs_progressive(
             scans += [([ci], 1, 5, 0, 2), ([ci], 6, 63, 0, 2)]
         for ci in range(nc):
             scans += [([ci], 1, 63, 2, 1), ([ci], 1, 63, 1, 0)]
+    for comp_idx, ss, se, ah, al in scans:   # fail at encode, not decode
+        if not comp_idx or any(ci >= nc for ci in comp_idx):
+            raise ValueError(f"scan components {comp_idx} out of range")
+        if not (0 <= ss <= se <= 63) or (ss == 0) != (se == 0):
+            raise ValueError(f"bad spectral band Ss={ss}..Se={se}")
+        if ss > 0 and len(comp_idx) != 1:
+            raise ValueError("AC scans must be single-component")
+        if ah != 0 and ah != al + 1:
+            raise ValueError(f"refinement needs Ah=Al+1, got Ah={ah} Al={al}")
 
     out = bytearray(b"\xff" + bytes([SOI]))
     emitted = set()
@@ -956,6 +971,22 @@ def encode_jpeg_coeffs_progressive(
         return [(by, bx) for by in range(-(-chh // 8))
                 for bx in range(-(-cw // 8))]
 
+    def dc_units(comp_idx):
+        """(ci, by, bx) walk for a DC scan — interleaved MCU order when
+        multi-component, A.2.2 raster otherwise.  Shared by the first
+        pass and refinement so both walk blocks identically."""
+        if len(comp_idx) > 1:
+            units = []
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci in comp_idx:
+                    hh, vv = samplings[ci]
+                    units += [(ci, my * vv + v, mx * hh + hx)
+                              for v in range(vv) for hx in range(hh)]
+            return units
+        ci = comp_idx[0]
+        return [(ci, by, bx) for by, bx in blocks_of(ci)]
+
     for comp_idx, ss, se, ah, al in scans:
         sos = bytes([len(comp_idx)])
         for ci in comp_idx:
@@ -965,18 +996,7 @@ def encode_jpeg_coeffs_progressive(
         w = _BitWriter()
         if ss == 0 and ah == 0:          # DC first pass
             pred = {ci: 0 for ci in comp_idx}
-            units = []
-            if len(comp_idx) > 1:
-                for m in range(mcus_x * mcus_y):
-                    my, mx = divmod(m, mcus_x)
-                    for ci in comp_idx:
-                        hh, vv = samplings[ci]
-                        units += [(ci, my * vv + v, mx * hh + hx)
-                                  for v in range(vv) for hx in range(hh)]
-            else:
-                ci = comp_idx[0]
-                units = [(ci, by, bx) for by, bx in blocks_of(ci)]
-            for ci, by, bx in units:
+            for ci, by, bx in dc_units(comp_idx):
                 dc = int(zz_of(ci, by, bx)[0]) >> al    # arithmetic
                 diff = dc - pred[ci]
                 pred[ci] = dc
@@ -986,18 +1006,7 @@ def encode_jpeg_coeffs_progressive(
                 if t:
                     w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
         elif ss == 0:                    # DC refinement: 1 bit/unit
-            units = []
-            if len(comp_idx) > 1:
-                for m in range(mcus_x * mcus_y):
-                    my, mx = divmod(m, mcus_x)
-                    for ci in comp_idx:
-                        hh, vv = samplings[ci]
-                        units += [(ci, my * vv + v, mx * hh + hx)
-                                  for v in range(vv) for hx in range(hh)]
-            else:
-                ci = comp_idx[0]
-                units = [(ci, by, bx) for by, bx in blocks_of(ci)]
-            for ci, by, bx in units:
+            for ci, by, bx in dc_units(comp_idx):
                 w.write((int(zz_of(ci, by, bx)[0]) >> al) & 1, 1)
         elif ah == 0:                    # AC first pass
             ci = comp_idx[0]

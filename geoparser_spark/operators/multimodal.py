@@ -49,7 +49,7 @@ def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode: PNG, GIF and baseline JPEG are REAL (pure
+    """Image decode: PNG, GIF and JPEG are REAL (pure
     stdlib+numpy — operators/png_codec zlib inflate + scanline
     unfilter; operators/gif_codec LZW + palette + de-interlace;
     operators/jpeg_codec Huffman entropy decode + FIXED-POINT integer
@@ -70,15 +70,17 @@ def decode_image(payload: bytes) -> "object":
         if raw.startswith(jpeg_codec.JPEG_SIG):
             return jpeg_codec.decode_jpeg(raw)
     raise NotImplementedError(
-        "only PNG/GIF/baseline-JPEG pixels decode in-sandbox; other "
-        "formats are the documented decoder seam (see module docstring)")
+        "only PNG/GIF/JPEG (baseline + progressive DCT) pixels decode "
+        "in-sandbox; other formats are the documented decoder seam "
+        "(see module docstring)")
 
 
 def extract_media_features(media: DataFrame, dim: int = 16,
                            bytes_col: str = "media_bytes",
                            ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
-    decode_ok).  Arrow-batched.  PNG, GIF and baseline-JPEG payloads
+    decode_ok).  Arrow-batched.  PNG, GIF and JPEG (baseline +
+    progressive DCT) payloads
     decode to REAL pixels and emit real integer-exact pixel statistics
     (png_codec.pixel_features — dims, per-channel mean/variance,
     intensity histogram, each an integer aggregate + one IEEE division

@@ -177,7 +177,10 @@ def test_decode_image_routes_jpeg(spark):
 def test_media_features_real_jpeg_path(spark):
     """extract_media_features: a coefficient-space JPEG fixture decodes
     to REAL pixels (decode_ok=True) with integer-exact stats; a damaged
-    JPEG and a progressive JPEG both degrade to the stub path."""
+    JPEG and a TRUNCATED SOF2 header (missing component list — valid
+    progressive streams now take the real-decode path, pinned by
+    test_progressive_*; only malformed ones degrade) both degrade to
+    the stub path."""
     import pandas as pd
 
     from geoparser_spark.operators.multimodal import extract_media_features
@@ -187,17 +190,17 @@ def test_media_features_real_jpeg_path(spark):
     good = encode_jpeg_coeffs([grid], 8, 8)
     expected = pixel_features(_assemble(grid), 16)
     bad = good[:40] + b"\x00" * 10
-    prog = (bytes([0xFF, 0xD8, 0xFF, 0xC2]) + struct.pack(">H", 8)
-            + b"\x08\x00\x08\x00\x08\x01")
+    trunc_sof2 = (bytes([0xFF, 0xD8, 0xFF, 0xC2]) + struct.pack(">H", 8)
+                  + b"\x08\x00\x08\x00\x08\x01")
     df = spark.createDataFrame(
-        pd.DataFrame({"media_ref": ["good", "bad", "prog"],
-                      "media_bytes": [good, bad, prog]}))
+        pd.DataFrame({"media_ref": ["good", "bad", "trunc_sof2"],
+                      "media_bytes": [good, bad, trunc_sof2]}))
     rows = {r.media_ref: r for r in extract_media_features(df).collect()}
     assert rows["good"].decode_ok
     got = [float(x) for x in rows["good"].feature]
     assert got == pytest.approx([np.float32(v) for v in expected])
     assert not rows["bad"].decode_ok
-    assert not rows["prog"].decode_ok
+    assert not rows["trunc_sof2"].decode_ok
 
 
 def _rand_grids(rng, nc, mcus_x, mcus_y, samplings, lo=-40, hi=40):
@@ -345,3 +348,85 @@ def test_progressive_truncated_is_valueerror():
     # progressive stream with the EOI sliced off
     with pytest.raises(ValueError):
         decode_jpeg(full[:-2])
+
+
+def test_dc_category_above_11_is_valueerror_not_overflow():
+    """A malicious DHT can map a code to any HUFFVAL byte (e.g. 100);
+    reader.receive(100) then builds a >64-bit Python int and storing it
+    in the int64 grid raised OverflowError — escaping both decode_jpeg's
+    ValueError contract and multimodal's degrade guard.  F.1.2.1.1 caps
+    8-bit DC categories at 11; reject beyond it at both decode sites."""
+    from geoparser_spark.operators.jpeg_codec import (
+        _dht_seg, _dqt_seg, _seg, SOF0, SOF2, SOS,
+    )
+
+    dht_dc = _dht_seg(0, 0, [1] + [0] * 15, [100])   # 1-bit code -> 100
+    dht_ac = _dht_seg(1, 0, [1] + [0] * 15, [0])     # 1-bit code -> EOB
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos_body = bytes([1, 1, 0x00, 0, 0, 0])
+    entropy = b"\x55" * 16                           # plenty of bits
+    for sof_marker in (SOF0, SOF2):
+        stream = (b"\xff\xd8" + _dqt_seg(0, FLAT_Q) + dht_dc + dht_ac
+                  + _seg(sof_marker, sof_body) + _seg(SOS, sos_body)
+                  + entropy + b"\xff\xd9")
+        with pytest.raises(ValueError, match="DC magnitude category"):
+            decode_jpeg(stream)
+
+
+def test_sos_zero_components_is_valueerror():
+    """Ns=0 in a progressive SOS used to hit scan[0] on an empty list
+    (IndexError); B.2.3 requires 1 <= Ns <= 4."""
+    from geoparser_spark.operators.jpeg_codec import (
+        _dqt_seg, _seg, SOF2, SOS,
+    )
+
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    stream = (b"\xff\xd8" + _dqt_seg(0, FLAT_Q)
+              + _seg(SOF2, sof_body)
+              + _seg(SOS, bytes([0, 0, 0, 0])) + b"\xff\xd9")
+    with pytest.raises(ValueError, match="SOS component count"):
+        decode_jpeg(stream)
+
+
+def test_second_sof_is_valueerror():
+    """A second SOF after progressive grids were allocated used to
+    index stale grids with new geometry (IndexError); non-hierarchical
+    JPEG permits exactly one frame header per image."""
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    rng = np.random.default_rng(61)
+    grids = _rand_grids(rng, 1, 1, 1, [(1, 1)])
+    full = encode_jpeg_coeffs_progressive(grids, 8, 8)
+    i = full.index(b"\xff\xc2")
+    seglen = struct.unpack(">H", full[i + 2:i + 4])[0]
+    sof_seg = full[i:i + 2 + seglen]
+    bigger = bytearray(sof_seg)
+    bigger[5:9] = struct.pack(">HH", 64, 64)   # 64x64 second frame
+    assert full[-2:] == b"\xff\xd9"
+    with pytest.raises(ValueError, match="multiple SOF"):
+        decode_jpeg(full[:-2] + bytes(bigger) + full[-2:])
+
+
+def test_progressive_encoder_rejects_bad_scan_scripts():
+    """The fixture encoder fails at ENCODE time on scripts its own
+    decoder would reject (or silently miscode), instead of emitting
+    the stream and confusing the failure downstream."""
+    from geoparser_spark.operators.jpeg_codec import (
+        encode_jpeg_coeffs_progressive,
+    )
+
+    grids = [np.zeros((1, 1, 8, 8), dtype=np.int64)]
+    bad_scripts = [
+        [([0], 10, 5, 0, 0)],          # Ss > Se
+        [([0], 0, 63, 0, 0)],          # DC+AC mixed band
+        [([0], 1, 64, 0, 0)],          # Se past block end
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 3, 1)],   # Ah != Al+1
+        [([0, 1], 1, 63, 0, 0)],       # multi-component AC
+        [([], 0, 0, 0, 0)],            # empty component list
+        [([2], 0, 0, 0, 0)],           # component out of range
+    ]
+    for sc in bad_scripts:
+        with pytest.raises(ValueError):
+            encode_jpeg_coeffs_progressive(grids, 8, 8, scans=sc)
