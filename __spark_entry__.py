@@ -3251,12 +3251,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window covers the FIRST 50 entries.  Rounds 1-4 ran the flagship
     # extract/geotag + LLM-pipeline families through that window (all
     # green, CORRECTNESS_r04.json 50/50); round 5 rotates per VERDICT
-    # r4 #2 — five canary flagships stay on top, then the 45 breadth
-    # queries that have never had a driver row (serve q1-q15, events
-    # analytics incl. as-of/interval/salted joins, multimodal, source
-    # round-trips) fill slots 6-50, accumulating driver-green coverage
-    # to ~95/124 across rounds.  Every entry is still value-oracled by
-    # the local harness either way (tools/check_oracles.py runs all).
+    # r4 #2 — five canary flagships stay on top, then slots 6-50 hold
+    # every query that has never had a driver row across r1-r4 (serve,
+    # events analytics incl. as-of/interval/salted joins, multimodal,
+    # source round-trips, profiling/z-order, and the last three TPC-H
+    # variants), so CUMULATIVE driver-green coverage reaches 124/124.
+    # The displaced queries (q1-q8/q12, green in >=2 prior rounds) move
+    # past slot 50.  Every entry is still value-oracled by the local
+    # harness either way (tools/check_oracles.py runs all).
     return {
         # --- canary flagships (driver-green r4; regression tripwires)
         "pipeline_extract_spans": _flagship_extract,
@@ -3278,18 +3280,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_extract_links": _web_extract_links,
         "warc_roundtrip": _warc_roundtrip,
         "orc_roundtrip": _orc_roundtrip,
-        "q1_point_lookup": _q1_point_lookup,
-        "q2_nonempty_filter": _q2_nonempty_filter,
-        "q3_keyword_search": _q3_keyword_search,
-        "q4_semi_join": _q4_semi_join,
-        "q5_projection": _q5_projection,
-        "q6_count": _q6_count,
-        "q7_dedup_pairs": _q7_dedup,
-        "q8_facet_counts": _q8_facet,
+        "eval_keyword_total": _eval_keyword_total,
+        "geo_zorder_cells": _geo_zorder_cells,
+        "docs_rollup_counts": _docs_rollup_counts,
+        "docs_length_quartiles": _docs_length_quartiles,
+        "profile_documents": _profile_documents,
+        "profile_histogram": _profile_histogram,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q17_small_qty_revenue": _tpch_q17,
+        "tpch_q21_waiting_suppliers": _tpch_q21,
         "q9_tile_extents": _tile_extents,
         "q10_extent_agg": _q10_extent,
         "q11_viewport_tiles": _viewport_tiles,
-        "q12_topn": _q12_topn,
         "q13_radius_search": _q13_radius_search,
         "q14_nearest_place": _q14_nearest_place,
         "q15_bm25_search": _q15_bm25_search,
@@ -3310,7 +3312,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": _mm_audio_meta,
         "multimodal_video_meta": _mm_video_meta,
         "multimodal_clip_plan": _mm_clip_plan,
-        # ------- entry 51+: driver-green in r4 (harness still runs all)
+        # ------- entry 51+: driver-green in prior rounds (harness runs all)
+        "q1_point_lookup": _q1_point_lookup,
+        "q2_nonempty_filter": _q2_nonempty_filter,
+        "q3_keyword_search": _q3_keyword_search,
+        "q4_semi_join": _q4_semi_join,
+        "q5_projection": _q5_projection,
+        "q6_count": _q6_count,
+        "q7_dedup_pairs": _q7_dedup,
+        "q8_facet_counts": _q8_facet,
+        "q12_topn": _q12_topn,
         "geotag_candidates": _geotag_candidates,
         "geotag_primary": _geotag_primary,
         "dedup_exact": _dedup_exact,
@@ -3357,12 +3368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge_upsert": _snapshot_merge_upsert,
         "snapshot_expiry_accounting": _snapshot_expiry_accounting,
         "eval_keyword_match": _eval_keyword_match,
-        "eval_keyword_total": _eval_keyword_total,
-        "geo_zorder_cells": _geo_zorder_cells,
-        "docs_rollup_counts": _docs_rollup_counts,
-        "docs_length_quartiles": _docs_length_quartiles,
-        "profile_documents": _profile_documents,
-        "profile_histogram": _profile_histogram,
         "tpch_q1_pricing": _tpch_q1,
         "tpch_q3_shipping": _tpch_q3,
         "tpch_q5_local_supplier": _tpch_q5,
@@ -3382,9 +3387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_part_promotion": _tpch_q20,
         "tpch_q2_min_cost_supplier": _tpch_q2,
         "tpch_q11_important_parts": _tpch_q11,
-        "tpch_q15_top_supplier": _tpch_q15,
-        "tpch_q17_small_qty_revenue": _tpch_q17,
-        "tpch_q21_waiting_suppliers": _tpch_q21,
     }
 
 
