@@ -931,12 +931,16 @@ def encode_jpeg_coeffs_progressive(
         for ci in range(nc):
             scans += [([ci], 1, 63, 2, 1), ([ci], 1, 63, 1, 0)]
     for comp_idx, ss, se, ah, al in scans:   # fail at encode, not decode
-        if not comp_idx or any(ci >= nc for ci in comp_idx):
+        if not comp_idx or any(ci < 0 or ci >= nc for ci in comp_idx):
             raise ValueError(f"scan components {comp_idx} out of range")
+        if len(set(comp_idx)) != len(comp_idx):   # B.2.3: distinct Csj
+            raise ValueError(f"duplicate scan components {comp_idx}")
         if not (0 <= ss <= se <= 63) or (ss == 0) != (se == 0):
             raise ValueError(f"bad spectral band Ss={ss}..Se={se}")
         if ss > 0 and len(comp_idx) != 1:
             raise ValueError("AC scans must be single-component")
+        if not 0 <= al <= 13:                     # decoder's own Al cap
+            raise ValueError(f"point transform Al={al} out of range")
         if ah != 0 and ah != al + 1:
             raise ValueError(f"refinement needs Ah=Al+1, got Ah={ah} Al={al}")
 

@@ -426,6 +426,9 @@ def test_progressive_encoder_rejects_bad_scan_scripts():
         [([0, 1], 1, 63, 0, 0)],       # multi-component AC
         [([], 0, 0, 0, 0)],            # empty component list
         [([2], 0, 0, 0, 0)],           # component out of range
+        [([-1], 0, 0, 0, 0)],          # negative component index
+        [([0, 0], 0, 0, 0, 0)],        # duplicate components (B.2.3)
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 14)],  # Al past decoder cap
     ]
     for sc in bad_scripts:
         with pytest.raises(ValueError):
