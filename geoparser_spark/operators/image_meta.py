@@ -155,10 +155,47 @@ def parse_gif(raw: bytes) -> tuple[int, int, list[str]] | None:
     return int(w), int(h), texts
 
 
+def parse_tiff(raw: bytes) -> tuple[int, int, list[str]] | None:
+    """First-IFD dims + ASCII ImageDescription/Software text (TIFF 6.0
+    tags 256/257/270/305) — header-only, no pixel decode (the pixel
+    path is operators/tiff_codec)."""
+    from geoparser_spark.operators.tiff_codec import TIFF_SIGS, _read_ifd
+
+    if raw[:4] not in TIFF_SIGS:
+        return None
+    e = "<" if raw[:2] == b"II" else ">"
+    try:
+        tags = _read_ifd(raw, e)
+        w, h = tags[256][0], tags[257][0]
+    except (ValueError, KeyError, IndexError):
+        return None
+    texts = []
+    try:
+        (ifd_off,) = struct.unpack(e + "I", raw[4:8])
+        (n,) = struct.unpack(e + "H", raw[ifd_off:ifd_off + 2])
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack(e + "HHI", raw[off:off + 8])
+            if tag in (270, 305) and typ == 2 and 0 < cnt <= 65536:
+                if cnt <= 4:
+                    vb = raw[off + 8:off + 8 + cnt]
+                else:
+                    (voff,) = struct.unpack(e + "I", raw[off + 8:off + 12])
+                    vb = raw[voff:voff + cnt]
+                    if len(vb) < cnt:
+                        continue
+                s = vb.split(b"\x00", 1)[0].decode("utf-8", "replace")
+                if s:
+                    texts.append(s)
+    except struct.error:
+        pass
+    return w, h, texts
+
+
 def parse_image_meta(raw: bytes) -> tuple[str, int, int, list[str]] | None:
     """(format, width, height, embedded texts) or None if unrecognized."""
     for fmt, parser in (("png", parse_png), ("jpeg", parse_jpeg),
-                        ("gif", parse_gif)):
+                        ("gif", parse_gif), ("tiff", parse_tiff)):
         try:
             got = parser(raw)
         except (struct.error, IndexError):

@@ -49,17 +49,20 @@ def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode: PNG, GIF and JPEG are REAL (pure
+    """Image decode: PNG, GIF, JPEG and TIFF are REAL (pure
     stdlib+numpy — operators/png_codec zlib inflate + scanline
     unfilter; operators/gif_codec LZW + palette + de-interlace;
     operators/jpeg_codec Huffman entropy decode + FIXED-POINT integer
-    IDCT, bit-deterministic per ISO 10918-1 — each returns an
-    (H, W[, C]) uint8 numpy array; PNG covers every spec-legal depth
-    and Adam7; JPEG covers baseline AND progressive DCT).
-    Arithmetic-coded/12-bit/hierarchical JPEG raise
-    NotImplementedError (degrade contract); other formats
-    (TIFF/WEBP/...) stay the documented decoder seam."""
-    from geoparser_spark.operators import gif_codec, jpeg_codec, png_codec
+    IDCT, bit-deterministic per ISO 10918-1; operators/tiff_codec
+    strip assembly + PackBits/TIFF-LZW/Deflate + predictor — each
+    returns an (H, W[, C]) uint8 numpy array; PNG covers every
+    spec-legal depth and Adam7; JPEG covers baseline AND progressive
+    DCT; TIFF covers baseline chunky strips).  Arithmetic-coded/
+    12-bit/hierarchical JPEG and tiled/planar/CCITT TIFF raise
+    NotImplementedError (degrade contract); other formats (WEBP/...)
+    stay the documented decoder seam."""
+    from geoparser_spark.operators import (gif_codec, jpeg_codec,
+                                           png_codec, tiff_codec)
 
     if isinstance(payload, (bytes, bytearray)):
         raw = bytes(payload)
@@ -69,18 +72,20 @@ def decode_image(payload: bytes) -> "object":
             return gif_codec.decode_gif(raw)
         if raw.startswith(jpeg_codec.JPEG_SIG):
             return jpeg_codec.decode_jpeg(raw)
+        if raw[:4] in tiff_codec.TIFF_SIGS:
+            return tiff_codec.decode_tiff(raw)
     raise NotImplementedError(
-        "only PNG/GIF/JPEG (baseline + progressive DCT) pixels decode "
-        "in-sandbox; other formats are the documented decoder seam "
-        "(see module docstring)")
+        "only PNG/GIF/JPEG (baseline + progressive DCT)/baseline-TIFF "
+        "pixels decode in-sandbox; other formats are the documented "
+        "decoder seam (see module docstring)")
 
 
 def extract_media_features(media: DataFrame, dim: int = 16,
                            bytes_col: str = "media_bytes",
                            ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
-    decode_ok).  Arrow-batched.  PNG, GIF and JPEG (baseline +
-    progressive DCT) payloads
+    decode_ok).  Arrow-batched.  PNG, GIF, JPEG (baseline +
+    progressive DCT) and baseline-TIFF payloads
     decode to REAL pixels and emit real integer-exact pixel statistics
     (png_codec.pixel_features — dims, per-channel mean/variance,
     intensity histogram, each an integer aggregate + one IEEE division
@@ -88,7 +93,8 @@ def extract_media_features(media: DataFrame, dim: int = 16,
     themselves are bit-deterministic via the fixed-point integer IDCT);
     everything else goes through the clearly-marked deterministic
     _stub_feature with decode_ok=False (the embedding-model seam)."""
-    from geoparser_spark.operators import gif_codec, jpeg_codec, png_codec
+    from geoparser_spark.operators import (gif_codec, jpeg_codec,
+                                           png_codec, tiff_codec)
 
     def one(b, dim=dim):
         import struct as _struct
@@ -97,16 +103,19 @@ def extract_media_features(media: DataFrame, dim: int = 16,
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
         is_png = payload.startswith(png_codec.PNG_SIG)
         is_jpeg = payload.startswith(jpeg_codec.JPEG_SIG)
-        if is_png or is_jpeg or payload[:6] in gif_codec.GIF_SIGS:
+        is_tiff = payload[:4] in tiff_codec.TIFF_SIGS
+        if (is_png or is_jpeg or is_tiff
+                or payload[:6] in gif_codec.GIF_SIGS):
             # decode AND featurize inside the guard: a corrupt IDAT
             # raises zlib.error, an out-of-range palette index
             # IndexError, a truncated LZW stream ValueError, an
-            # arithmetic-coded JPEG NotImplementedError — damaged or
-            # unsupported input must degrade to the stub path
-            # (decode_ok=False), never kill the Arrow task
+            # arithmetic-coded JPEG or tiled TIFF NotImplementedError
+            # — damaged or unsupported input must degrade to the stub
+            # path (decode_ok=False), never kill the Arrow task
             try:
                 img = (png_codec.decode_png(payload) if is_png
                        else jpeg_codec.decode_jpeg(payload) if is_jpeg
+                       else tiff_codec.decode_tiff(payload) if is_tiff
                        else gif_codec.decode_gif(payload))
                 return png_codec.pixel_features(img, dim), True
             except (ValueError, NotImplementedError, OSError,

@@ -1,0 +1,450 @@
+"""Pure-stdlib TIFF pixel codec (TIFF 6.0 baseline): IFD walk, strip
+assembly, PackBits / TIFF-LZW (early change) / Deflate decompression,
+horizontal-differencing predictor.
+
+This is the FOURTH real pixel path in the sandbox (after PNG, GIF and
+JPEG): `decode_tiff` returns an (H, W) uint8 grayscale or (H, W, 3|4)
+uint8 RGB[A] array for baseline chunky-planar TIFFs — grayscale
+(photometric 0/1, WhiteIsZero inverted exactly) at bit depths 1/2/4/8
+(sub-byte rows unpack MSB-first from ceil(w*d/8)-byte rows, grey
+rescaled by the exact integer factor 255/(2^d-1)) plus 16 (each
+sample keeps its most-significant byte, honoring the file's byte
+order), palette-color (photometric 3, 16-bit ColorMap entries mapped
+to 8 bits by their high byte) and 8-bit RGB/RGBA.  The FIRST IFD is
+the image (the same first-frame contract decode_gif pins for animated
+GIF); tiled layout, planar configuration 2, CCITT/JPEG-in-TIFF
+compression and YCbCr/CMYK color raise NotImplementedError (the
+documented degrade contract), while malformed streams raise ValueError
+— never an unguarded numpy/struct error that could kill an Arrow task.
+
+TIFF-LZW differs from GIF LZW in exactly two ways, both implemented
+from the 6.0 spec (section 13): codes pack MSB-first (GIF is
+LSB-first) and the code width bumps ONE CODE EARLY (when the next
+code to assign reaches 2^width - 1, not 2^width).
+
+Scale note: like the other codecs this runs INSIDE Arrow-batched
+kernels (mapInPandas) — embarrassingly parallel per row; the Spark
+plan around it carries the 100 TB design.
+
+Reference parity: the reference's pixel path is Tika+Tesseract on
+uploaded images (geoparser_app/views.py:125; Docker/Dockerfile:33-36),
+which handles TIFF uploads; this module is the from-scratch stand-in,
+not a port of anything.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+#: little- and big-endian TIFF magic (byte order mark + 42)
+TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+_MAX_PIXELS = 64_000_000          # same bomb cap as gif_codec
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}   # BYTE ASCII SHORT LONG RATIONAL
+
+
+def _read_ifd(raw: bytes, e: str) -> dict[int, list[int]]:
+    """First-IFD tag map {tag: [values...]} for integer-typed tags."""
+    if len(raw) < 8:
+        raise ValueError("TIFF header truncated")
+    (ifd_off,) = struct.unpack(e + "I", raw[4:8])
+    if ifd_off + 2 > len(raw):
+        raise ValueError("IFD offset past end of stream")
+    (n_entries,) = struct.unpack(e + "H", raw[ifd_off:ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(raw):
+            raise ValueError("IFD entry truncated")
+        tag, typ, cnt = struct.unpack(e + "HHI", raw[off:off + 8])
+        size = _TYPE_SIZE.get(typ)
+        if size is None or typ in (2, 5):   # ASCII/RATIONAL: not pixel tags
+            continue
+        total = size * cnt
+        if cnt > 1_000_000:
+            raise ValueError("IFD value count out of range")
+        if total <= 4:
+            vbytes = raw[off + 8:off + 8 + total]
+        else:
+            (voff,) = struct.unpack(e + "I", raw[off + 8:off + 12])
+            if voff + total > len(raw):
+                raise ValueError("IFD value array past end of stream")
+            vbytes = raw[voff:voff + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + fmt * cnt, vbytes))
+    return tags
+
+
+def _lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first code packing, early code-width change
+    (width bumps when the NEXT code to assign reaches 2^width - 1)."""
+    out = bytearray()
+    table: list[bytes] = []            # entries for codes 258+
+    prev: bytes | None = None
+    width = 9
+    acc = nbits_acc = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits_acc < width:
+            if pos >= n:
+                return bytes(out)      # spec requires EOI; tolerate EOF
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits_acc += 8
+        nbits_acc -= width
+        code = (acc >> nbits_acc) & ((1 << width) - 1)
+        if code == 256:                # Clear
+            table = []
+            width = 9
+            prev = None
+            continue
+        if code == 257:                # EndOfInformation
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW stream must start with a literal")
+            entry = bytes([code])
+        else:
+            if code < 256:
+                entry = bytes([code])
+            elif code >= 258 and code - 258 < len(table):
+                entry = table[code - 258]
+            elif code == 258 + len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW code out of table range")
+            table.append(prev + entry[:1])
+            if 258 + len(table) == (1 << width) - 1 and width < 12:
+                width += 1             # EARLY change (one before GIF's)
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds declared strip size")
+        prev = entry
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:                    # copy h+1 literals
+            if i + h + 1 > n:
+                raise ValueError("PackBits literal run truncated")
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:                  # repeat next byte 257-h times
+            if i >= n:
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op
+        if len(out) > max_out:
+            raise ValueError("PackBits output exceeds declared strip size")
+    return bytes(out)
+
+
+def decode_tiff(raw: bytes) -> np.ndarray:
+    """TIFF bytes -> (H, W) uint8 grayscale or (H, W, 3|4) uint8 RGB[A].
+
+    Decodes the FIRST IFD of baseline chunky TIFFs (see module
+    docstring for the exact coverage); unsupported-but-legal layouts
+    raise NotImplementedError, malformed streams ValueError."""
+    if raw[:4] not in TIFF_SIGS:
+        raise ValueError("not a TIFF stream")
+    e = "<" if raw[:2] == b"II" else ">"
+    tags = _read_ifd(raw, e)
+
+    if any(t in tags for t in (322, 323, 324, 325)):
+        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar configuration 2 (separate planes)")
+
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        photometric = tags[262][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except (KeyError, IndexError):
+        raise ValueError("missing required TIFF tag") from None
+    if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+        raise ValueError("image dimensions out of range")
+
+    spp = tags.get(277, [1])[0]
+    bits_list = tags.get(258, [1])
+    compression = tags.get(259, [1])[0]
+    rps = tags.get(278, [2 ** 32 - 1])[0] or h
+    predictor = tags.get(317, [1])[0]
+
+    if photometric in (5, 6, 8):
+        raise NotImplementedError("CMYK/YCbCr/Lab TIFF not supported")
+    if photometric not in (0, 1, 2, 3):
+        raise ValueError(f"unknown photometric interpretation {photometric}")
+    if len(set(bits_list)) != 1:
+        raise NotImplementedError("mixed per-sample bit depths")
+    bits = bits_list[0]
+    if photometric == 2:
+        if spp not in (3, 4) or bits != 8:
+            raise NotImplementedError("RGB TIFF must be 8-bit, 3-4 samples")
+    elif spp != 1:
+        raise NotImplementedError("multi-sample grayscale/palette TIFF")
+    elif bits not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal bit depth {bits}")
+    if photometric == 3 and bits == 16:
+        raise ValueError("palette TIFF is limited to <=8 bits")
+    if predictor == 2 and bits != 8:
+        raise NotImplementedError("predictor 2 on non-8-bit samples")
+    if predictor not in (1, 2):
+        raise ValueError(f"unknown predictor {predictor}")
+
+    row_bytes = (w * bits * spp + 7) // 8
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) < n_strips or len(counts) < n_strips:
+        raise ValueError("strip offset/count arrays shorter than image")
+
+    data = bytearray()
+    for s in range(n_strips):
+        rows = min(rps, h - s * rps)
+        want = rows * row_bytes
+        off, cnt = offsets[s], counts[s]
+        if off + cnt > len(raw):
+            raise ValueError("strip data past end of stream")
+        chunk = raw[off:off + cnt]
+        if compression == 1:
+            strip = chunk[:want]
+        elif compression == 5:
+            strip = _lzw_decode(chunk, want)
+        elif compression == 32773:
+            strip = _packbits_decode(chunk, want)
+        elif compression in (8, 32946):
+            try:
+                # max_length caps a crafted deflate bomb at the strip size
+                strip = zlib.decompressobj().decompress(chunk, want)
+            except zlib.error as exc:
+                raise ValueError(f"deflate strip corrupt: {exc}") from None
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {compression} not supported "
+                "(none/LZW/PackBits/Deflate only)")
+        if len(strip) < want:
+            raise ValueError("strip decodes short of its row span")
+        data += strip[:want]
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, row_bytes)
+
+    if bits == 16:
+        # keep each sample's most-significant byte (file byte order)
+        msb = 0 if e == ">" else 1
+        px = arr.reshape(h, w, 2)[:, :, msb].copy()
+    elif bits == 8:
+        px = arr.reshape(h, w * spp)
+        if predictor == 2:
+            px = np.cumsum(
+                px.reshape(h, w, spp).astype(np.int64), axis=1) % 256
+            px = px.astype(np.uint8).reshape(h, w * spp)
+        px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w).copy()
+    else:
+        unpacked = np.unpackbits(arr, axis=1)[:, :w * bits]
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+        px = (unpacked.reshape(h, w, bits).astype(np.uint16)
+              * weights).sum(axis=2)
+
+    if photometric == 3:
+        cmap = tags.get(320)
+        n_colors = 1 << bits
+        if cmap is None or len(cmap) < 3 * n_colors:
+            raise ValueError("palette TIFF missing/short ColorMap")
+        table = (np.asarray(cmap[:3 * n_colors], dtype=np.uint32)
+                 .reshape(3, n_colors).T >> 8).astype(np.uint8)
+        idx = px.astype(np.int64)
+        if idx.max() >= n_colors:
+            raise ValueError("palette index out of range")
+        return table[idx]
+
+    if photometric == 2:
+        return px
+
+    maxv = (1 << bits) - 1 if bits < 8 else 255
+    if photometric == 0:               # WhiteIsZero: exact inversion
+        px = maxv - px
+    if bits in (1, 2, 4):              # exact integer rescale to 8 bits
+        px = (px.astype(np.uint32) * 255 // maxv)
+    return px.astype(np.uint8)
+
+
+# -------------------------------------------------------------- encoder
+# Fixture encoder (like encode_png / encode_gif / encode_jpeg_coeffs):
+# lets tests pin decode exactness without any third-party imagery.
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder: MSB-first packing, early change,
+    Clear emitted at start and whenever the table fills."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+    width = 9
+    emit(256, width)                   # Clear
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if len(cur) == 1 or cur in table:
+            prev = cur
+            continue
+        emit(prev[0] if len(prev) == 1 else table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # the decoder's table lags ONE entry behind (it builds each
+        # entry from the previous code), so its early change — bump
+        # after ADDING code 2^w - 2 (spec §13: "whenever you add code
+        # 510, switch to 10 bits") — corresponds to the encoder
+        # bumping one add later, at next_code == 2^w
+        if next_code == 4094:               # table nearly full: Clear
+            emit(256, width)
+            table.clear()
+            next_code = 258
+            width = 9
+        elif next_code == (1 << width) and width < 12:
+            width += 1
+        prev = bytes([b])
+    if prev:
+        emit(prev[0] if len(prev) == 1 else table[prev], width)
+    emit(257, width)                   # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (i < n and i - lit < 128
+               and not (i + 1 < n and data[i + 1] == data[i])):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, compression: int = 1,
+                predictor: int = 1, rows_per_strip: int | None = None,
+                photometric: int | None = None, bits: int = 8,
+                palette: np.ndarray | None = None,
+                big_endian: bool = False) -> bytes:
+    """(H, W[, C]) array -> TIFF bytes.  Grayscale at bits 1/2/4/8
+    (2-D input holds values < 2^bits) or 16 (2-D uint16 input,
+    serialized in the file's byte order), palette (2-D index input +
+    (N, 3) uint8 ``palette``), or 8-bit RGB/RGBA (3-D input).
+    ``photometric`` defaults to 1 (gray) / 2 (color) / 3 (palette);
+    pass 0 for WhiteIsZero fixtures."""
+    img = np.asarray(img)
+    e = ">" if big_endian else "<"
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    if palette is not None:
+        photometric = 3
+    elif photometric is None:
+        photometric = 1 if spp == 1 else 2
+    rps = rows_per_strip or h
+    row_bytes = (w * bits * spp + 7) // 8
+
+    if bits == 16:
+        raw16 = img.astype(np.uint16).astype(e + "u2").tobytes()
+        rows = np.frombuffer(raw16, dtype=np.uint8).reshape(h, 2 * w).copy()
+    else:
+        rows = img.reshape(h, w * spp).astype(np.uint8)
+    if predictor == 2:
+        d = rows.reshape(h, w, spp).astype(np.int64)
+        d[:, 1:, :] -= d[:, :-1, :].copy()
+        rows = (d % 256).astype(np.uint8).reshape(h, w * spp)
+    if bits < 8:
+        packed = np.zeros((h, row_bytes), dtype=np.uint8)
+        for y in range(h):
+            bitstream = np.zeros(w * bits, dtype=np.uint8)
+            for k in range(bits):
+                bitstream[k::bits] = (rows[y] >> (bits - 1 - k)) & 1
+            packed[y] = np.packbits(bitstream, bitorder="big")[:row_bytes]
+        rows = packed
+
+    strips = []
+    for y0 in range(0, h, rps):
+        block = rows[y0:y0 + rps].tobytes()
+        if compression == 5:
+            strips.append(_lzw_encode(block))
+        elif compression == 32773:
+            strips.append(_packbits_encode(block))
+        elif compression in (8, 32946):
+            strips.append(zlib.compress(block))
+        else:
+            strips.append(block)
+
+    body = bytearray()
+    strip_offsets = []
+    pos = 8                            # strips start right after header
+    for s in strips:
+        strip_offsets.append(pos)
+        body += s
+        pos += len(s)
+    ifd_off = pos
+    header = struct.pack(e + "2sHI",
+                         b"II" if e == "<" else b"MM", 42, ifd_off)
+
+    entries: list[tuple[int, int, int, bytes]] = []   # tag, type, count, val
+    extra = bytearray()
+
+    def add(tag: int, typ: int, vals: list[int]) -> None:
+        fmt = {3: "H", 4: "I"}[typ]
+        payload = struct.pack(e + fmt * len(vals), *vals)
+        entries.append((tag, typ, len(vals), payload))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [bits] * spp)
+    add(259, 3, [compression])
+    add(262, 3, [photometric])
+    add(273, 4, strip_offsets)
+    add(277, 3, [spp])
+    add(278, 4, [rps])
+    add(279, 4, [len(s) for s in strips])
+    if predictor == 2:
+        add(317, 3, [predictor])
+    if palette is not None:
+        pal = np.zeros((1 << bits, 3), dtype=np.uint16)
+        pal[:len(palette)] = palette.astype(np.uint16) * 257
+        add(320, 3, list(pal.T.reshape(-1)))
+
+    # lay out the IFD: values > 4 bytes go to an extra area after it
+    n = len(entries)
+    extra_base = ifd_off + 2 + 12 * n + 4
+    ifd = bytearray(struct.pack(e + "H", n))
+    for tag, typ, cnt, payload in sorted(entries):
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        if len(payload) <= 4:
+            ifd += payload.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack(e + "I", extra_base + len(extra))
+            extra += payload
+    ifd += struct.pack(e + "I", 0)     # no next IFD
+    return bytes(header) + bytes(body) + bytes(ifd) + bytes(extra)
