@@ -158,37 +158,25 @@ def parse_gif(raw: bytes) -> tuple[int, int, list[str]] | None:
 def parse_tiff(raw: bytes) -> tuple[int, int, list[str]] | None:
     """First-IFD dims + ASCII ImageDescription/Software text (TIFF 6.0
     tags 256/257/270/305) — header-only, no pixel decode (the pixel
-    path is operators/tiff_codec)."""
+    path is operators/tiff_codec; its _read_ifd is the single IFD
+    walker for both)."""
     from geoparser_spark.operators.tiff_codec import TIFF_SIGS, _read_ifd
 
     if raw[:4] not in TIFF_SIGS:
         return None
     e = "<" if raw[:2] == b"II" else ">"
     try:
-        tags = _read_ifd(raw, e)
+        tags, ascii_tags = _read_ifd(raw, e, with_ascii=True)
         w, h = tags[256][0], tags[257][0]
     except (ValueError, KeyError, IndexError):
         return None
     texts = []
-    try:
-        (ifd_off,) = struct.unpack(e + "I", raw[4:8])
-        (n,) = struct.unpack(e + "H", raw[ifd_off:ifd_off + 2])
-        for i in range(n):
-            off = ifd_off + 2 + 12 * i
-            tag, typ, cnt = struct.unpack(e + "HHI", raw[off:off + 8])
-            if tag in (270, 305) and typ == 2 and 0 < cnt <= 65536:
-                if cnt <= 4:
-                    vb = raw[off + 8:off + 8 + cnt]
-                else:
-                    (voff,) = struct.unpack(e + "I", raw[off + 8:off + 12])
-                    vb = raw[voff:voff + cnt]
-                    if len(vb) < cnt:
-                        continue
-                s = vb.split(b"\x00", 1)[0].decode("utf-8", "replace")
-                if s:
-                    texts.append(s)
-    except struct.error:
-        pass
+    for tag in (270, 305):             # ImageDescription, Software
+        vb = ascii_tags.get(tag)
+        if vb:
+            s = vb.split(b"\x00", 1)[0].decode("utf-8", "replace")
+            if s:
+                texts.append(s)
     return w, h, texts
 
 

@@ -46,8 +46,10 @@ _MAX_PIXELS = 64_000_000          # same bomb cap as gif_codec
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}   # BYTE ASCII SHORT LONG RATIONAL
 
 
-def _read_ifd(raw: bytes, e: str) -> dict[int, list[int]]:
-    """First-IFD tag map {tag: [values...]} for integer-typed tags."""
+def _read_ifd(raw: bytes, e: str, with_ascii: bool = False):
+    """First-IFD tag map {tag: [values...]} for integer-typed tags;
+    with ``with_ascii`` also returns {tag: bytes} for ASCII entries.
+    Zero-count entries are dropped so absent-tag defaults apply."""
     if len(raw) < 8:
         raise ValueError("TIFF header truncated")
     (ifd_off,) = struct.unpack(e + "I", raw[4:8])
@@ -55,13 +57,14 @@ def _read_ifd(raw: bytes, e: str) -> dict[int, list[int]]:
         raise ValueError("IFD offset past end of stream")
     (n_entries,) = struct.unpack(e + "H", raw[ifd_off:ifd_off + 2])
     tags: dict[int, list[int]] = {}
+    ascii_tags: dict[int, bytes] = {}
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         if off + 12 > len(raw):
             raise ValueError("IFD entry truncated")
         tag, typ, cnt = struct.unpack(e + "HHI", raw[off:off + 8])
         size = _TYPE_SIZE.get(typ)
-        if size is None or typ in (2, 5):   # ASCII/RATIONAL: not pixel tags
+        if size is None or typ == 5 or cnt == 0:   # RATIONAL: not pixel tags
             continue
         total = size * cnt
         if cnt > 1_000_000:
@@ -73,9 +76,13 @@ def _read_ifd(raw: bytes, e: str) -> dict[int, list[int]]:
             if voff + total > len(raw):
                 raise ValueError("IFD value array past end of stream")
             vbytes = raw[voff:voff + total]
+        if typ == 2:
+            if with_ascii:
+                ascii_tags[tag] = vbytes
+            continue
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         tags[tag] = list(struct.unpack(e + fmt * cnt, vbytes))
-    return tags
+    return (tags, ascii_tags) if with_ascii else tags
 
 
 def _lzw_decode(data: bytes, max_out: int) -> bytes:
@@ -97,6 +104,7 @@ def _lzw_decode(data: bytes, max_out: int) -> bytes:
             nbits_acc += 8
         nbits_acc -= width
         code = (acc >> nbits_acc) & ((1 << width) - 1)
+        acc &= (1 << nbits_acc) - 1   # keep acc bounded: O(n), not O(n^2)
         if code == 256:                # Clear
             table = []
             width = 9
@@ -211,6 +219,9 @@ def decode_tiff(raw: bytes) -> np.ndarray:
     for s in range(n_strips):
         rows = min(rps, h - s * rps)
         want = rows * row_bytes
+        # some writers pad the LAST strip to full rows_per_strip; accept
+        # up to that (still bomb-capped) and truncate to the image rows
+        cap = min(rps, h) * row_bytes
         off, cnt = offsets[s], counts[s]
         if off + cnt > len(raw):
             raise ValueError("strip data past end of stream")
@@ -218,13 +229,13 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         if compression == 1:
             strip = chunk[:want]
         elif compression == 5:
-            strip = _lzw_decode(chunk, want)
+            strip = _lzw_decode(chunk, cap)
         elif compression == 32773:
-            strip = _packbits_decode(chunk, want)
+            strip = _packbits_decode(chunk, cap)
         elif compression in (8, 32946):
             try:
                 # max_length caps a crafted deflate bomb at the strip size
-                strip = zlib.decompressobj().decompress(chunk, want)
+                strip = zlib.decompressobj().decompress(chunk, cap)
             except zlib.error as exc:
                 raise ValueError(f"deflate strip corrupt: {exc}") from None
         else:
@@ -247,7 +258,9 @@ def decode_tiff(raw: bytes) -> np.ndarray:
             px = np.cumsum(
                 px.reshape(h, w, spp).astype(np.int64), axis=1) % 256
             px = px.astype(np.uint8).reshape(h, w * spp)
-        px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w).copy()
+        # .copy() so every return is writable (frombuffer views are not)
+        px = (px.reshape(h, w, spp) if spp > 1
+              else px.reshape(h, w)).copy()
     else:
         unpacked = np.unpackbits(arr, axis=1)[:, :w * bits]
         weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
@@ -294,6 +307,7 @@ def _lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1       # keep acc bounded: O(n), not O(n^2)
 
     table: dict[bytes, int] = {}
     next_code = 258

@@ -245,3 +245,60 @@ def test_parse_tiff_meta_dims_and_description():
     got2 = parse_image_meta(spliced)
     assert got2 is not None and got2[0] == "tiff"
     assert got2[3] == ["map"]
+
+
+def test_zero_count_tag_entry_is_valueerror_not_indexerror():
+    """A zero-count IFD entry must not poison tag defaults: decode
+    treats it as absent (required tags then fail as ValueError)."""
+    img = _gray(6, 6)
+    blob = bytearray(encode_tiff(img))
+    e = "<"
+    (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
+        if tag == 259:                 # Compression: count -> 0
+            blob[off + 4:off + 8] = struct.pack(e + "I", 0)
+    # zero-count Compression falls back to the default (1 = none)
+    assert np.array_equal(decode_tiff(bytes(blob)), img)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
+        if tag == 256:                 # required ImageWidth: count -> 0
+            blob[off + 4:off + 8] = struct.pack(e + "I", 0)
+    with pytest.raises(ValueError, match="missing required"):
+        decode_tiff(bytes(blob))
+
+
+def test_padded_last_strip_tolerated_for_all_compressions():
+    """Writers may pad the final strip to full rows_per_strip; the
+    decoder accepts the overrun and truncates to the image rows."""
+    img = _gray(10, 8, seed=59)
+    rps = 4
+    for comp in (5, 32773, 8):
+        # encode a padded pixel array via the public encoder, then
+        # patch the height back down: the last strip now decodes to a
+        # full 4 rows for a 2-row image tail
+        tall = np.vstack([img, np.full((2, 8), 0xAB, np.uint8)])
+        blob2 = bytearray(encode_tiff(tall, rows_per_strip=rps,
+                                      compression=comp))
+        e = "<"
+        (ifd_off,) = struct.unpack(e + "I", bytes(blob2[4:8]))
+        (n,) = struct.unpack(e + "H", bytes(blob2[ifd_off:ifd_off + 2]))
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag = struct.unpack(e + "H", bytes(blob2[off:off + 2]))[0]
+            if tag == 257:             # ImageLength 12 -> 10
+                blob2[off + 8:off + 12] = struct.pack(e + "I", 10)
+        assert np.array_equal(decode_tiff(bytes(blob2)), img), comp
+
+
+def test_decoded_arrays_are_writable():
+    rng = np.random.default_rng(61)
+    rgb = rng.integers(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    out = decode_tiff(encode_tiff(rgb))
+    assert out.flags.writeable
+    out[0, 0, 0] = 0                   # must not raise
+    gray = decode_tiff(encode_tiff(_gray(5, 6)))
+    assert gray.flags.writeable
