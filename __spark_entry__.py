@@ -142,16 +142,15 @@ _BREADTH_FMTS = ("docx_bytes", "pptx_bytes", "xlsx_bytes",
 def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 format breadth, value-verified end-to-end: each documents row
     is wrapped into a container format chosen by doc_id % 16 (DOCX /
-    PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / PNG / CSV /
-    WAV / Markdown / ODT / MP4 / legacy BIFF8 .xls / legacy .ppt
-    fixture writers), pushed through the REAL
-    Arrow
-    kernel, and the
-    oracle recomputes the expected blocks (and the PNG media_ref dims)
-    from the raw text alone — no parser on the oracle side, so the
-    check is non-tautological.  The wrap stage is Arrow-batched
-    mapInPandas (scaffolding, still distributed); the parse stage is
-    the production mapInArrow kernel."""
+    PPTX / XLSX / PDF / RTF / EML / legacy .doc / XML / image (PNG and
+    TIFF alternating by doc_id parity — 17 distinct parsers across the
+    16 slots) / CSV / WAV / Markdown / ODT / MP4 / legacy BIFF8 .xls /
+    legacy .ppt fixture writers), pushed through the REAL Arrow kernel,
+    and the oracle recomputes the expected blocks (and the PNG/TIFF
+    media_ref dims) from the raw text alone — no parser on the oracle
+    side, so the check is non-tautological.  The wrap stage is
+    Arrow-batched mapInPandas (scaffolding, still distributed); the
+    parse stage is the production mapInArrow kernel."""
     import pandas as pd
 
     from geoparser_spark.schemas import DOCS
@@ -203,11 +202,17 @@ def _extract_format_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif m == 8:
                     from geoparser_spark.operators.image_meta import (
                         make_mini_png,
+                        make_mini_tiff,
                     )
 
+                    # alternate PNG/TIFF legs so BOTH image-container
+                    # parsers sit under the value oracle (the same
+                    # pattern the media-features query uses for
+                    # baseline/progressive JPEG)
                     w, h = int(doc_id) % 5 + 1, int(doc_id) % 3 + 1
-                    payload = b64mod.b64encode(
-                        make_mini_png(w, h, [text])).decode()
+                    mk = (make_mini_png if int(doc_id) % 2 == 0
+                          else make_mini_tiff)
+                    payload = b64mod.b64encode(mk(w, h, [text])).decode()
                 elif m == 9:
                     from geoparser_spark.operators.csv_text import (
                         make_mini_csv,
@@ -308,7 +313,8 @@ SELECT doc_id, 'eml' AS fmt, 'mail ' || doc_id AS text,
 FROM d WHERE m = 5
 UNION ALL
 SELECT doc_id, 'image_bytes' AS fmt, CAST(NULL AS VARCHAR) AS text,
-       'img://png/' || (id % 5 + 1) || 'x' || (id % 3 + 1) AS media_ref,
+       'img://' || (CASE WHEN id % 2 = 0 THEN 'png' ELSE 'tiff' END)
+         || '/' || (id % 5 + 1) || 'x' || (id % 3 + 1) AS media_ref,
        CAST(0 AS INT) AS ord
 FROM d WHERE m = 8
 UNION ALL

@@ -180,6 +180,22 @@ def parse_tiff(raw: bytes) -> tuple[int, int, list[str]] | None:
     return w, h, texts
 
 
+def make_mini_tiff(width: int, height: int, texts: list[str] = ()) -> bytes:
+    """A complete, spec-valid grayscale TIFF with the first two ``texts``
+    as ASCII ImageDescription (270) / Software (305) tags — the tags
+    parse_tiff surfaces; ASCII TIFF text is commonly UTF-8 in practice
+    and parse_tiff decodes it as such, so captions round-trip."""
+    import numpy as _np
+
+    from geoparser_spark.operators.tiff_codec import encode_tiff
+
+    ascii_tags = {}
+    for tag, t in zip((270, 305), texts):
+        ascii_tags[tag] = t
+    return encode_tiff(_np.zeros((height, width), dtype=_np.uint8),
+                       ascii_tags=ascii_tags)
+
+
 def parse_image_meta(raw: bytes) -> tuple[str, int, int, list[str]] | None:
     """(format, width, height, embedded texts) or None if unrecognized."""
     for fmt, parser in (("png", parse_png), ("jpeg", parse_jpeg),

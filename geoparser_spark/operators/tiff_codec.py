@@ -366,13 +366,15 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                 predictor: int = 1, rows_per_strip: int | None = None,
                 photometric: int | None = None, bits: int = 8,
                 palette: np.ndarray | None = None,
-                big_endian: bool = False) -> bytes:
+                big_endian: bool = False,
+                ascii_tags: dict[int, str] | None = None) -> bytes:
     """(H, W[, C]) array -> TIFF bytes.  Grayscale at bits 1/2/4/8
     (2-D input holds values < 2^bits) or 16 (2-D uint16 input,
     serialized in the file's byte order), palette (2-D index input +
     (N, 3) uint8 ``palette``), or 8-bit RGB/RGBA (3-D input).
     ``photometric`` defaults to 1 (gray) / 2 (color) / 3 (palette);
-    pass 0 for WhiteIsZero fixtures."""
+    pass 0 for WhiteIsZero fixtures.  ``ascii_tags`` adds ASCII
+    (type 2) entries, e.g. {270: "caption"} for ImageDescription."""
     img = np.asarray(img)
     e = ">" if big_endian else "<"
     h, w = img.shape[:2]
@@ -448,6 +450,9 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
         pal = np.zeros((1 << bits, 3), dtype=np.uint16)
         pal[:len(palette)] = palette.astype(np.uint16) * 257
         add(320, 3, list(pal.T.reshape(-1)))
+    for tag, text in (ascii_tags or {}).items():
+        payload = text.encode("utf-8") + b"\x00"
+        entries.append((tag, 2, len(payload), payload))
 
     # lay out the IFD: values > 4 bytes go to an extra area after it
     n = len(entries)

@@ -302,3 +302,17 @@ def test_decoded_arrays_are_writable():
     out[0, 0, 0] = 0                   # must not raise
     gray = decode_tiff(encode_tiff(_gray(5, 6)))
     assert gray.flags.writeable
+
+
+def test_make_mini_tiff_caption_roundtrip():
+    """The breadth-canary fixture: caption in ImageDescription (270)
+    surfaces through parse_image_meta exactly, with the declared dims."""
+    from geoparser_spark.operators.image_meta import (
+        make_mini_tiff,
+        parse_image_meta,
+    )
+
+    got = parse_image_meta(make_mini_tiff(4, 2, ["caffé ☕ caption"]))
+    assert got == ("tiff", 4, 2, ["caffé ☕ caption"])
+    two = parse_image_meta(make_mini_tiff(3, 3, ["desc", "soft"]))
+    assert two == ("tiff", 3, 3, ["desc", "soft"])
