@@ -940,20 +940,21 @@ def _mm_frame_plan(spark, sf_dir):
 
 
 def _mm_media_features(spark, sf_dir):
-    """Multimodal feature extraction with THREE real pixel paths: the
-    selected docs split round-robin into actual PNGs (deterministic
-    greyscale gradient, png_codec), actual GIFs (deterministic
-    16-color palette + LZW-compressed index pattern, gif_codec) and
-    actual JPEGs — alternating BASELINE and PROGRESSIVE encodings of a
-    deterministic coefficient-space pattern (both entropy layers are
-    lossless, jpeg_codec; decoded pixels are exactly the fixed-point
-    integer IDCT of pattern x qtable either way) —
-    each decoded BACK to pixels inside the Arrow kernel →
+    """Multimodal feature extraction with FOUR real pixel paths: the
+    selected docs split round-robin into a deterministic greyscale
+    gradient — alternating PNG and TIFF(LZW+predictor) encodings of
+    the SAME pixels (both lossless, png_codec/tiff_codec) —, actual
+    GIFs (deterministic 16-color palette + LZW-compressed index
+    pattern, gif_codec) and actual JPEGs — alternating BASELINE and
+    PROGRESSIVE encodings of a deterministic coefficient-space pattern
+    (both entropy layers are lossless, jpeg_codec; decoded pixels are
+    exactly the fixed-point integer IDCT of pattern x qtable either
+    way) — each decoded BACK to pixels inside the Arrow kernel →
     integer-exact pixel statistics, decode_ok=true.  The oracle
     recomputes each row's features straight from the PATTERN (for
     JPEG: a pure-Python integer-IDCT replay) — it never touches any
-    codec — so any encode/unfilter/LZW/palette/Huffman/IDCT defect
-    breaks value equality."""
+    codec — so any encode/unfilter/LZW/palette/Huffman/IDCT/predictor
+    defect breaks value equality."""
     from geoparser_spark.operators.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents").where(
@@ -985,7 +986,18 @@ def _mm_media_features(spark, sf_dir):
                     w, h = i % 9 + 4, i % 5 + 3
                     img = ((i * 7 + np.arange(h)[:, None] * w
                             + np.arange(w)[None, :]) % 256).astype(np.uint8)
-                    blobs.append(encode_png(img))
+                    # alternate PNG / TIFF encodings of the SAME pixels
+                    # (both lossless): one pattern formula in the
+                    # oracle covers both container decode paths
+                    if (i // 30) % 2 == 0:
+                        blobs.append(encode_png(img))
+                    else:
+                        from geoparser_spark.operators.tiff_codec import (
+                            encode_tiff,
+                        )
+
+                        blobs.append(encode_tiff(
+                            img, compression=5, predictor=2))
                 elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w
