@@ -180,6 +180,40 @@ def parse_tiff(raw: bytes) -> tuple[int, int, list[str]] | None:
     return w, h, texts
 
 
+def parse_webp(raw: bytes) -> tuple[int, int, list[str]] | None:
+    """WebP dims from the RIFF container — header-only, no codec
+    (VP8 entropy decode stays a documented seam): lossy 'VP8 ' frame
+    tags (14-bit dims after the 9D 01 2A start code), lossless 'VP8L'
+    (14-bit minus-one dims after the 2F signature byte), extended
+    'VP8X' (24-bit minus-one canvas dims)."""
+    if len(raw) < 20 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        return None
+    pos = 12
+    while pos + 8 <= len(raw):
+        fourcc = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8X" and len(body) >= 10:
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            return w, h, []
+        if fourcc == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                return None
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return w, h, []
+        if fourcc == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                return None
+            bits = int.from_bytes(body[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return w, h, []
+        pos += 8 + size + (size & 1)      # chunks pad to even
+    return None
+
+
 def make_mini_tiff(width: int, height: int, texts: list[str] = ()) -> bytes:
     """A complete, spec-valid grayscale TIFF with the first two ``texts``
     as ASCII ImageDescription (270) / Software (305) tags — the tags
@@ -199,7 +233,8 @@ def make_mini_tiff(width: int, height: int, texts: list[str] = ()) -> bytes:
 def parse_image_meta(raw: bytes) -> tuple[str, int, int, list[str]] | None:
     """(format, width, height, embedded texts) or None if unrecognized."""
     for fmt, parser in (("png", parse_png), ("jpeg", parse_jpeg),
-                        ("gif", parse_gif), ("tiff", parse_tiff)):
+                        ("gif", parse_gif), ("tiff", parse_tiff),
+                        ("webp", parse_webp)):
         try:
             got = parser(raw)
         except (struct.error, IndexError):

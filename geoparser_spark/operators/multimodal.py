@@ -57,12 +57,15 @@ def decode_image(payload: bytes) -> "object":
     strip assembly + PackBits/TIFF-LZW/Deflate + predictor — each
     returns an (H, W[, C]) uint8 numpy array; PNG covers every
     spec-legal depth and Adam7; JPEG covers baseline AND progressive
-    DCT; TIFF covers baseline chunky strips).  Arithmetic-coded/
-    12-bit/hierarchical JPEG and tiled/planar/CCITT TIFF raise
-    NotImplementedError (degrade contract); other formats (WEBP/...)
-    stay the documented decoder seam."""
-    from geoparser_spark.operators import (gif_codec, jpeg_codec,
-                                           png_codec, tiff_codec)
+    DCT; TIFF covers baseline chunky strips; operators/bmp_codec
+    covers palette/truecolor/RLE BMP).  Arithmetic-coded/12-bit/
+    hierarchical JPEG, tiled/planar/CCITT TIFF and BITFIELDS/16-bit
+    BMP raise NotImplementedError (degrade contract); other formats
+    (WEBP pixels/...) stay the documented decoder seam — WebP DIMS
+    parse header-only in operators/image_meta."""
+    from geoparser_spark.operators import (bmp_codec, gif_codec,
+                                           jpeg_codec, png_codec,
+                                           tiff_codec)
 
     if isinstance(payload, (bytes, bytearray)):
         raw = bytes(payload)
@@ -74,9 +77,11 @@ def decode_image(payload: bytes) -> "object":
             return jpeg_codec.decode_jpeg(raw)
         if raw[:4] in tiff_codec.TIFF_SIGS:
             return tiff_codec.decode_tiff(raw)
+        if raw.startswith(bmp_codec.BMP_SIG):
+            return bmp_codec.decode_bmp(raw)
     raise NotImplementedError(
-        "only PNG/GIF/JPEG (baseline + progressive DCT)/baseline-TIFF "
-        "pixels decode in-sandbox; other formats are the documented "
+        "only PNG/GIF/JPEG (baseline + progressive DCT)/baseline-TIFF/"
+        "BMP pixels decode in-sandbox; other formats are the documented "
         "decoder seam (see module docstring)")
 
 
@@ -93,8 +98,9 @@ def extract_media_features(media: DataFrame, dim: int = 16,
     themselves are bit-deterministic via the fixed-point integer IDCT);
     everything else goes through the clearly-marked deterministic
     _stub_feature with decode_ok=False (the embedding-model seam)."""
-    from geoparser_spark.operators import (gif_codec, jpeg_codec,
-                                           png_codec, tiff_codec)
+    from geoparser_spark.operators import (bmp_codec, gif_codec,
+                                           jpeg_codec, png_codec,
+                                           tiff_codec)
 
     def one(b, dim=dim):
         import struct as _struct
@@ -104,7 +110,8 @@ def extract_media_features(media: DataFrame, dim: int = 16,
         is_png = payload.startswith(png_codec.PNG_SIG)
         is_jpeg = payload.startswith(jpeg_codec.JPEG_SIG)
         is_tiff = payload[:4] in tiff_codec.TIFF_SIGS
-        if (is_png or is_jpeg or is_tiff
+        is_bmp = payload.startswith(bmp_codec.BMP_SIG)
+        if (is_png or is_jpeg or is_tiff or is_bmp
                 or payload[:6] in gif_codec.GIF_SIGS):
             # decode AND featurize inside the guard: a corrupt IDAT
             # raises zlib.error, an out-of-range palette index
@@ -116,6 +123,7 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                 img = (png_codec.decode_png(payload) if is_png
                        else jpeg_codec.decode_jpeg(payload) if is_jpeg
                        else tiff_codec.decode_tiff(payload) if is_tiff
+                       else bmp_codec.decode_bmp(payload) if is_bmp
                        else gif_codec.decode_gif(payload))
                 return png_codec.pixel_features(img, dim), True
             except (ValueError, NotImplementedError, OSError,

@@ -1,0 +1,184 @@
+"""BMP codec: exact round-trips across depths, RLE, row orders;
+degrade contract — the same exactness discipline as the other codecs
+(every layer is lossless, so encode→decode must be BIT-IDENTICAL)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoparser_spark.operators.bmp_codec import (
+    BMP_SIG,
+    decode_bmp,
+    encode_bmp,
+)
+
+
+def _gray(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+@pytest.mark.parametrize("bpp", [24, 32])
+def test_truecolor_roundtrip(bpp, top_down):
+    rng = np.random.default_rng(11)
+    # widths 5/6/7 exercise the 4-byte row padding
+    for w in (5, 6, 7, 8):
+        img = rng.integers(0, 256, size=(9, w, 3)).astype(np.uint8)
+        blob = encode_bmp(img, bpp=bpp, top_down=top_down)
+        assert blob[:2] == BMP_SIG
+        assert np.array_equal(decode_bmp(blob), img)
+
+
+def test_gray_palette_returns_2d():
+    img = _gray(12, 13)
+    out = decode_bmp(encode_bmp(img, bpp=8))
+    assert out.ndim == 2
+    assert np.array_equal(out, img)
+
+
+def test_color_palette_expands_to_rgb():
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    palette[1] = (1, 2, 3)             # ensure not a grey ramp
+    idx = rng.integers(0, 16, size=(7, 11)).astype(np.uint8)
+    out = decode_bmp(encode_bmp(idx, bpp=4, palette=palette))
+    assert out.shape == (7, 11, 3)
+    assert np.array_equal(out, palette[idx])
+
+
+def test_1bit_roundtrip():
+    rng = np.random.default_rng(17)
+    palette = np.array([[0, 0, 0], [255, 0, 0]], dtype=np.uint8)
+    idx = rng.integers(0, 2, size=(9, 19)).astype(np.uint8)
+    out = decode_bmp(encode_bmp(idx, bpp=1, palette=palette))
+    assert np.array_equal(out, palette[idx])
+
+
+def test_rle8_roundtrip_with_runs():
+    rng = np.random.default_rng(19)
+    # long runs + noise: exercises encoded runs across row boundaries
+    img = np.repeat(rng.integers(0, 256, size=(11, 5)), 7, axis=1)
+    img = img[:, :31].astype(np.uint8)
+    out = decode_bmp(encode_bmp(img, bpp=8, rle=True))
+    assert np.array_equal(out, img)
+
+
+def test_rle8_delta_and_eob_zero_fill():
+    """Hand-built RLE stream: delta skips and an early end-of-bitmap
+    leave pixels undefined per spec — this decoder zero-fills them."""
+    base = encode_bmp(np.zeros((4, 6), dtype=np.uint8), bpp=8, rle=True)
+    (data_off,) = struct.unpack("<I", base[10:14])
+    # row0 (bottom): 3x7, delta (+2,+1), row: 2x9, EOB
+    stream = bytes([3, 7, 0, 2, 2, 1, 2, 9, 0, 1])
+    blob = bytearray(base[:data_off]) + stream
+    blob[2:6] = struct.pack("<I", len(blob))
+    blob[34:38] = struct.pack("<I", len(stream))
+    out = decode_bmp(bytes(blob))
+    want = np.zeros((4, 6), dtype=np.uint8)
+    want[3, 0:3] = 7                    # bottom row
+    want[2, 5:7] = 9                    # after delta +2 cols +1 row
+    assert np.array_equal(out, want)
+
+
+def test_unsupported_layouts_degrade_not_crash():
+    img = _gray(4, 4)
+    blob = bytearray(encode_bmp(img, bpp=8))
+    blob[30:34] = struct.pack("<I", 3)     # BI_BITFIELDS
+    with pytest.raises(NotImplementedError, match="BITFIELDS"):
+        decode_bmp(bytes(blob))
+    blob2 = bytearray(encode_bmp(img, bpp=8))
+    blob2[30:34] = struct.pack("<I", 4)    # BI_JPEG
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_bmp(bytes(blob2))
+    blob3 = bytearray(encode_bmp(img, bpp=8))
+    blob3[14:18] = struct.pack("<I", 12)   # BITMAPCOREHEADER
+    with pytest.raises(NotImplementedError, match="CORE"):
+        decode_bmp(bytes(blob3))
+
+
+def test_malformed_streams_valueerror():
+    with pytest.raises(ValueError):
+        decode_bmp(b"")
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 20)       # shorter than headers
+    rgb = np.stack([_gray(16, 16)] * 3, axis=2)
+    blob = encode_bmp(rgb, bpp=24)
+    with pytest.raises(ValueError):
+        decode_bmp(blob[: len(blob) // 2])     # truncated pixels
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_decode_totality_on_garbage(raw):
+    """Damaged input raises ValueError/NotImplementedError — never an
+    unguarded numpy/struct/KeyError that would kill an Arrow task."""
+    try:
+        decode_bmp(b"BM" + raw)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_decode_image_routes_bmp(spark):
+    from geoparser_spark.operators.multimodal import decode_image
+
+    img = _gray(10, 14, seed=23)
+    out = decode_image(encode_bmp(img, bpp=8))
+    assert np.array_equal(out, img)
+
+
+def test_media_features_real_bmp_path(spark):
+    """extract_media_features: BMP joins the real pixel path
+    (decode_ok=True, integer-exact stats); a damaged BMP degrades."""
+    import pandas as pd
+
+    from geoparser_spark.operators.multimodal import extract_media_features
+    from geoparser_spark.operators.png_codec import pixel_features
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(14, 9, 3)).astype(np.uint8)
+    good = encode_bmp(img, bpp=24)
+    expected = pixel_features(img, 16)
+    bad = good[:25]
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["good", "bad"],
+                      "media_bytes": [good, bad]}))
+    rows = {r.media_ref: r for r in extract_media_features(df).collect()}
+    assert rows["good"].decode_ok
+    got = [float(x) for x in rows["good"].feature]
+    assert got == pytest.approx([np.float32(v) for v in expected])
+    assert not rows["bad"].decode_ok
+
+
+def test_parse_webp_dims_all_three_chunk_kinds():
+    """image_meta's header-only WebP branch: lossy VP8, lossless VP8L
+    and extended VP8X dims all parse; garbage after 'RIFF....WEBP'
+    returns None rather than raising."""
+    import struct as st_
+
+    from geoparser_spark.operators.image_meta import (
+        parse_image_meta,
+        parse_webp,
+    )
+
+    def riff(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        chunk = fourcc + st_.pack("<I", len(body)) + body + pad
+        return b"RIFF" + st_.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+               + st_.pack("<HH", 320, 240) + b"\x00" * 4)
+    assert parse_image_meta(vp8) == ("webp", 320, 240, [])
+    bits = (99 & 0x3FFF) | ((49 & 0x3FFF) << 14)
+    vp8l = riff(b"VP8L", bytes([0x2F]) + st_.pack("<I", bits))
+    assert parse_webp(vp8l) == (100, 50, [])
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert parse_webp(vp8x) == (640, 480, [])
+    assert parse_webp(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert parse_webp(b"RIFF\x10\x00\x00\x00WEBPJUNK\x00\x00\x00\x00") is None
