@@ -37,8 +37,10 @@ _MAX_PIXELS = 64_000_000          # same bomb cap as gif/tiff codecs
 
 def _rle_decode(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
     """BI_RLE8 / BI_RLE4 -> (h, w) uint8 palette indices (top row 0 is
-    the BOTTOM scan line, as stored; caller flips).  Undefined skipped
-    pixels (delta/EOL gaps) are zero-filled deterministically."""
+    the BOTTOM scan line, as stored; caller flips).  Undefined SKIPPED
+    pixels (delta/EOL gaps) are zero-filled deterministically; runs
+    overflowing the row or bitmap, and streams ending without the
+    end-of-bitmap escape, are corruption and raise ValueError."""
     out = np.zeros((h, w), dtype=np.uint8)
     x = y = i = 0
     n = len(data)
@@ -46,17 +48,16 @@ def _rle_decode(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
         cnt, val = data[i], data[i + 1]
         i += 2
         if cnt > 0:                       # encoded run
-            if y >= h:
-                raise ValueError("RLE run past bitmap end")
-            run = min(cnt, w - x)
+            if y >= h or cnt > w - x:
+                raise ValueError("RLE run past row/bitmap end")
             if four_bit:
-                pair = np.empty(run, dtype=np.uint8)
+                pair = np.empty(cnt, dtype=np.uint8)
                 pair[0::2] = val >> 4
                 pair[1::2] = val & 0x0F
-                out[y, x:x + run] = pair
+                out[y, x:x + cnt] = pair
             else:
-                out[y, x:x + run] = val
-            x += run
+                out[y, x:x + cnt] = val
+            x += cnt
         elif val == 0:                    # end of line
             x, y = 0, y + 1
         elif val == 1:                    # end of bitmap
@@ -64,13 +65,14 @@ def _rle_decode(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
         elif val == 2:                    # delta
             if i + 1 >= n:
                 raise ValueError("RLE delta truncated")
-            x = min(x + data[i], w)
+            x += data[i]
             y += data[i + 1]
+            if x > w:
+                raise ValueError("RLE delta past row end")
             i += 2
         else:                             # absolute mode: val literals
-            if y >= h:
-                raise ValueError("RLE absolute run past bitmap end")
-            take = min(val, w - x)
+            if y >= h or val > w - x:
+                raise ValueError("RLE absolute run past row/bitmap end")
             if four_bit:
                 nbytes = (val + 1) // 2
                 if i + nbytes > n:
@@ -79,16 +81,16 @@ def _rle_decode(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
                 nib = np.empty(nbytes * 2, dtype=np.uint8)
                 nib[0::2] = raw >> 4
                 nib[1::2] = raw & 0x0F
-                out[y, x:x + take] = nib[:take]
+                out[y, x:x + val] = nib[:val]
                 i += (nbytes + 1) & ~1    # word-aligned
             else:
                 if i + val > n:
                     raise ValueError("RLE absolute run truncated")
-                out[y, x:x + take] = np.frombuffer(
-                    data[i:i + take], dtype=np.uint8)
+                out[y, x:x + val] = np.frombuffer(
+                    data[i:i + val], dtype=np.uint8)
                 i += (val + 1) & ~1       # word-aligned
-            x += take
-    return out
+            x += val
+    raise ValueError("RLE stream ended without end-of-bitmap")
 
 
 def decode_bmp(raw: bytes) -> np.ndarray:
@@ -113,8 +115,8 @@ def decode_bmp(raw: bytes) -> np.ndarray:
         raise ValueError(f"planes must be 1, got {planes}")
     if compression in (4, 5):
         raise NotImplementedError("embedded JPEG/PNG payload (BI_JPEG/PNG)")
-    if compression == 3 or bpp == 16:
-        raise NotImplementedError("BI_BITFIELDS / 16-bit pixels")
+    if compression in (3, 6) or bpp == 16:
+        raise NotImplementedError("BI_(ALPHA)BITFIELDS / 16-bit pixels")
     if compression not in (0, 1, 2):
         raise ValueError(f"unknown compression {compression}")
     if bpp not in (1, 4, 8, 24, 32):
@@ -167,11 +169,12 @@ def decode_bmp(raw: bytes) -> np.ndarray:
 
     if int(idx.max()) >= len(palette):
         raise ValueError("palette index out of range")
-    rgb = palette[idx]
-    if (rgb[:, :, 0] == rgb[:, :, 1]).all() and \
-            (rgb[:, :, 1] == rgb[:, :, 2]).all():
-        return rgb[:, :, 0].copy()             # grey palette -> grayscale
-    return rgb
+    # collapse keyed on the PALETTE (as documented), not the pixels, so
+    # two files with the same palette always decode to the same rank
+    if (palette[:, 0] == palette[:, 1]).all() and \
+            (palette[:, 1] == palette[:, 2]).all():
+        return palette[idx, 0].copy()          # grey palette -> grayscale
+    return palette[idx]
 
 
 # -------------------------------------------------------------- encoder

@@ -180,6 +180,18 @@ def parse_tiff(raw: bytes) -> tuple[int, int, list[str]] | None:
     return w, h, texts
 
 
+def parse_bmp(raw: bytes) -> tuple[int, int, list[str]] | None:
+    """BMP dims from the fixed BITMAPINFOHEADER offsets — header-only
+    (the pixel path is operators/bmp_codec); BMP has no standard
+    embedded-text channel, so texts is always empty."""
+    if raw[:2] != b"BM" or len(raw) < 26:
+        return None
+    w, h = struct.unpack("<ii", raw[18:26])
+    if w <= 0 or h == 0:
+        return None
+    return w, abs(h), []
+
+
 def parse_webp(raw: bytes) -> tuple[int, int, list[str]] | None:
     """WebP dims from the RIFF container — header-only, no codec
     (VP8 entropy decode stays a documented seam): lossy 'VP8 ' frame
@@ -234,7 +246,7 @@ def parse_image_meta(raw: bytes) -> tuple[str, int, int, list[str]] | None:
     """(format, width, height, embedded texts) or None if unrecognized."""
     for fmt, parser in (("png", parse_png), ("jpeg", parse_jpeg),
                         ("gif", parse_gif), ("tiff", parse_tiff),
-                        ("webp", parse_webp)):
+                        ("bmp", parse_bmp), ("webp", parse_webp)):
         try:
             got = parser(raw)
         except (struct.error, IndexError):

@@ -74,16 +74,46 @@ def test_rle8_delta_and_eob_zero_fill():
     leave pixels undefined per spec — this decoder zero-fills them."""
     base = encode_bmp(np.zeros((4, 6), dtype=np.uint8), bpp=8, rle=True)
     (data_off,) = struct.unpack("<I", base[10:14])
-    # row0 (bottom): 3x7, delta (+2,+1), row: 2x9, EOB
-    stream = bytes([3, 7, 0, 2, 2, 1, 2, 9, 0, 1])
+    # row0 (bottom): 3x7, delta (+2,+1), row: 1x9, EOB
+    stream = bytes([3, 7, 0, 2, 2, 1, 1, 9, 0, 1])
     blob = bytearray(base[:data_off]) + stream
     blob[2:6] = struct.pack("<I", len(blob))
     blob[34:38] = struct.pack("<I", len(stream))
     out = decode_bmp(bytes(blob))
     want = np.zeros((4, 6), dtype=np.uint8)
     want[3, 0:3] = 7                    # bottom row
-    want[2, 5:7] = 9                    # after delta +2 cols +1 row
+    want[2, 5] = 9                      # after delta +2 cols +1 row
     assert np.array_equal(out, want)
+
+
+def test_rle8_truncation_and_overflow_are_valueerror():
+    """A stream ending without end-of-bitmap, or a run overflowing the
+    row, is corruption — never a silently zero-filled 'success'."""
+    img = np.repeat(np.arange(8, dtype=np.uint8)[:, None], 12, axis=1)
+    blob = encode_bmp(img, bpp=8, rle=True)
+    (data_off,) = struct.unpack("<I", blob[10:14])
+    with pytest.raises(ValueError):
+        decode_bmp(blob[: data_off + (len(blob) - data_off) // 2])
+    base = encode_bmp(np.zeros((2, 4), dtype=np.uint8), bpp=8, rle=True)
+    (off2,) = struct.unpack("<I", base[10:14])
+    overflow = bytes([200, 5, 0, 1])   # 200-pixel run on a 4-wide row
+    bad = bytearray(base[:off2]) + overflow
+    bad[2:6] = struct.pack("<I", len(bad))
+    bad[34:38] = struct.pack("<I", len(overflow))
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+
+
+def test_grey_collapse_keyed_on_palette_not_pixels():
+    """Two files with the same COLOR palette decode to the same rank
+    even when one uses only grey entries."""
+    palette = np.array([[10, 10, 10], [255, 0, 0]], dtype=np.uint8)
+    all_grey = np.zeros((3, 3), dtype=np.uint8)
+    one_red = all_grey.copy()
+    one_red[0, 0] = 1
+    a = decode_bmp(encode_bmp(all_grey, bpp=1, palette=palette))
+    b = decode_bmp(encode_bmp(one_red, bpp=1, palette=palette))
+    assert a.ndim == b.ndim == 3       # color palette: always RGB
 
 
 def test_unsupported_layouts_degrade_not_crash():
@@ -182,3 +212,15 @@ def test_parse_webp_dims_all_three_chunk_kinds():
     assert parse_webp(vp8x) == (640, 480, [])
     assert parse_webp(b"RIFF\x04\x00\x00\x00WAVE") is None
     assert parse_webp(b"RIFF\x10\x00\x00\x00WEBPJUNK\x00\x00\x00\x00") is None
+
+
+def test_parse_bmp_meta_matches_pixel_surface():
+    """parse_image_meta recognizes BMP with the same dims the pixel
+    codec decodes, so the metadata and pixel surfaces agree."""
+    from geoparser_spark.operators.image_meta import parse_image_meta
+
+    img = _gray(7, 5, seed=31)
+    blob = encode_bmp(img, bpp=8)
+    assert parse_image_meta(blob) == ("bmp", 5, 7, [])
+    top = encode_bmp(img, bpp=8, top_down=True)   # negative height
+    assert parse_image_meta(top) == ("bmp", 5, 7, [])
