@@ -940,10 +940,11 @@ def _mm_frame_plan(spark, sf_dir):
 
 
 def _mm_media_features(spark, sf_dir):
-    """Multimodal feature extraction with FOUR real pixel paths: the
+    """Multimodal feature extraction with FIVE real pixel paths: the
     selected docs split round-robin into a deterministic greyscale
-    gradient — alternating PNG and TIFF(LZW+predictor) encodings of
-    the SAME pixels (both lossless, png_codec/tiff_codec) —, actual
+    gradient — rotating PNG / TIFF(LZW+predictor) / BMP(RLE8)
+    encodings of the SAME pixels (all lossless, png_codec/tiff_codec/
+    bmp_codec) —, actual
     GIFs (deterministic 16-color palette + LZW-compressed index
     pattern, gif_codec) and actual JPEGs — alternating BASELINE and
     PROGRESSIVE encodings of a deterministic coefficient-space pattern
@@ -986,18 +987,25 @@ def _mm_media_features(spark, sf_dir):
                     w, h = i % 9 + 4, i % 5 + 3
                     img = ((i * 7 + np.arange(h)[:, None] * w
                             + np.arange(w)[None, :]) % 256).astype(np.uint8)
-                    # alternate PNG / TIFF encodings of the SAME pixels
-                    # (both lossless): one pattern formula in the
-                    # oracle covers both container decode paths
-                    if (i // 30) % 2 == 0:
+                    # rotate PNG / TIFF / BMP encodings of the SAME
+                    # pixels (all lossless): one pattern formula in
+                    # the oracle covers all three container paths
+                    r = (i // 30) % 3
+                    if r == 0:
                         blobs.append(encode_png(img))
-                    else:
+                    elif r == 1:
                         from geoparser_spark.operators.tiff_codec import (
                             encode_tiff,
                         )
 
                         blobs.append(encode_tiff(
                             img, compression=5, predictor=2))
+                    else:
+                        from geoparser_spark.operators.bmp_codec import (
+                            encode_bmp,
+                        )
+
+                        blobs.append(encode_bmp(img, bpp=8, rle=True))
                 elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w
