@@ -1053,6 +1053,65 @@ def _mm_media_features(spark, sf_dir):
     )
 
 
+def _mm_gif_frames(spark, sf_dir):
+    """Animated-GIF frame sampling, REAL end-to-end: each selected doc
+    becomes an animated GIF (i%3 + 2 full-screen opaque frames of the
+    shared 16-color palette pattern, per-frame delays), encoded with
+    the real LZW encoder; sample_media_frames walks and COMPOSITES
+    every frame in the production Arrow kernel and featurizes every
+    stride-th canvas with the integer-exact pixel statistics.
+    Full-screen opaque frames make each composited canvas equal its
+    own pattern, so the pyoracle replica value-checks the whole
+    walk/LZW/palette/featurize path without running any of it
+    (testing/pyoracle_queries.gif_frames_sql); the disposal/
+    transparency/offset compositing semantics are pinned separately by
+    tests/test_gif_codec.py."""
+    from geoparser_spark.operators.multimodal import sample_media_frames
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 0
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def wrap(batches):
+        import numpy as np
+        import pandas as pd
+
+        from geoparser_spark.operators.gif_codec import encode_gif_anim
+
+        pal = np.stack([
+            (np.arange(16) * 37) % 256,
+            (np.arange(16) * 59) % 256,
+            (np.arange(16) * 83) % 256,
+        ], axis=1).astype(np.uint8)
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = i % 3 + 2
+                w, h = i % 6 + 3, i % 4 + 2
+                frames = [
+                    ((i * 5 + f * 7 + np.arange(h)[:, None] * w
+                      + np.arange(w)[None, :]) % 16).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                delays = [(i + f) % 100 for f in range(n_frames)]
+                refs.append(f"img://{i}")
+                blobs.append(encode_gif_anim(frames, pal,
+                                             delays_cs=delays))
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
+    out = sample_media_frames(media, stride=2, max_frames=8, dim=16)
+    return out.select(
+        "media_ref", "frame_idx", "delay_cs", "decode_ok",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 3).cast("double"), 6).alias("f2"),
+        F.round(F.element_at("feature", 11).cast("double"), 6).alias("f10"),
+        F.round(F.element_at("feature", 16).cast("double"), 6).alias("f15"),
+    )
+
+
 def _mm_image_meta(spark, sf_dir):
     """Multimodal metadata decode, REAL end-to-end (no stub anywhere):
     each documents row becomes an actual PNG/JPEG/GIF byte stream
@@ -3413,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_part_promotion": _tpch_q20,
         "tpch_q2_min_cost_supplier": _tpch_q2,
         "tpch_q11_important_parts": _tpch_q11,
+        "multimodal_gif_frames": _mm_gif_frames,
     }
 
 
@@ -4021,6 +4081,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "multimodal_media_features": PQ.media_features_sql(
                 modulus=10, dim=16
+            ),
+            "multimodal_gif_frames": PQ.gif_frames_sql(
+                modulus=25, dim=16, stride=2
             ),
             "ann_ivf_topk": PQ.ivf_topk_sql(
                 _QUERY_VEC, n_lists=8, sample=512, k=10, nprobe=2

@@ -273,3 +273,204 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
         out += chunk
     out += b"\x00\x3B"
     return bytes(out)
+
+
+_MAX_FRAMES = 4096   # bomb guard: frames per stream the walker will touch
+
+
+def decode_gif_frames(raw: bytes, max_frames: int | None = None,
+                      ) -> list[tuple[int, np.ndarray]]:
+    """GIF bytes -> [(delay_cs, (H, W, 3) uint8 RGB canvas), ...], one
+    COMPOSITED snapshot per frame — the real animation semantics that
+    decode_gif's first-frame contract deliberately skips:
+
+    * Graphic Control Extension (0xF9) delay (centiseconds),
+      transparency index (transparent pixels leave the canvas
+      untouched) and disposal method: 0/1 leave the frame in place,
+      2 restores the frame's REGION to the background color,
+      3 restores the canvas to its state before the frame.
+    * Local color tables override the global one per frame; interlaced
+      frames de-interlace; frames may be offset/smaller than the
+      logical screen (composited at (left, top)); a frame overflowing
+      an under-declared screen enlarges the canvas like decode_gif.
+
+    ``max_frames`` stops the walk early (for stride sampling the
+    caller still needs every prior frame — compositing is stateful);
+    streams past the 4096-frame bomb guard raise ValueError, as do
+    malformed blocks (same totality contract as decode_gif)."""
+    if raw[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    if len(raw) < 13:
+        raise ValueError("truncated screen descriptor")
+    sw, sh = struct.unpack_from("<HH", raw, 6)
+    bg = raw[11]
+    packed = raw[10]
+    gct: np.ndarray | None = None
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if i + 3 * n > len(raw):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(raw[i:i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, dtype=np.uint8))
+
+    canvas: np.ndarray | None = None     # lazily sized (frames may grow it)
+    frames: list[tuple[int, np.ndarray]] = []
+    delay = 0
+    transparent: int | None = None
+    disposal = 0
+
+    def ensure_canvas(ch: int, cw: int) -> None:
+        nonlocal canvas
+        need_h = max(sh, ch)
+        need_w = max(sw, cw)
+        if canvas is None:
+            if need_h * need_w > _MAX_PIXELS:
+                raise ValueError("implausible GIF canvas dimensions")
+            canvas = np.empty((need_h, need_w, 3), dtype=np.uint8)
+            canvas[:, :] = bg_rgb
+        elif need_h > canvas.shape[0] or need_w > canvas.shape[1]:
+            if need_h * need_w > _MAX_PIXELS:
+                raise ValueError("implausible GIF canvas dimensions")
+            grown = np.empty((need_h, need_w, 3), dtype=np.uint8)
+            grown[:, :] = bg_rgb
+            grown[:canvas.shape[0], :canvas.shape[1]] = canvas
+            canvas = grown
+
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x21:                     # extension
+            if i + 2 > len(raw):
+                raise ValueError("truncated extension")
+            label = raw[i + 1]
+            i += 2
+            blocks = []
+            while i < len(raw) and raw[i] != 0:
+                ln = raw[i]
+                blocks.append(raw[i + 1:i + 1 + ln])
+                i += 1 + ln
+            i += 1
+            if label == 0xF9 and blocks and len(blocks[0]) >= 4:
+                gce = blocks[0]
+                disposal = (gce[0] >> 2) & 0x07
+                delay = struct.unpack_from("<H", gce, 1)[0]
+                transparent = gce[3] if gce[0] & 0x01 else None
+        elif b == 0x2C:                   # image descriptor
+            if len(frames) >= (max_frames if max_frames is not None
+                               else _MAX_FRAMES):
+                if max_frames is not None:
+                    return frames
+                raise ValueError("GIF frame count past bomb guard")
+            if i + 10 > len(raw):
+                raise ValueError("truncated image descriptor")
+            left, top, w, h = struct.unpack_from("<HHHH", raw, i + 1)
+            ipacked = raw[i + 9]
+            i += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if i + 3 * n > len(raw):
+                    raise ValueError("truncated local color table")
+                table = np.frombuffer(raw[i:i + 3 * n],
+                                      dtype=np.uint8).reshape(n, 3)
+                i += 3 * n
+            if table is None:
+                raise ValueError("no color table")
+            if w * h > _MAX_PIXELS or w == 0 or h == 0:
+                raise ValueError(f"implausible GIF dimensions {w}x{h}")
+            if i >= len(raw):
+                raise ValueError("missing LZW data")
+            min_code = raw[i]
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            i += 1
+            chunks = []
+            while i < len(raw) and raw[i] != 0:
+                ln = raw[i]
+                chunks.append(raw[i + 1:i + 1 + ln])
+                i += 1 + ln
+            i += 1
+            idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("palette index out of range")
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:
+                rows = _deinterlace(rows)
+            ensure_canvas(top + h, left + w)
+            before = (canvas[top:top + h, left:left + w].copy()
+                      if disposal == 3 else None)
+            region = canvas[top:top + h, left:left + w]
+            if transparent is None:
+                region[:, :] = table[rows]
+            else:
+                opaque = rows != transparent
+                region[opaque] = table[rows][opaque]
+            frames.append((delay, canvas.copy()))
+            if disposal == 2:             # restore region to background
+                canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas[top:top + h, left:left + w] = before
+            delay, transparent, disposal = 0, None, 0
+        elif b == 0x3B:                   # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image frame")
+    return frames
+
+
+def encode_gif_anim(frames: list[np.ndarray], palette: np.ndarray,
+                    delays_cs: list[int] | None = None,
+                    disposals: list[int] | None = None,
+                    offsets: list[tuple[int, int]] | None = None,
+                    transparents: list[int | None] | None = None,
+                    screen: tuple[int, int] | None = None,
+                    bg: int = 0) -> bytes:
+    """Animated-GIF fixture encoder: per-frame index arrays (possibly
+    offset/smaller than the screen), delays, disposal methods and
+    transparency indices — everything decode_gif_frames composites."""
+    n = len(palette)
+    if not 1 <= n <= 256:
+        raise ValueError(f"GIF palette must have 1..256 entries, got {n}")
+    if not frames:
+        raise ValueError("at least one frame")
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    min_code = max(2, bits)
+    offsets = offsets or [(0, 0)] * len(frames)
+    delays_cs = delays_cs or [0] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    transparents = transparents or [None] * len(frames)
+    if screen is None:
+        sh = max(o[1] + f.shape[0] for o, f in zip(offsets, frames))
+        sw = max(o[0] + f.shape[1] for o, f in zip(offsets, frames))
+    else:
+        sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), bg, 0)
+    out += pal.tobytes()
+    for f, (left, top), dly, disp, tr in zip(
+            frames, offsets, delays_cs, disposals, transparents):
+        gce_flags = (disp & 0x07) << 2
+        tr_idx = 0
+        if tr is not None:
+            gce_flags |= 0x01
+            tr_idx = tr
+        out += (b"\x21\xF9\x04" + bytes([gce_flags])
+                + struct.pack("<H", dly) + bytes([tr_idx]) + b"\x00")
+        h, w = f.shape
+        out += b"\x2C" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        out.append(min_code)
+        data = _lzw_encode(min_code, f.astype(np.uint8))
+        for j in range(0, len(data), 255):
+            chunk = data[j:j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)

@@ -37,6 +37,16 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
 
 def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
     """DETERMINISTIC FAKE featurizer: sha256 bytes → unit-norm floats.
@@ -155,6 +165,63 @@ META_SCHEMA = T.StructType(
         T.StructField("decode_ok", T.BooleanType()),
     ]
 )
+
+
+def sample_media_frames(media: DataFrame, stride: int = 2,
+                        max_frames: int = 8, dim: int = 16,
+                        bytes_col: str = "media_bytes",
+                        ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes) → one row per SAMPLED frame
+    (media_ref, frame_idx, delay_cs, feature[dim], decode_ok) — the
+    frame-sampling stage a video training pipeline needs, REAL for
+    animated GIF: gif_codec.decode_gif_frames composites every frame
+    (disposal methods, transparency, local palettes, offsets) and
+    every ``stride``-th canvas snapshot is featurized with the same
+    integer-exact pixel statistics as extract_media_features, so a
+    pattern replica can value-check the whole path.  Non-GIF payloads
+    (real video containers need a codec stack this sandbox lacks) and
+    damaged streams degrade to ONE stub row with decode_ok=False —
+    never a killed Arrow task.
+
+    Compositing is stateful, so the walker must decode every frame up
+    to the last sampled one: the decode cost is bounded by
+    (max_frames-1)*stride + 1 frames per payload, and the Arrow batch
+    shape (a generator per batch) is exactly what a real video
+    frame-extractor would use at 100 TB."""
+    from geoparser_spark.operators import gif_codec, png_codec
+
+    walk_limit = (max_frames - 1) * stride + 1
+
+    def one(ref, b):
+        import struct as _struct
+        import zlib as _zlib
+
+        payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+        if payload[:6] in gif_codec.GIF_SIGS:
+            try:
+                frames = gif_codec.decode_gif_frames(
+                    payload, max_frames=walk_limit)
+                return [
+                    (ref, fi, int(frames[fi][0]),
+                     png_codec.pixel_features(frames[fi][1], dim), True)
+                    for fi in range(0, len(frames), stride)
+                ][:max_frames]
+            except (ValueError, NotImplementedError, OSError,
+                    _zlib.error, _struct.error, IndexError):
+                pass
+        return [(ref, 0, 0, _stub_feature(payload, dim), False)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf[ref_col], pdf[bytes_col]):
+                rows.extend(one(ref, b))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_idx", "delay_cs",
+                               "feature", "decode_ok"])
+
+    return media.select(ref_col, bytes_col).mapInPandas(
+        kernel, schema=FRAME_SCHEMA)
 
 
 def extract_media_meta(media: DataFrame,

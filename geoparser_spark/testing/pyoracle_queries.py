@@ -1230,3 +1230,52 @@ def shuffle_rank_sql(modulus: int = 3, seed: int = 7) -> str:
     order = sorted(ids, key=lambda i: (spark_xxhash64(i, seed), i))
     out = [(i, rank) for rank, i in enumerate(order, start=1)]
     return values_sql(out, ["doc_id", "shuffle_rank"])
+
+
+def gif_frames_sql(modulus: int = 25, dim: int = 16,
+                   stride: int = 2) -> str:
+    """Replica of the gif-frames driver query: doc_id % modulus == 0
+    docs become animated GIFs with F = i%3 + 2 FULL-SCREEN frames
+    (w = i%6 + 3, h = i%4 + 2; frame f pattern idx = (i*5 + f*7 +
+    y*w + x) % 16 over the shared 16-color palette, delay (i+f) % 100,
+    no transparency, disposal 0) — full-screen opaque frames make the
+    composited canvas equal each frame's OWN pattern, so this replica
+    needs no compositing: it replays the pattern and the
+    png_codec.pixel_features integer statistics per sampled frame.
+    The Spark side runs the real LZW encode → frame walk →
+    composite → featurize; the replica never touches any of it."""
+    rows = read_table("documents", "doc_id", f"doc_id % {modulus} = 0")
+    muls = (37, 59, 83)
+    out = []
+    for (i,) in rows:
+        i = int(i)
+        n_frames = i % 3 + 2
+        w, h = i % 6 + 3, i % 4 + 2
+        n = w * h
+        for fi in range(0, n_frames, stride):
+            idxs = [(i * 5 + fi * 7 + y * w + x) % 16
+                    for y in range(h) for x in range(w)]
+            chans = [[(k * m) % 256 for k in idxs] for m in muls]
+            feats = [w / 4096.0, h / 4096.0]
+            for band in chans:
+                sb = sum(band)
+                qb = sum(p * p for p in band)
+                feats.append(sb / (n * 255.0))
+                feats.append((qb * n - sb * sb) / (n * n * 65025.0))
+            bins = dim - len(feats)
+            counts = [0] * bins
+            for p in chans[0]:
+                counts[(p * bins) // 256] += 1
+            feats.extend(c / n for c in counts)
+            out.append((
+                f"img://{i}",
+                fi,
+                (i + fi) % 100,
+                True,
+                spark_round(float(np.float32(feats[0])), 6),
+                spark_round(float(np.float32(feats[2])), 6),
+                spark_round(float(np.float32(feats[10])), 6),
+                spark_round(float(np.float32(feats[dim - 1])), 6),
+            ))
+    return values_sql(out, ["media_ref", "frame_idx", "delay_cs",
+                            "decode_ok", "f0", "f2", "f10", "f15"])

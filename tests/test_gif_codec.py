@@ -176,3 +176,142 @@ def test_gif_zero_screen_decodes_frame():
     raw += _frame_blocks(idx, left=0, top=0)
     raw += b"\x3B"
     assert np.array_equal(decode_gif(bytes(raw)), gct[idx])
+
+
+# ---------------------------------------------------- animation frames
+
+def _pal16():
+    return np.stack([(np.arange(16) * 37) % 256,
+                     (np.arange(16) * 59) % 256,
+                     (np.arange(16) * 83) % 256], axis=1).astype(np.uint8)
+
+
+def test_frames_full_screen_sequence_roundtrip():
+    from geoparser_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = _pal16()
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 16, size=(5, 9)).astype(np.uint8)
+              for _ in range(4)]
+    blob = encode_gif_anim(frames, pal, delays_cs=[10, 20, 30, 40])
+    got = decode_gif_frames(blob)
+    assert [d for d, _ in got] == [10, 20, 30, 40]
+    for f, (_, canvas) in zip(frames, got):
+        assert np.array_equal(canvas, pal[f])
+
+
+def test_frames_disposal_none_accumulates_and_bg_restores():
+    """Disposal 1 (leave): a small second frame overlays the first;
+    disposal 2 (background): the region resets before the NEXT frame."""
+    from geoparser_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = _pal16()
+    base = np.full((4, 6), 5, dtype=np.uint8)
+    patch = np.full((2, 2), 9, dtype=np.uint8)
+    tail = np.full((1, 1), 3, dtype=np.uint8)
+    blob = encode_gif_anim(
+        [base, patch, tail], pal,
+        offsets=[(0, 0), (2, 1), (5, 3)],
+        disposals=[1, 2, 0], screen=(6, 4), bg=0)
+    got = decode_gif_frames(blob)
+    assert len(got) == 3
+    want1 = pal[base]
+    assert np.array_equal(got[0][1], want1)
+    want2 = want1.copy()
+    want2[1:3, 2:4] = pal[9]                  # patch at (left=2, top=1)
+    assert np.array_equal(got[1][1], want2)
+    want3 = want1.copy()
+    want3[1:3, 2:4] = pal[0]                  # disposal 2: bg restore
+    want3[3, 5] = pal[3]
+    assert np.array_equal(got[2][1], want3)
+
+
+def test_frames_disposal_previous_and_transparency():
+    """Disposal 3 restores the pre-frame canvas; transparent pixels
+    leave the underlying canvas visible."""
+    from geoparser_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = _pal16()
+    base = np.full((3, 3), 4, dtype=np.uint8)
+    # frame 2: checkerboard of color 8 and transparent index 15
+    over = np.array([[8, 15, 8], [15, 8, 15], [8, 15, 8]], dtype=np.uint8)
+    last = np.full((3, 3), 2, dtype=np.uint8)
+    blob = encode_gif_anim(
+        [base, over, last], pal,
+        disposals=[1, 3, 0], transparents=[None, 15, None])
+    got = decode_gif_frames(blob)
+    want2 = pal[base].copy()
+    mask = over != 15
+    want2[mask] = pal[over][mask]
+    assert np.array_equal(got[1][1], want2)
+    # disposal 3 restored base before painting the last frame
+    assert np.array_equal(got[2][1], pal[last])
+
+
+def test_frames_max_frames_stops_early_and_guard_raises():
+    from geoparser_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = _pal16()
+    frames = [np.full((2, 2), k % 16, dtype=np.uint8) for k in range(6)]
+    blob = encode_gif_anim(frames, pal)
+    assert len(decode_gif_frames(blob, max_frames=3)) == 3
+    assert len(decode_gif_frames(blob)) == 6
+
+
+def test_frames_first_matches_decode_gif_contract():
+    """Frame 1 of the walker equals decode_gif's composited output for
+    an offset first frame (the pinned first-frame contract)."""
+    from geoparser_spark.operators.gif_codec import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = _pal16()
+    small = np.full((2, 3), 7, dtype=np.uint8)
+    blob = encode_gif_anim([small], pal, offsets=[(2, 1)],
+                           screen=(6, 4), bg=1)
+    assert np.array_equal(decode_gif_frames(blob)[0][1], decode_gif(blob))
+
+
+def test_sample_media_frames_operator(spark):
+    """Operator: GIF payloads emit one row per sampled frame with the
+    exact pixel stats of the composited canvases; non-GIF degrades to
+    a single stub row."""
+    import pandas as pd
+
+    from geoparser_spark.operators.gif_codec import encode_gif_anim
+    from geoparser_spark.operators.multimodal import sample_media_frames
+    from geoparser_spark.operators.png_codec import pixel_features
+
+    pal = _pal16()
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 16, size=(3, 5)).astype(np.uint8)
+              for _ in range(5)]
+    blob = encode_gif_anim(frames, pal, delays_cs=[5, 6, 7, 8, 9])
+    df = spark.createDataFrame(pd.DataFrame(
+        {"media_ref": ["anim", "junk"],
+         "media_bytes": [blob, b"\x00not-media"]}))
+    out = sample_media_frames(df, stride=2, max_frames=8).collect()
+    rows = {(r.media_ref, r.frame_idx): r for r in out}
+    assert set(rows) == {("anim", 0), ("anim", 2), ("anim", 4),
+                         ("junk", 0)}
+    for fi in (0, 2, 4):
+        r = rows[("anim", fi)]
+        assert r.decode_ok and r.delay_cs == 5 + fi
+        want = pixel_features(pal[frames[fi]], 16)
+        got = [float(x) for x in r.feature]
+        assert got == pytest.approx([np.float32(v) for v in want])
+    assert rows[("junk", 0)].decode_ok is False
