@@ -97,25 +97,15 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif(raw: bytes) -> np.ndarray:
-    """GIF bytes -> (H, W, 3) uint8 RGB of the FIRST image frame,
-    composited on the logical screen: a frame whose descriptor is
-    offset or smaller than the screen lands at (left, top) on a canvas
-    filled with the header's background color (GCT[bg]; black when no
-    GCT covers bg); a frame that OVERFLOWS an under-declared screen
-    enlarges the canvas to fit, as browsers do.  Animated GIFs
-    therefore have an EXPLICIT
-    first-frame contract — decoding returns at frame 1 and never walks
-    the trailing image descriptors, so a multi-frame stream cannot
-    mis-parse (tests/test_gif_codec.py pins both).  Raises ValueError
-    on malformed/bomb input."""
+def _parse_screen(raw: bytes):
+    """Signature + logical screen descriptor + optional global color
+    table -> (sw, sh, bg_index, gct | None, next_pos)."""
     if raw[:6] not in GIF_SIGS:
         raise ValueError("not a GIF (bad signature)")
     if len(raw) < 13:
         raise ValueError("truncated screen descriptor")
     sw, sh = struct.unpack_from("<HH", raw, 6)
-    bg = raw[11]
-    packed = raw[10]
+    packed, bg = raw[10], raw[11]
     gct: np.ndarray | None = None
     i = 13
     if packed & 0x80:
@@ -124,73 +114,177 @@ def decode_gif(raw: bytes) -> np.ndarray:
             raise ValueError("truncated global color table")
         gct = np.frombuffer(raw[i:i + 3 * n], dtype=np.uint8).reshape(n, 3)
         i += 3 * n
+    return sw, sh, bg, gct, i
+
+
+def _read_frame(raw: bytes, i: int, gct: np.ndarray | None):
+    """Image-descriptor block at raw[i] == 0x2C -> (left, top,
+    (h, w) uint8 index rows DE-INTERLACED, (n, 3) color table,
+    next_pos).  One shared parse for decode_gif and the frame walker:
+    descriptor, optional local color table, LZW sub-blocks, palette
+    range check, interlace."""
+    if i + 10 > len(raw):
+        raise ValueError("truncated image descriptor")
+    left, top, w, h = struct.unpack_from("<HHHH", raw, i + 1)
+    ipacked = raw[i + 9]
+    i += 10
+    table = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        if i + 3 * n > len(raw):
+            raise ValueError("truncated local color table")
+        table = np.frombuffer(raw[i:i + 3 * n],
+                              dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    if table is None:
+        raise ValueError("no color table")
+    if w * h > _MAX_PIXELS or w == 0 or h == 0:
+        raise ValueError(f"implausible GIF dimensions {w}x{h}")
+    if i >= len(raw):
+        raise ValueError("missing LZW data")
+    min_code = raw[i]
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW min code size {min_code}")
+    i += 1
+    chunks = []
+    while i < len(raw) and raw[i] != 0:
+        ln = raw[i]
+        chunks.append(raw[i + 1:i + 1 + ln])
+        i += 1 + ln
+    i += 1
+    idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+    if int(idx.max(initial=0)) >= len(table):
+        raise ValueError("palette index out of range")
+    rows = idx.reshape(h, w)
+    if ipacked & 0x40:
+        rows = _deinterlace(rows)
+    return left, top, rows, table, i
+
+
+def decode_gif(raw: bytes) -> np.ndarray:
+    """GIF bytes -> (H, W, 3) uint8 RGB of the FIRST image frame,
+    composited on the logical screen: a frame whose descriptor is
+    offset or smaller than the screen lands at (left, top) on a canvas
+    filled with the header's background color (GCT[bg]; black when no
+    GCT covers bg); a frame that OVERFLOWS an under-declared screen
+    enlarges the canvas to fit, as browsers do; a Graphic Control
+    transparency index leaves the background visible through the
+    frame's transparent pixels (viewers honor it even on frame 1).
+    Animated GIFs therefore have an EXPLICIT first-frame contract —
+    the walk returns IMMEDIATELY after frame 1, so trailing bytes
+    (further image descriptors, even garbage) are never parsed and a
+    multi-frame stream cannot mis-parse (tests/test_gif_codec.py pins
+    both).  Raises ValueError on malformed/bomb input."""
+    return decode_gif_frames(raw, max_frames=1)[0][1]
+
+
+_MAX_FRAMES = 4096   # bomb guard: frames per stream the walker will touch
+
+
+def decode_gif_frames(raw: bytes, max_frames: int | None = None,
+                      ) -> list[tuple[int, np.ndarray]]:
+    """GIF bytes -> [(delay_cs, (H, W, 3) uint8 RGB canvas), ...], one
+    COMPOSITED snapshot per frame — the real animation semantics:
+
+    * Graphic Control Extension (0xF9) delay (centiseconds),
+      transparency index (transparent pixels leave the canvas
+      untouched) and disposal method: 0/1 leave the frame in place,
+      2 restores the frame's REGION to the background color,
+      3 restores the canvas to its state before the frame.
+    * Local color tables override the global one per frame; interlaced
+      frames de-interlace; frames may be offset/smaller than the
+      logical screen (composited at (left, top)); a frame overflowing
+      an under-declared screen enlarges the canvas like decode_gif.
+
+    ``max_frames`` returns IMMEDIATELY after that many frames (bytes
+    past the last wanted frame are never parsed — decode_gif's
+    tolerance contract is this path with max_frames=1).  Untrusted-
+    input discipline: at most 4096 frames per stream, and the TOTAL
+    pixels across all returned snapshots are capped at the same
+    _MAX_PIXELS budget as a single image — a tiny crafted stream
+    cannot multiply a large canvas into an unbounded allocation
+    (both overruns raise ValueError)."""
+    sw, sh, bg, gct, i = _parse_screen(raw)
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, dtype=np.uint8))
+
+    canvas: np.ndarray | None = None     # lazily sized (frames may grow it)
+    frames: list[tuple[int, np.ndarray]] = []
+    snap_budget = _MAX_PIXELS            # total pixels across snapshots
+    delay = 0
+    transparent: int | None = None
+    disposal = 0
+
+    def ensure_canvas(ch: int, cw: int) -> None:
+        nonlocal canvas
+        need_h = max(sh, ch)
+        need_w = max(sw, cw)
+        if canvas is None:
+            if need_h * need_w > _MAX_PIXELS:
+                raise ValueError("implausible GIF canvas dimensions")
+            canvas = np.empty((need_h, need_w, 3), dtype=np.uint8)
+            canvas[:, :] = bg_rgb
+        elif need_h > canvas.shape[0] or need_w > canvas.shape[1]:
+            if need_h * need_w > _MAX_PIXELS:
+                raise ValueError("implausible GIF canvas dimensions")
+            grown = np.empty((need_h, need_w, 3), dtype=np.uint8)
+            grown[:, :] = bg_rgb
+            grown[:canvas.shape[0], :canvas.shape[1]] = canvas
+            canvas = grown
+
     while i < len(raw):
         b = raw[i]
-        if b == 0x21:  # extension: label + sub-blocks
+        if b == 0x21:                     # extension
+            if i + 2 > len(raw):
+                raise ValueError("truncated extension")
+            label = raw[i + 1]
             i += 2
-            while i < len(raw) and raw[i] != 0:
-                i += 1 + raw[i]
-            i += 1
-        elif b == 0x2C:  # image descriptor
-            if i + 10 > len(raw):
-                raise ValueError("truncated image descriptor")
-            left, top, w, h = struct.unpack_from("<HHHH", raw, i + 1)
-            ipacked = raw[i + 9]
-            i += 10
-            table = gct
-            if ipacked & 0x80:
-                n = 2 << (ipacked & 0x07)
-                if i + 3 * n > len(raw):
-                    raise ValueError("truncated local color table")
-                table = np.frombuffer(raw[i:i + 3 * n],
-                                      dtype=np.uint8).reshape(n, 3)
-                i += 3 * n
-            if table is None:
-                raise ValueError("no color table")
-            if w * h > _MAX_PIXELS or w == 0 or h == 0:
-                raise ValueError(
-                    f"implausible GIF dimensions {w}x{h}")
-            if i >= len(raw):
-                raise ValueError("missing LZW data")
-            min_code = raw[i]
-            if not 2 <= min_code <= 11:
-                raise ValueError(f"bad LZW min code size {min_code}")
-            i += 1
-            chunks = []
+            blocks = []
             while i < len(raw) and raw[i] != 0:
                 ln = raw[i]
-                chunks.append(raw[i + 1:i + 1 + ln])
+                blocks.append(raw[i + 1:i + 1 + ln])
                 i += 1 + ln
-            idx = _lzw_decode(min_code, b"".join(chunks), w * h)
-            if int(idx.max(initial=0)) >= len(table):
-                raise ValueError("palette index out of range")
-            rows = idx.reshape(h, w)
-            if ipacked & 0x40:
-                rows = _deinterlace(rows)
-            frame = table[rows]
-            if (left, top) == (0, 0) and (w, h) == (sw, sh):
-                return frame
-            # frame 1 is offset / smaller than the logical screen:
-            # composite on the background color (spec: bg index into
-            # the GCT; black when absent or out of range).  Wild
-            # encoders under-declare the screen (even 0x0) — browsers
-            # enlarge the canvas to fit the frame, so mirror that
-            # tolerance instead of rejecting valid-in-practice files.
-            ch, cw = max(sh, top + h), max(sw, left + w)
-            if ch * cw > _MAX_PIXELS:
-                raise ValueError(
-                    f"implausible GIF canvas dimensions {cw}x{ch}")
-            canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
-            if gct is not None and bg < len(gct):
-                canvas[:, :] = gct[bg]
-            canvas[top:top + h, left:left + w] = frame
-            return canvas
-        elif b == 0x3B:  # trailer
+            i += 1
+            if label == 0xF9 and blocks and len(blocks[0]) >= 4:
+                gce = blocks[0]
+                disposal = (gce[0] >> 2) & 0x07
+                delay = struct.unpack_from("<H", gce, 1)[0]
+                transparent = gce[3] if gce[0] & 0x01 else None
+        elif b == 0x2C:                   # image descriptor
+            if len(frames) >= _MAX_FRAMES:
+                raise ValueError("GIF frame count past bomb guard")
+            left, top, rows, table, i = _read_frame(raw, i, gct)
+            h, w = rows.shape
+            ensure_canvas(top + h, left + w)
+            snap_budget -= canvas.shape[0] * canvas.shape[1]
+            if snap_budget < 0:
+                raise ValueError("GIF animation pixel budget exceeded")
+            before = (canvas[top:top + h, left:left + w].copy()
+                      if disposal == 3 else None)
+            region = canvas[top:top + h, left:left + w]
+            if transparent is None:
+                region[:, :] = table[rows]
+            else:
+                opaque = rows != transparent
+                region[opaque] = table[rows][opaque]
+            frames.append((delay, canvas.copy()))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames             # trailing bytes never parsed
+            if disposal == 2:             # restore region to background
+                canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas[top:top + h, left:left + w] = before
+            delay, transparent, disposal = 0, None, 0
+        elif b == 0x3B:                   # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
-    raise ValueError("no image frame")
+    if not frames:
+        raise ValueError("no image frame")
+    return frames
 
+
+# -------------------------------------------------------------- encoder
 
 def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
     """Real GIF-LZW: dictionary-building encoder with clear-on-full,
@@ -246,10 +340,9 @@ def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """(H, W) uint8 index array + (N, 3) palette -> GIF89a bytes
-    (global color table padded to a power of two, one image frame)."""
-    h, w = indices.shape
+def _pal_prep(palette: np.ndarray):
+    """Validate + pad the palette -> (padded_table, bits, min_code);
+    shared by the single-frame and animated fixture encoders."""
     n = len(palette)
     if not 1 <= n <= 256:
         # bits-1 above 7 would overflow the 3-bit GCT size field in the
@@ -260,166 +353,34 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     size = 1 << bits
     pal = np.zeros((size, 3), dtype=np.uint8)
     pal[:n] = palette
-    min_code = max(2, bits)
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
-    out += pal.tobytes()
-    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    return pal, bits, max(2, bits)
+
+
+def _emit_image(out: bytearray, indices: np.ndarray, left: int, top: int,
+                min_code: int) -> None:
+    """Image descriptor + LZW data in 255-byte sub-blocks."""
+    h, w = indices.shape
+    out += b"\x2C" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
     out.append(min_code)
     data = _lzw_encode(min_code, indices.astype(np.uint8))
     for j in range(0, len(data), 255):
         chunk = data[j:j + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3B"
+    out += b"\x00"
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) uint8 index array + (N, 3) palette -> GIF89a bytes
+    (global color table padded to a power of two, one image frame)."""
+    h, w = indices.shape
+    pal, bits, min_code = _pal_prep(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    _emit_image(out, indices, 0, 0, min_code)
+    out += b"\x3B"
     return bytes(out)
-
-
-_MAX_FRAMES = 4096   # bomb guard: frames per stream the walker will touch
-
-
-def decode_gif_frames(raw: bytes, max_frames: int | None = None,
-                      ) -> list[tuple[int, np.ndarray]]:
-    """GIF bytes -> [(delay_cs, (H, W, 3) uint8 RGB canvas), ...], one
-    COMPOSITED snapshot per frame — the real animation semantics that
-    decode_gif's first-frame contract deliberately skips:
-
-    * Graphic Control Extension (0xF9) delay (centiseconds),
-      transparency index (transparent pixels leave the canvas
-      untouched) and disposal method: 0/1 leave the frame in place,
-      2 restores the frame's REGION to the background color,
-      3 restores the canvas to its state before the frame.
-    * Local color tables override the global one per frame; interlaced
-      frames de-interlace; frames may be offset/smaller than the
-      logical screen (composited at (left, top)); a frame overflowing
-      an under-declared screen enlarges the canvas like decode_gif.
-
-    ``max_frames`` stops the walk early (for stride sampling the
-    caller still needs every prior frame — compositing is stateful);
-    streams past the 4096-frame bomb guard raise ValueError, as do
-    malformed blocks (same totality contract as decode_gif)."""
-    if raw[:6] not in GIF_SIGS:
-        raise ValueError("not a GIF (bad signature)")
-    if len(raw) < 13:
-        raise ValueError("truncated screen descriptor")
-    sw, sh = struct.unpack_from("<HH", raw, 6)
-    bg = raw[11]
-    packed = raw[10]
-    gct: np.ndarray | None = None
-    i = 13
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        if i + 3 * n > len(raw):
-            raise ValueError("truncated global color table")
-        gct = np.frombuffer(raw[i:i + 3 * n], dtype=np.uint8).reshape(n, 3)
-        i += 3 * n
-    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
-              else np.zeros(3, dtype=np.uint8))
-
-    canvas: np.ndarray | None = None     # lazily sized (frames may grow it)
-    frames: list[tuple[int, np.ndarray]] = []
-    delay = 0
-    transparent: int | None = None
-    disposal = 0
-
-    def ensure_canvas(ch: int, cw: int) -> None:
-        nonlocal canvas
-        need_h = max(sh, ch)
-        need_w = max(sw, cw)
-        if canvas is None:
-            if need_h * need_w > _MAX_PIXELS:
-                raise ValueError("implausible GIF canvas dimensions")
-            canvas = np.empty((need_h, need_w, 3), dtype=np.uint8)
-            canvas[:, :] = bg_rgb
-        elif need_h > canvas.shape[0] or need_w > canvas.shape[1]:
-            if need_h * need_w > _MAX_PIXELS:
-                raise ValueError("implausible GIF canvas dimensions")
-            grown = np.empty((need_h, need_w, 3), dtype=np.uint8)
-            grown[:, :] = bg_rgb
-            grown[:canvas.shape[0], :canvas.shape[1]] = canvas
-            canvas = grown
-
-    while i < len(raw):
-        b = raw[i]
-        if b == 0x21:                     # extension
-            if i + 2 > len(raw):
-                raise ValueError("truncated extension")
-            label = raw[i + 1]
-            i += 2
-            blocks = []
-            while i < len(raw) and raw[i] != 0:
-                ln = raw[i]
-                blocks.append(raw[i + 1:i + 1 + ln])
-                i += 1 + ln
-            i += 1
-            if label == 0xF9 and blocks and len(blocks[0]) >= 4:
-                gce = blocks[0]
-                disposal = (gce[0] >> 2) & 0x07
-                delay = struct.unpack_from("<H", gce, 1)[0]
-                transparent = gce[3] if gce[0] & 0x01 else None
-        elif b == 0x2C:                   # image descriptor
-            if len(frames) >= (max_frames if max_frames is not None
-                               else _MAX_FRAMES):
-                if max_frames is not None:
-                    return frames
-                raise ValueError("GIF frame count past bomb guard")
-            if i + 10 > len(raw):
-                raise ValueError("truncated image descriptor")
-            left, top, w, h = struct.unpack_from("<HHHH", raw, i + 1)
-            ipacked = raw[i + 9]
-            i += 10
-            table = gct
-            if ipacked & 0x80:
-                n = 2 << (ipacked & 0x07)
-                if i + 3 * n > len(raw):
-                    raise ValueError("truncated local color table")
-                table = np.frombuffer(raw[i:i + 3 * n],
-                                      dtype=np.uint8).reshape(n, 3)
-                i += 3 * n
-            if table is None:
-                raise ValueError("no color table")
-            if w * h > _MAX_PIXELS or w == 0 or h == 0:
-                raise ValueError(f"implausible GIF dimensions {w}x{h}")
-            if i >= len(raw):
-                raise ValueError("missing LZW data")
-            min_code = raw[i]
-            if not 2 <= min_code <= 11:
-                raise ValueError(f"bad LZW min code size {min_code}")
-            i += 1
-            chunks = []
-            while i < len(raw) and raw[i] != 0:
-                ln = raw[i]
-                chunks.append(raw[i + 1:i + 1 + ln])
-                i += 1 + ln
-            i += 1
-            idx = _lzw_decode(min_code, b"".join(chunks), w * h)
-            if int(idx.max(initial=0)) >= len(table):
-                raise ValueError("palette index out of range")
-            rows = idx.reshape(h, w)
-            if ipacked & 0x40:
-                rows = _deinterlace(rows)
-            ensure_canvas(top + h, left + w)
-            before = (canvas[top:top + h, left:left + w].copy()
-                      if disposal == 3 else None)
-            region = canvas[top:top + h, left:left + w]
-            if transparent is None:
-                region[:, :] = table[rows]
-            else:
-                opaque = rows != transparent
-                region[opaque] = table[rows][opaque]
-            frames.append((delay, canvas.copy()))
-            if disposal == 2:             # restore region to background
-                canvas[top:top + h, left:left + w] = bg_rgb
-            elif disposal == 3 and before is not None:
-                canvas[top:top + h, left:left + w] = before
-            delay, transparent, disposal = 0, None, 0
-        elif b == 0x3B:                   # trailer
-            break
-        else:
-            raise ValueError(f"unknown GIF block 0x{b:02x}")
-    if not frames:
-        raise ValueError("no image frame")
-    return frames
 
 
 def encode_gif_anim(frames: list[np.ndarray], palette: np.ndarray,
@@ -432,16 +393,9 @@ def encode_gif_anim(frames: list[np.ndarray], palette: np.ndarray,
     """Animated-GIF fixture encoder: per-frame index arrays (possibly
     offset/smaller than the screen), delays, disposal methods and
     transparency indices — everything decode_gif_frames composites."""
-    n = len(palette)
-    if not 1 <= n <= 256:
-        raise ValueError(f"GIF palette must have 1..256 entries, got {n}")
     if not frames:
         raise ValueError("at least one frame")
-    bits = max(1, (n - 1).bit_length())
-    size = 1 << bits
-    pal = np.zeros((size, 3), dtype=np.uint8)
-    pal[:n] = palette
-    min_code = max(2, bits)
+    pal, bits, min_code = _pal_prep(palette)
     offsets = offsets or [(0, 0)] * len(frames)
     delays_cs = delays_cs or [0] * len(frames)
     disposals = disposals or [0] * len(frames)
@@ -463,14 +417,6 @@ def encode_gif_anim(frames: list[np.ndarray], palette: np.ndarray,
             tr_idx = tr
         out += (b"\x21\xF9\x04" + bytes([gce_flags])
                 + struct.pack("<H", dly) + bytes([tr_idx]) + b"\x00")
-        h, w = f.shape
-        out += b"\x2C" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
-        out.append(min_code)
-        data = _lzw_encode(min_code, f.astype(np.uint8))
-        for j in range(0, len(data), 255):
-            chunk = data[j:j + 255]
-            out.append(len(chunk))
-            out += chunk
-        out += b"\x00"
+        _emit_image(out, f, left, top, min_code)
     out += b"\x3B"
     return bytes(out)

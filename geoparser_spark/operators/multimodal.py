@@ -137,7 +137,8 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                        else gif_codec.decode_gif(payload))
                 return png_codec.pixel_features(img, dim), True
             except (ValueError, NotImplementedError, OSError,
-                    _zlib.error, _struct.error, IndexError):
+                    _zlib.error, _struct.error, IndexError,
+                    MemoryError):   # degrade, never kill the Arrow task
                 return _stub_feature(payload, dim), False
         return _stub_feature(payload, dim), False
 
@@ -207,7 +208,8 @@ def sample_media_frames(media: DataFrame, stride: int = 2,
                     for fi in range(0, len(frames), stride)
                 ][:max_frames]
             except (ValueError, NotImplementedError, OSError,
-                    _zlib.error, _struct.error, IndexError):
+                    _zlib.error, _struct.error, IndexError,
+                    MemoryError):   # degrade, never kill the Arrow task
                 pass
         return [(ref, 0, 0, _stub_feature(payload, dim), False)]
 

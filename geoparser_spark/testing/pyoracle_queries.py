@@ -247,6 +247,39 @@ def _jpeg_idct_replica(grid: list, bh: int, bw: int,
     return [img[y][x] for y in range(h) for x in range(w)]
 
 
+def _pattern_feats(chans: list[list[int]], w: int, h: int,
+                   dim: int) -> list[float]:
+    """png_codec.pixel_features mirrored over pattern-space channel
+    lists (dims, per-channel mean/variance, channel-0 histogram) —
+    the ONE stats replica shared by every pattern oracle (media
+    features, gif frames), each statistic an integer aggregate + one
+    IEEE division exactly as the engine computes it."""
+    n = w * h
+    feats = [w / 4096.0, h / 4096.0]
+    for band in chans:
+        sb = sum(band)
+        qb = sum(p * p for p in band)
+        feats.append(sb / (n * 255.0))
+        feats.append((qb * n - sb * sb) / (n * n * 65025.0))
+    bins = dim - len(feats)
+    counts = [0] * bins
+    for p in chans[0]:
+        counts[(p * bins) // 256] += 1
+    feats.extend(c / n for c in counts)
+    return feats
+
+
+def _emit_feats(feats: list[float], dim: int) -> tuple:
+    """float32-cast + spark_round of the checked elements (f0, f2,
+    f10, f_last), exactly as the Arrow FloatType column holds them."""
+    return (
+        spark_round(float(np.float32(feats[0])), 6),
+        spark_round(float(np.float32(feats[2])), 6),
+        spark_round(float(np.float32(feats[10])), 6),
+        spark_round(float(np.float32(feats[dim - 1])), 6),
+    )
+
+
 def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
     """Replica of the media-features query's THREE paths:
 
@@ -299,26 +332,8 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
                        for v in range(8)] for u in range(8)]
                      for bx in range(bw)] for by in range(bh)]
             chans = [_jpeg_idct_replica(grid, bh, bw, h, w)] * 3
-        feats = [w / 4096.0, h / 4096.0]
-        for band in chans:
-            sb = sum(band)
-            qb = sum(p * p for p in band)
-            feats.append(sb / (n * 255.0))
-            feats.append((qb * n - sb * sb) / (n * n * 65025.0))
-        bins = dim - len(feats)
-        counts = [0] * bins
-        for p in chans[0]:
-            counts[(p * bins) // 256] += 1
-        feats.extend(c / n for c in counts)
-        ok = True
-        out.append((
-            f"img://{i}",
-            ok,
-            spark_round(float(np.float32(feats[0])), 6),
-            spark_round(float(np.float32(feats[2])), 6),
-            spark_round(float(np.float32(feats[10])), 6),
-            spark_round(float(np.float32(feats[dim - 1])), 6),
-        ))
+        feats = _pattern_feats(chans, w, h, dim)
+        out.append((f"img://{i}", True) + _emit_feats(feats, dim))
     return values_sql(out, ["media_ref", "decode_ok", "f0", "f2", "f10",
                             "f15"])
 
@@ -1256,26 +1271,8 @@ def gif_frames_sql(modulus: int = 25, dim: int = 16,
             idxs = [(i * 5 + fi * 7 + y * w + x) % 16
                     for y in range(h) for x in range(w)]
             chans = [[(k * m) % 256 for k in idxs] for m in muls]
-            feats = [w / 4096.0, h / 4096.0]
-            for band in chans:
-                sb = sum(band)
-                qb = sum(p * p for p in band)
-                feats.append(sb / (n * 255.0))
-                feats.append((qb * n - sb * sb) / (n * n * 65025.0))
-            bins = dim - len(feats)
-            counts = [0] * bins
-            for p in chans[0]:
-                counts[(p * bins) // 256] += 1
-            feats.extend(c / n for c in counts)
-            out.append((
-                f"img://{i}",
-                fi,
-                (i + fi) % 100,
-                True,
-                spark_round(float(np.float32(feats[0])), 6),
-                spark_round(float(np.float32(feats[2])), 6),
-                spark_round(float(np.float32(feats[10])), 6),
-                spark_round(float(np.float32(feats[dim - 1])), 6),
-            ))
+            feats = _pattern_feats(chans, w, h, dim)
+            out.append((f"img://{i}", fi, (i + fi) % 100, True)
+                       + _emit_feats(feats, dim))
     return values_sql(out, ["media_ref", "frame_idx", "delay_cs",
                             "decode_ok", "f0", "f2", "f10", "f15"])

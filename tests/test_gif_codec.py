@@ -315,3 +315,44 @@ def test_sample_media_frames_operator(spark):
         got = [float(x) for x in r.feature]
         assert got == pytest.approx([np.float32(v) for v in want])
     assert rows[("junk", 0)].decode_ok is False
+
+
+def test_frames_bomb_guards_count_and_pixel_budget():
+    """Untrusted-input discipline: >4096 frames raises, and a stream
+    whose snapshot TOTAL would exceed the single-image pixel budget
+    raises before allocating it (a tiny payload cannot multiply a big
+    canvas into an unbounded allocation)."""
+    from geoparser_spark.operators.gif_codec import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = _pal16()
+    many = [np.zeros((1, 1), dtype=np.uint8)] * 4097
+    blob = encode_gif_anim(many, pal, screen=(1, 1))
+    with pytest.raises(ValueError, match="frame count"):
+        decode_gif_frames(blob)
+    # 70 one-pixel frames on a 1000x1000 screen: 70M snapshot pixels
+    # against the 64M budget
+    few = [np.zeros((1, 1), dtype=np.uint8)] * 70
+    blob2 = encode_gif_anim(few, pal, screen=(1000, 1000))
+    with pytest.raises(ValueError, match="pixel budget"):
+        decode_gif_frames(blob2)
+    # max_frames caps the walk BEFORE the budget trips
+    assert len(decode_gif_frames(blob2, max_frames=8)) == 8
+
+
+def test_decode_gif_honors_frame1_transparency():
+    """decode_gif (= frame 1 of the walker) leaves the background
+    visible through GCE-transparent pixels, as viewers do."""
+    from geoparser_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif_anim,
+    )
+
+    pal = _pal16()
+    over = np.array([[8, 15], [15, 8]], dtype=np.uint8)
+    blob = encode_gif_anim([over], pal, transparents=[15], bg=2)
+    out = decode_gif(blob)
+    assert np.array_equal(out[0, 0], pal[8])
+    assert np.array_equal(out[0, 1], pal[2])   # bg shows through
