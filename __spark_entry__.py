@@ -1112,6 +1112,61 @@ def _mm_gif_frames(spark, sf_dir):
     )
 
 
+def _mm_audio_features(spark, sf_dir):
+    """PCM audio feature extraction, REAL end-to-end: each selected
+    doc becomes a PCM WAV with a deterministic sample pattern at a
+    doc_id-rotating bit depth (8/16/24/32 — the pattern is quantized
+    to the 8-bit grid when needed so the encode→decode round-trip is
+    bit-exact), and extract_audio_features decodes the samples back
+    in the production Arrow kernel → integer-exact signal statistics.
+    The pyoracle replica recomputes everything from the PATTERN
+    (testing/pyoracle_queries.audio_features_sql) — it never touches
+    the WAV layer, so any fmt-walk/sample-decode/statistic defect
+    breaks value equality."""
+    from geoparser_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 5
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def wrap(batches):
+        import numpy as np
+        import pandas as pd
+
+        from geoparser_spark.operators.audio_meta import make_wav_pcm
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = i % 977 + 100
+                channels = 1 + i % 2
+                rate = 8000 + (i % 5) * 8000
+                bits = (8, 16, 24, 32)[(i // 25) % 4]
+                k = np.arange(n, dtype=np.int64)
+                s = np.stack([
+                    ((i * 7 + k * 13 + ch * 5) % 65536) - 32768
+                    for ch in range(channels)
+                ], axis=1)
+                if bits == 8:
+                    s = (s // 256) * 256   # quantize: round-trip exact
+                refs.append(f"aud://{i}")
+                blobs.append(make_wav_pcm(s, rate, bits))
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
+    out = extract_audio_features(media, dim=8)
+    return out.select(
+        "media_ref", "decode_ok",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("f3"),
+        F.round(F.element_at("feature", 5).cast("double"), 6).alias("f4"),
+        F.round(F.element_at("feature", 6).cast("double"), 6).alias("f5"),
+        F.round(F.element_at("feature", 7).cast("double"), 6).alias("f6"),
+    )
+
+
 def _mm_image_meta(spark, sf_dir):
     """Multimodal metadata decode, REAL end-to-end (no stub anywhere):
     each documents row becomes an actual PNG/JPEG/GIF byte stream
@@ -3473,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": _tpch_q2,
         "tpch_q11_important_parts": _tpch_q11,
         "multimodal_gif_frames": _mm_gif_frames,
+        "multimodal_audio_features": _mm_audio_features,
     }
 
 
@@ -4084,6 +4140,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "multimodal_gif_frames": PQ.gif_frames_sql(
                 modulus=25, dim=16, stride=2
+            ),
+            "multimodal_audio_features": PQ.audio_features_sql(
+                modulus=25, offset=5, dim=8
             ),
             "ann_ivf_topk": PQ.ivf_topk_sql(
                 _QUERY_VEC, n_lists=8, sample=512, k=10, nprobe=2

@@ -243,3 +243,133 @@ def make_mini_flac(sample_rate: int = 8000, channels: int = 1,
     for k, (btype, body) in enumerate(blocks):
         out += _flac_block(btype, body, last=(k == len(blocks) - 1))
     return out
+
+
+# ----------------------------------------------------------- PCM decode
+# The metadata walk above needs no codec; PCM WAV *samples* decode with
+# pure numpy — the REAL audio-sample path (the lossy-codec/ASR stack
+# stays the documented seam, transcribe_audio above).
+
+_MAX_SAMPLES = 256_000_000     # bomb guard: total samples per stream
+
+
+def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
+    """PCM WAV bytes -> (sample_rate, (n_frames, channels) int32 array
+    of 16-BIT-EQUIVALENT samples): 8-bit unsigned recenters and scales
+    by 256 exactly, 16-bit passes through, 24/32-bit keep their top 16
+    bits — one integer domain so a pure-Python replica reproduces every
+    downstream statistic bit-for-bit.  Non-PCM format tags (IEEE float,
+    ADPCM, extensible) raise NotImplementedError (degrade contract);
+    malformed/truncated streams raise ValueError."""
+    import numpy as np
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt_tag = channels = bits = block_align = None
+    sample_rate = 0
+    data = None
+    i, n = 12, len(raw)
+    while i + 8 <= n:
+        cid = raw[i:i + 4]
+        (size,) = struct.unpack("<I", raw[i + 4:i + 8])
+        if i + 8 + size > n:
+            raise ValueError("RIFF chunk overruns stream")
+        body = raw[i + 8:i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            (fmt_tag, channels, sample_rate, _br,
+             block_align, bits) = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt_tag is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    if fmt_tag != 1:
+        raise NotImplementedError(
+            f"WAV format tag {fmt_tag} (PCM only; float/ADPCM are the "
+            "documented codec seam)")
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"illegal PCM bit depth {bits}")
+    if channels == 0 or sample_rate == 0:
+        raise ValueError("zero channels or sample rate")
+    bytes_per = bits // 8
+    if block_align != channels * bytes_per:
+        raise ValueError("block align inconsistent with fmt")
+    n_frames = len(data) // block_align
+    if n_frames * channels > _MAX_SAMPLES:
+        raise ValueError("sample count out of range")
+    data = data[:n_frames * block_align]
+    if bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        s = (s - 128) * 256
+    elif bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 32:
+        s = np.frombuffer(data, dtype="<i4").astype(np.int32) >> 16
+    else:                                  # 24-bit little-endian signed
+        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        s = (b3[:, 0].astype(np.int32)
+             | (b3[:, 1].astype(np.int32) << 8)
+             | (b3[:, 2].astype(np.int32) << 16))
+        s = (s << 8) >> 16                 # sign-extend, keep top 16 bits
+    return int(sample_rate), s.reshape(n_frames, channels)
+
+
+def make_wav_pcm(samples: "object", sample_rate: int = 8000,
+                 bits: int = 16) -> bytes:
+    """(n_frames, channels) int array of 16-bit-equivalent samples ->
+    PCM WAV bytes at the requested depth (the exact inverse of
+    decode_wav_pcm's normalization, so round-trips are bit-exact for
+    samples representable at that depth)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    if bits == 8:
+        body = ((s // 256) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        body = s.astype("<i2").tobytes()
+    elif bits == 32:
+        body = (s.astype(np.int64) << 16).astype("<i4").tobytes()
+    elif bits == 24:
+        full = (s.astype(np.int64) << 8).astype(np.int32)
+        b = np.empty((full.size, 3), dtype=np.uint8)
+        flat = full.reshape(-1)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        body = b.tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    chunks = _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def pcm_features(sample_rate: int, frames: "object",
+                 dim: int = 8) -> list[float]:
+    """(sample_rate, (n, c) int32 16-bit-equivalent samples) -> dim
+    floats, each an INTEGER aggregate + one IEEE division (the audio
+    twin of png_codec.pixel_features, same oracle discipline):
+    [n_frames/2^20, channels/16, rate/192000, mean0, mean-square0,
+    zero-cross ratio0, |peak|0, nonzero ratio0] over channel 0."""
+    import numpy as np
+
+    n, c = frames.shape
+    ch = frames[:, 0].astype(np.int64)
+    feats = [n / 1048576.0, c / 16.0, sample_rate / 192000.0]
+    if n:
+        feats.append(int(ch.sum()) / (n * 32768.0))
+        feats.append(int((ch * ch).sum()) / (n * 32768.0 * 32768.0))
+        sgn = ch >= 0
+        feats.append(int((sgn[1:] != sgn[:-1]).sum()) / n if n > 1 else 0.0)
+        feats.append(int(np.abs(ch).max()) / 32768.0)
+        feats.append(int((ch != 0).sum()) / n)
+    else:
+        feats.extend([0.0] * 5)
+    feats = feats[:dim]
+    feats.extend(0.0 for _ in range(dim - len(feats)))
+    return feats

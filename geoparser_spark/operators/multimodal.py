@@ -226,6 +226,48 @@ def sample_media_frames(media: DataFrame, stride: int = 2,
         kernel, schema=FRAME_SCHEMA)
 
 
+def extract_audio_features(media: DataFrame, dim: int = 8,
+                           bytes_col: str = "media_bytes",
+                           ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes) → (media_ref, feature[dim],
+    decode_ok) — the AUDIO twin of extract_media_features, REAL for
+    PCM WAV: audio_meta.decode_wav_pcm decodes the sample stream to a
+    16-bit-equivalent integer domain and pcm_features computes
+    integer-exact signal statistics (duration, channels, rate, mean,
+    energy, zero-cross ratio, peak, nonzero ratio), so a pure-Python
+    pattern replica value-checks the whole path.  Non-PCM formats
+    (float/ADPCM WAV, lossy codecs — the ASR/codec seam) and damaged
+    streams degrade to the stub with decode_ok=False."""
+    from geoparser_spark.operators import audio_meta
+
+    def one(b, dim=dim):
+        import struct as _struct
+
+        payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            try:
+                sr, frames = audio_meta.decode_wav_pcm(payload)
+                return audio_meta.pcm_features(sr, frames, dim), True
+            except (ValueError, NotImplementedError, OSError,
+                    _struct.error, IndexError, MemoryError):
+                return _stub_feature(payload, dim), False
+        return _stub_feature(payload, dim), False
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [one(b) for b in pdf[bytes_col]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col],
+                    "feature": [f for f, _ in pairs],
+                    "decode_ok": [ok for _, ok in pairs],
+                }
+            )
+
+    return media.select(ref_col, bytes_col).mapInPandas(
+        kernel, schema=FEATURE_SCHEMA)
+
+
 def extract_media_meta(media: DataFrame,
                        bytes_col: str = "media_bytes",
                        ref_col: str = "media_ref") -> DataFrame:

@@ -1276,3 +1276,52 @@ def gif_frames_sql(modulus: int = 25, dim: int = 16,
                        + _emit_feats(feats, dim))
     return values_sql(out, ["media_ref", "frame_idx", "delay_cs",
                             "decode_ok", "f0", "f2", "f10", "f15"])
+
+
+def audio_features_sql(modulus: int = 25, offset: int = 5,
+                       dim: int = 8) -> str:
+    """Replica of the audio-features driver query: doc_id % modulus ==
+    offset docs become PCM WAVs with n = i%977 + 100 frames,
+    channels = 1 + i%2, rate = 8000 + (i%5)*8000, bit depth rotating
+    (8, 16, 24, 32) by i//modulus, and sample s[k, ch] = ((i*7 + k*13
+    + ch*5) % 65536) - 32768 QUANTIZED to the depth's 16-bit-equivalent
+    grid (8-bit keeps multiples of 256; 16/24/32 are exact) — the
+    replica replays the pattern + audio_meta.pcm_features' integer
+    statistics in pure Python; the Spark side encodes a real WAV and
+    decodes it back through the production Arrow kernel."""
+    rows = read_table("documents", "doc_id",
+                      f"doc_id % {modulus} = {offset}")
+    out = []
+    for (i,) in rows:
+        i = int(i)
+        n = i % 977 + 100
+        channels = 1 + i % 2
+        rate = 8000 + (i % 5) * 8000
+        bits = (8, 16, 24, 32)[(i // modulus) % 4]
+        ch0 = [((i * 7 + k * 13) % 65536) - 32768 for k in range(n)]
+        if bits == 8:
+            # fixture quantizes to the 8-bit grid BEFORE encoding, and
+            # decode maps (s//256 + 128) back exactly — floor division
+            # mirrors make_wav_pcm
+            ch0 = [(s // 256) * 256 for s in ch0]
+        feats = [n / 1048576.0, channels / 16.0, rate / 192000.0]
+        sb = sum(ch0)
+        qb = sum(s * s for s in ch0)
+        feats.append(sb / (n * 32768.0))
+        feats.append(qb / (n * 32768.0 * 32768.0))
+        zc = sum(1 for a, b in zip(ch0, ch0[1:])
+                 if (a >= 0) != (b >= 0))
+        feats.append(zc / n)
+        feats.append(max(abs(s) for s in ch0) / 32768.0)
+        feats.append(sum(1 for s in ch0 if s != 0) / n)
+        out.append((
+            f"aud://{i}",
+            True,
+            spark_round(float(np.float32(feats[0])), 6),
+            spark_round(float(np.float32(feats[3])), 6),
+            spark_round(float(np.float32(feats[4])), 6),
+            spark_round(float(np.float32(feats[5])), 6),
+            spark_round(float(np.float32(feats[6])), 6),
+        ))
+    return values_sql(out, ["media_ref", "decode_ok", "f0", "f3", "f4",
+                            "f5", "f6"])
