@@ -4142,7 +4142,7 @@ def oracle_sql() -> dict[str, str]:
                 modulus=25, dim=16, stride=2
             ),
             "multimodal_audio_features": PQ.audio_features_sql(
-                modulus=25, offset=5, dim=8
+                modulus=25, offset=5
             ),
             "ann_ivf_topk": PQ.ivf_topk_sql(
                 _QUERY_VEC, n_lists=8, sample=512, k=10, nprobe=2

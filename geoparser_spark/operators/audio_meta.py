@@ -37,6 +37,23 @@ def _norm(s: str) -> str:
     return " ".join(s.split())
 
 
+def _iter_riff_chunks(raw: bytes):
+    """Yield (chunk_id, body, declared_size, truncated) over a RIFF
+    stream from byte 12 on — the ONE chunk walk shared by the tolerant
+    metadata parser (parse_wav, which reports the DECLARED data size so
+    a truncated payload still yields the stream's nominal duration) and
+    the strict sample decoder (decode_wav_pcm, which rejects truncated
+    fmt/data chunks): body is clipped to the stream when the declared
+    size overruns it.  Chunk sizes are word-aligned per the RIFF spec
+    (odd sizes are followed by a pad byte)."""
+    i, n = 12, len(raw)
+    while i + 8 <= n:
+        cid = raw[i:i + 4]
+        (size,) = struct.unpack("<I", raw[i + 4:i + 8])
+        yield cid, raw[i + 8:i + 8 + size], size, i + 8 + size > n
+        i += 8 + size + (size & 1)
+
+
 def parse_wav(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
     """RIFF/WAVE chunk walk → (sample_rate, channels, bits, duration_ms,
     texts) or None.
@@ -51,12 +68,7 @@ def parse_wav(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
     sample_rate = channels = bits = byte_rate = None
     data_size = 0
     texts: list[str] = []
-    i = 12
-    n = len(raw)
-    while i + 8 <= n:
-        cid = raw[i:i + 4]
-        (size,) = struct.unpack("<I", raw[i + 4:i + 8])
-        body = raw[i + 8:i + 8 + size]
+    for cid, body, size, _truncated in _iter_riff_chunks(raw):
         if cid == b"fmt " and len(body) >= 16:
             (_fmt_tag, channels, sample_rate, byte_rate,
              _block_align, bits) = struct.unpack("<HHIIHH", body[:16])
@@ -73,7 +85,6 @@ def parse_wav(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
                     if t:
                         texts.append(t)
                 j += 8 + ssz + (ssz & 1)
-        i += 8 + size + (size & 1)
     if not sample_rate or not byte_rate:
         return None
     duration_ms = data_size * 1000 // byte_rate
@@ -268,19 +279,19 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     fmt_tag = channels = bits = block_align = None
     sample_rate = 0
     data = None
-    i, n = 12, len(raw)
-    while i + 8 <= n:
-        cid = raw[i:i + 4]
-        (size,) = struct.unpack("<I", raw[i + 4:i + 8])
-        if i + 8 + size > n:
-            raise ValueError("RIFF chunk overruns stream")
-        body = raw[i + 8:i + 8 + size]
-        if cid == b"fmt " and len(body) >= 16:
+    for cid, body, _size, truncated in _iter_riff_chunks(raw):
+        if cid == b"fmt ":
+            # the PCM contract needs fmt/data INTACT; trailing metadata
+            # chunks (LIST/INFO etc.) may be truncated without losing a
+            # single sample, so only these two are strict
+            if truncated or len(body) < 16:
+                raise ValueError("fmt chunk truncated")
             (fmt_tag, channels, sample_rate, _br,
              block_align, bits) = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
+            if truncated:
+                raise ValueError("data chunk overruns stream")
             data = body
-        i += 8 + size + (size & 1)
     if fmt_tag is None or data is None:
         raise ValueError("missing fmt / data chunk")
     if fmt_tag != 1:
@@ -326,6 +337,11 @@ def make_wav_pcm(samples: "object", sample_rate: int = 8000,
     if s.ndim == 1:
         s = s[:, None]
     channels = s.shape[1]
+    if s.size and (s.min() < -32768 or s.max() > 32767):
+        raise ValueError("samples out of the 16-bit-equivalent range")
+    if bits == 8 and s.size and (s % 256).any():
+        raise ValueError("8-bit fixtures need samples quantized to the "
+                         "256-step grid (decode maps s//256 + 128 back)")
     if bits == 8:
         body = ((s // 256) + 128).astype(np.uint8).tobytes()
     elif bits == 16:

@@ -13,6 +13,8 @@ processes whole Arrow batches, never row-at-a-time Python.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,6 +49,12 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+
+
+#: decode failures that DEGRADE to the stub path — a codec kernel must
+#: never kill the Arrow task; every decode site catches exactly this
+_DEGRADE_ERRORS = (ValueError, NotImplementedError, OSError, zlib.error,
+                   struct.error, IndexError, MemoryError)
 
 def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
     """DETERMINISTIC FAKE featurizer: sha256 bytes → unit-norm floats.
@@ -113,8 +121,6 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                                            tiff_codec)
 
     def one(b, dim=dim):
-        import struct as _struct
-        import zlib as _zlib
 
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
         is_png = payload.startswith(png_codec.PNG_SIG)
@@ -136,9 +142,7 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                        else bmp_codec.decode_bmp(payload) if is_bmp
                        else gif_codec.decode_gif(payload))
                 return png_codec.pixel_features(img, dim), True
-            except (ValueError, NotImplementedError, OSError,
-                    _zlib.error, _struct.error, IndexError,
-                    MemoryError):   # degrade, never kill the Arrow task
+            except _DEGRADE_ERRORS:
                 return _stub_feature(payload, dim), False
         return _stub_feature(payload, dim), False
 
@@ -194,8 +198,6 @@ def sample_media_frames(media: DataFrame, stride: int = 2,
     walk_limit = (max_frames - 1) * stride + 1
 
     def one(ref, b):
-        import struct as _struct
-        import zlib as _zlib
 
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
         if payload[:6] in gif_codec.GIF_SIGS:
@@ -207,9 +209,7 @@ def sample_media_frames(media: DataFrame, stride: int = 2,
                      png_codec.pixel_features(frames[fi][1], dim), True)
                     for fi in range(0, len(frames), stride)
                 ][:max_frames]
-            except (ValueError, NotImplementedError, OSError,
-                    _zlib.error, _struct.error, IndexError,
-                    MemoryError):   # degrade, never kill the Arrow task
+            except _DEGRADE_ERRORS:
                 pass
         return [(ref, 0, 0, _stub_feature(payload, dim), False)]
 
@@ -241,15 +241,13 @@ def extract_audio_features(media: DataFrame, dim: int = 8,
     from geoparser_spark.operators import audio_meta
 
     def one(b, dim=dim):
-        import struct as _struct
 
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             try:
                 sr, frames = audio_meta.decode_wav_pcm(payload)
                 return audio_meta.pcm_features(sr, frames, dim), True
-            except (ValueError, NotImplementedError, OSError,
-                    _struct.error, IndexError, MemoryError):
+            except _DEGRADE_ERRORS:
                 return _stub_feature(payload, dim), False
         return _stub_feature(payload, dim), False
 
@@ -391,8 +389,6 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256,
         for pdf in batches:
             ws, hs, outs, flags = [], [], [], []
             for b, meta in zip(pdf[bytes_col], pdf["media_meta"]):
-                import struct as _struct
-                import zlib as _zlib
 
                 payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
                 out_bytes = None
@@ -411,8 +407,7 @@ def resize_images(media: DataFrame, max_w: int = 256, max_h: int = 256,
                         h1 = max(int(h0 * scale), 1)
                         out_bytes = png_codec.encode_png(
                             png_codec.resize_nearest(img, w1, h1))
-                    except (ValueError, NotImplementedError, OSError,
-                            _zlib.error, _struct.error, IndexError):
+                    except _DEGRADE_ERRORS:
                         out_bytes = None
                 if out_bytes is None:
                     w0 = (meta or {}).get("width") or max_w

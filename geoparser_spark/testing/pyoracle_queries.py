@@ -1278,8 +1278,7 @@ def gif_frames_sql(modulus: int = 25, dim: int = 16,
                             "decode_ok", "f0", "f2", "f10", "f15"])
 
 
-def audio_features_sql(modulus: int = 25, offset: int = 5,
-                       dim: int = 8) -> str:
+def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
     """Replica of the audio-features driver query: doc_id % modulus ==
     offset docs become PCM WAVs with n = i%977 + 100 frames,
     channels = 1 + i%2, rate = 8000 + (i%5)*8000, bit depth rotating

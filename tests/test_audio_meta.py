@@ -5,6 +5,9 @@ contract, extract-dispatch integration.  Pure Python — no Spark session.
 import base64
 import struct
 
+import numpy as np
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -134,3 +137,64 @@ def test_audio_params_roundtrip(sr, ch, n, fmt):
         got = parse_flac(raw)
         assert got[:2] == (sr, ch)
         assert got[3] == n * 1000 // sr
+
+
+# ------------------------------------------------- PCM sample decode
+
+def test_wav_pcm_roundtrips_all_depths():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_pcm,
+    )
+
+    rng = np.random.default_rng(37)
+    s = rng.integers(-32768, 32768, size=(257, 2)).astype(np.int64)
+    for bits in (16, 24, 32):
+        sr, got = decode_wav_pcm(make_wav_pcm(s, 44100, bits))
+        assert sr == 44100
+        assert np.array_equal(got, s)
+    s8 = (s // 256) * 256
+    _, got8 = decode_wav_pcm(make_wav_pcm(s8, 8000, 8))
+    assert np.array_equal(got8, s8)
+
+
+def test_wav_pcm_degrade_contract():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_pcm,
+    )
+
+    blob = bytearray(make_wav_pcm(np.zeros((4, 1), dtype=np.int64), 8000))
+    blob[20:22] = struct.pack("<H", 3)       # IEEE float fmt tag
+    with pytest.raises(NotImplementedError, match="format tag 3"):
+        decode_wav_pcm(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVE")   # no fmt/data
+    good = make_wav_pcm(np.zeros((64, 1), dtype=np.int64), 8000)
+    with pytest.raises(ValueError):
+        decode_wav_pcm(good[: len(good) // 2])        # chunk overrun
+
+
+def test_extract_audio_features_operator(spark):
+    import pandas as pd
+
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_pcm,
+        pcm_features,
+    )
+    from geoparser_spark.operators.multimodal import extract_audio_features
+
+    rng = np.random.default_rng(41)
+    s = rng.integers(-32768, 32768, size=(500, 2)).astype(np.int64)
+    good = make_wav_pcm(s, 16000, 16)
+    sr, frames = decode_wav_pcm(good)
+    expected = pcm_features(sr, frames, 8)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"media_ref": ["good", "bad"],
+         "media_bytes": [good, good[:30]]}))
+    rows = {r.media_ref: r for r in extract_audio_features(df).collect()}
+    assert rows["good"].decode_ok
+    got = [float(x) for x in rows["good"].feature]
+    assert got == pytest.approx([np.float32(v) for v in expected])
+    assert not rows["bad"].decode_ok
