@@ -1167,6 +1167,50 @@ def _mm_audio_features(spark, sf_dir):
     )
 
 
+def _mm_video_samples(spark, sf_dir):
+    """MP4 sample-table frame-fetch plan, REAL end-to-end: each
+    selected doc becomes an MP4 with an mdat-FIRST layout and a full
+    sample table (per-sample sizes, single-run stts, one chunk, stss
+    marking every 2nd sample sync), and plan_video_samples decodes the
+    stbl boxes back into byte ranges in the production Arrow kernel.
+    The mdat-first layout makes sample k's offset exactly
+    len(ftyp) + 8 + sum(sizes[:k]) = 28 + prefix-sum — pure doc_id
+    arithmetic the pyoracle replica replays without touching the MP4
+    layer (testing/pyoracle_queries.video_samples_sql); multi-chunk
+    stsc walking and degrade paths are pinned by pytest."""
+    from geoparser_spark.operators.multimodal import plan_video_samples
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 10
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def wrap(batches):
+        import pandas as pd
+
+        from geoparser_spark.operators.video_meta import (
+            make_mini_mp4_samples,
+        )
+
+        for pdf in batches:
+            refs, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = i % 9 + 2
+                sizes = [(i * 3 + k * 17) % 900 + 40 for k in range(n)]
+                delta = (i % 4 + 1) * 100
+                refs.append(f"vid://{i}")
+                blobs.append(make_mini_mp4_samples(
+                    sizes, delta_units=delta, timescale=1000,
+                    sync_every=2))
+            yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
+
+    media = docs.mapInPandas(
+        wrap, schema="media_ref string, media_bytes binary")
+    return plan_video_samples(media).select(
+        "media_ref", "sample_idx", "dts_ms", "byte_offset",
+        "byte_size", "is_sync", "decode_ok")
+
+
 def _mm_image_meta(spark, sf_dir):
     """Multimodal metadata decode, REAL end-to-end (no stub anywhere):
     each documents row becomes an actual PNG/JPEG/GIF byte stream
@@ -3529,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_parts": _tpch_q11,
         "multimodal_gif_frames": _mm_gif_frames,
         "multimodal_audio_features": _mm_audio_features,
+        "multimodal_video_samples": _mm_video_samples,
     }
 
 
@@ -4143,6 +4188,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "multimodal_audio_features": PQ.audio_features_sql(
                 modulus=25, offset=5
+            ),
+            "multimodal_video_samples": PQ.video_samples_sql(
+                modulus=25, offset=10
             ),
             "ann_ivf_topk": PQ.ivf_topk_sql(
                 _QUERY_VEC, n_lists=8, sample=512, k=10, nprobe=2

@@ -266,6 +266,60 @@ def extract_audio_features(media: DataFrame, dim: int = 8,
         kernel, schema=FEATURE_SCHEMA)
 
 
+PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("dts_ms", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("byte_size", T.IntegerType()),
+        T.StructField("is_sync", T.BooleanType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def plan_video_samples(media: DataFrame, sync_only: bool = False,
+                       bytes_col: str = "media_bytes",
+                       ref_col: str = "media_ref") -> DataFrame:
+    """media(media_ref, media_bytes) → one row per video sample
+    (media_ref, sample_idx, dts_ms, byte_offset, byte_size, is_sync,
+    decode_ok) — the frame-FETCH plan a distributed video pipeline
+    computes before any codec: video_meta.parse_sample_table decodes
+    the MP4 stbl boxes (stsz/stts/stsc/stco/co64/stss) into byte
+    ranges + timestamps + sync flags, so a downstream stage can
+    ranged-read exactly the keyframes it wants (``sync_only=True``)
+    from object storage without touching the rest of a multi-GB file.
+    The sample DECODE stays the documented codec seam; non-MP4 or
+    damaged payloads degrade to one stub row with decode_ok=False."""
+    from geoparser_spark.operators import video_meta
+
+    def one(ref, b):
+        payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+        if payload[4:8] == b"ftyp":
+            try:
+                plan = video_meta.parse_sample_table(payload)
+                return [(ref, k, dts, off, sz, sync, True)
+                        for k, dts, off, sz, sync in plan
+                        if sync or not sync_only]
+            except _DEGRADE_ERRORS:
+                pass
+        return [(ref, 0, 0, 0, 0, False, False)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf[ref_col], pdf[bytes_col]):
+                rows.extend(one(ref, b))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "sample_idx", "dts_ms",
+                               "byte_offset", "byte_size", "is_sync",
+                               "decode_ok"])
+
+    return media.select(ref_col, bytes_col).mapInPandas(
+        kernel, schema=PLAN_SCHEMA)
+
+
 def extract_media_meta(media: DataFrame,
                        bytes_col: str = "media_bytes",
                        ref_col: str = "media_ref") -> DataFrame:

@@ -223,3 +223,224 @@ def make_mini_mp4(width: int = 0, height: int = 0,
         meta = _box(b"meta", b"\x00\x00\x00\x00" + _box(b"ilst", items))
         children += _box(b"udta", meta)
     return ftyp + _box(b"moov", children)
+
+
+# ------------------------------------------------------- sample tables
+# The metadata walk above needs no codec; the SAMPLE TABLE decodes with
+# pure struct — the real frame-FETCH plan (byte range + timestamp +
+# sync flag per sample) a distributed video pipeline computes before
+# any codec touches bytes.  The H.264/VP9 frame decode itself stays
+# the documented seam.
+
+_MAX_TABLE = 1_000_000   # bomb guard: entries per sample-table box
+
+
+def _full_box_u32s(raw: bytes, s: int, e: int, skip: int = 4):
+    """FULL box body -> (count, entries_start) with bounds checks."""
+    if e - s < skip + 4:
+        raise ValueError("sample-table box truncated")
+    (count,) = struct.unpack(">I", raw[s + skip:s + skip + 4])
+    if count > _MAX_TABLE:
+        raise ValueError("sample-table entry count out of range")
+    return count, s + skip + 4
+
+
+def _mdhd_timescale(raw: bytes, s: int, e: int) -> int | None:
+    if e - s < 4:
+        return None
+    version = raw[s]
+    if version == 0 and e - s >= 16:
+        (ts,) = struct.unpack(">I", raw[s + 12:s + 16])
+    elif version == 1 and e - s >= 24:
+        (ts,) = struct.unpack(">I", raw[s + 20:s + 24])
+    else:
+        return None
+    return ts or None
+
+
+def parse_sample_table(raw: bytes):
+    """MP4 bytes -> first VIDEO track's per-sample fetch plan:
+    [(sample_idx, dts_ms, byte_offset, byte_size, is_sync), ...] from
+    the stbl boxes — stsz sizes (fixed or per-sample), stts decoding
+    timestamps (run-length deltas at the mdhd timescale), stsc
+    sample-to-chunk runs, stco/co64 chunk offsets, stss sync samples
+    (absent table = every sample is sync, per ISO 14496-12).
+    Raises ValueError on missing/inconsistent tables (degrade
+    contract) — the tables describe byte ranges in the SAME stream, so
+    a plan row can be fetched with a ranged read and no codec."""
+    moov = _find(raw, 0, len(raw), b"moov")
+    if not moov:
+        raise ValueError("no moov box")
+    for t, s, e in _boxes(raw, moov[0], moov[1]):
+        if t != b"trak" or not _track_is_video(raw, s, e):
+            continue
+        mdia = _find(raw, s, e, b"mdia")
+        if not mdia:
+            raise ValueError("video trak missing mdia")
+        mdhd = _find(raw, mdia[0], mdia[1], b"mdhd")
+        timescale = _mdhd_timescale(raw, *mdhd) if mdhd else None
+        if not timescale:
+            raise ValueError("missing/invalid mdhd timescale")
+        minf = _find(raw, mdia[0], mdia[1], b"minf")
+        stbl = _find(raw, minf[0], minf[1], b"stbl") if minf else None
+        if not stbl:
+            raise ValueError("video trak missing stbl")
+        return _decode_stbl(raw, stbl[0], stbl[1], timescale)
+    raise ValueError("no video track")
+
+
+def _decode_stbl(raw: bytes, s: int, e: int, timescale: int):
+    stsz = _find(raw, s, e, b"stsz")
+    stts = _find(raw, s, e, b"stts")
+    stsc = _find(raw, s, e, b"stsc")
+    stco = _find(raw, s, e, b"stco")
+    co64 = _find(raw, s, e, b"co64")
+    if not (stsz and stts and stsc and (stco or co64)):
+        raise ValueError("stbl missing a required sample table")
+
+    # stsz: version/flags(4) sample_size(4) count(4) [sizes...]
+    if stsz[1] - stsz[0] < 12:
+        raise ValueError("stsz truncated")
+    (fixed_size,) = struct.unpack(">I", raw[stsz[0] + 4:stsz[0] + 8])
+    (n_samples,) = struct.unpack(">I", raw[stsz[0] + 8:stsz[0] + 12])
+    if n_samples > _MAX_TABLE:
+        raise ValueError("sample count out of range")
+    if fixed_size:
+        sizes = [fixed_size] * n_samples
+    else:
+        if stsz[1] - (stsz[0] + 12) < 4 * n_samples:
+            raise ValueError("stsz size table truncated")
+        sizes = list(struct.unpack(
+            f">{n_samples}I", raw[stsz[0] + 12:stsz[0] + 12 + 4 * n_samples]))
+
+    # stts: run-length (count, delta) pairs -> per-sample dts
+    cnt, p = _full_box_u32s(raw, *stts)
+    if stts[1] - p < 8 * cnt:
+        raise ValueError("stts truncated")
+    dts_units: list[int] = []
+    t_acc = 0
+    for k in range(cnt):
+        n_run, delta = struct.unpack(">II", raw[p + 8 * k:p + 8 * k + 8])
+        if len(dts_units) + n_run > n_samples:
+            n_run = n_samples - len(dts_units)
+        for _ in range(n_run):
+            dts_units.append(t_acc)
+            t_acc += delta
+    if len(dts_units) < n_samples:
+        raise ValueError("stts covers fewer samples than stsz")
+
+    # stsc: (first_chunk, samples_per_chunk, desc) runs
+    cnt, p = _full_box_u32s(raw, *stsc)
+    if stsc[1] - p < 12 * cnt:
+        raise ValueError("stsc truncated")
+    stsc_runs = [struct.unpack(">III", raw[p + 12 * k:p + 12 * k + 12])
+                 for k in range(cnt)]
+    if not stsc_runs or stsc_runs[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+
+    # stco/co64: chunk offsets
+    if stco:
+        cnt, p = _full_box_u32s(raw, *stco)
+        if stco[1] - p < 4 * cnt:
+            raise ValueError("stco truncated")
+        chunk_offs = list(struct.unpack(f">{cnt}I", raw[p:p + 4 * cnt]))
+    else:
+        cnt, p = _full_box_u32s(raw, *co64)
+        if co64[1] - p < 8 * cnt:
+            raise ValueError("co64 truncated")
+        chunk_offs = list(struct.unpack(f">{cnt}Q", raw[p:p + 8 * cnt]))
+
+    # stss: 1-based sync sample numbers; absent -> all sync
+    stss = _find(raw, s, e, b"stss")
+    if stss:
+        cnt, p = _full_box_u32s(raw, *stss)
+        if stss[1] - p < 4 * cnt:
+            raise ValueError("stss truncated")
+        sync = set(struct.unpack(f">{cnt}I", raw[p:p + 4 * cnt]))
+    else:
+        sync = None
+
+    # walk chunks: stsc run applies until the next run's first_chunk
+    out = []
+    k = 0
+    run_idx = 0
+    for ci, coff in enumerate(chunk_offs, start=1):
+        while (run_idx + 1 < len(stsc_runs)
+               and stsc_runs[run_idx + 1][0] <= ci):
+            run_idx += 1
+        spc = stsc_runs[run_idx][1]
+        off = coff
+        for _ in range(spc):
+            if k >= n_samples:
+                break
+            out.append((k, dts_units[k] * 1000 // timescale, off,
+                        sizes[k], sync is None or (k + 1) in sync))
+            off += sizes[k]
+            k += 1
+    if k < n_samples:
+        raise ValueError("chunk tables cover fewer samples than stsz")
+    return out
+
+
+def make_mini_mp4_samples(sizes: list[int], delta_units: int = 100,
+                          timescale: int = 1000,
+                          chunk_lens: list[int] | None = None,
+                          sync_every: int | None = None,
+                          width: int = 16, height: int = 16) -> bytes:
+    """Deterministic MP4 WITH a sample table and a real mdat:
+    mdat-FIRST layout (legal per ISO 14496-12), so sample k's byte
+    offset is exactly len(ftyp) + 8 + sum(sizes[:k]) — trivially
+    replicable arithmetic for value oracles.  Payload byte j of sample
+    k is (k * 31 + j) % 256.  ``chunk_lens`` splits samples into
+    chunks (default: one chunk); ``sync_every`` marks samples 1,
+    1+n, ... as sync via stss (default: no stss = all sync)."""
+    n = len(sizes)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    payload = b"".join(
+        bytes((k * 31 + j) % 256 for j in range(sz))
+        for k, sz in enumerate(sizes))
+    mdat = _box(b"mdat", payload)
+    data_start = len(ftyp) + 8
+
+    chunk_lens = chunk_lens or [n]
+    if sum(chunk_lens) != n:
+        raise ValueError("chunk_lens must cover every sample")
+    chunk_offs = []
+    k = 0
+    for cl in chunk_lens:
+        chunk_offs.append(data_start + sum(sizes[:k]))
+        k += cl
+
+    full = b"\x00\x00\x00\x00"
+    stsz = _box(b"stsz", full + struct.pack(">II", 0, n)
+                + struct.pack(f">{n}I", *sizes))
+    stts = _box(b"stts", full + struct.pack(">III", 1, n, delta_units))
+    # one stsc run per distinct samples-per-chunk prefix
+    runs = []
+    for ci, cl in enumerate(chunk_lens, start=1):
+        if not runs or runs[-1][1] != cl:
+            runs.append((ci, cl))
+    stsc = _box(b"stsc", full + struct.pack(">I", len(runs))
+                + b"".join(struct.pack(">III", fc, cl, 1)
+                           for fc, cl in runs))
+    stco = _box(b"stco", full + struct.pack(">I", len(chunk_offs))
+                + struct.pack(f">{len(chunk_offs)}I", *chunk_offs))
+    boxes = stsz + stts + stsc + stco
+    if sync_every:
+        syncs = list(range(1, n + 1, sync_every))
+        boxes += _box(b"stss", full + struct.pack(">I", len(syncs))
+                      + struct.pack(f">{len(syncs)}I", *syncs))
+    stbl = _box(b"stbl", boxes)
+    mdhd = _box(b"mdhd", full + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, n * delta_units)
+                + b"\x00" * 4)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+                + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", full + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, n * delta_units)
+                + b"\x00" * 80)
+    return ftyp + mdat + _box(b"moov", mvhd + trak)

@@ -1324,3 +1324,31 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
         ))
     return values_sql(out, ["media_ref", "decode_ok", "f0", "f3", "f4",
                             "f5", "f6"])
+
+
+def video_samples_sql(modulus: int = 25, offset: int = 10) -> str:
+    """Replica of the video-samples driver query: doc_id % modulus ==
+    offset docs become mdat-first MP4s with n = i%9 + 2 samples of
+    size (i*3 + k*17) % 900 + 40, stts delta (i%4 + 1)*100 at
+    timescale 1000, one chunk, stss sync every 2nd sample — so sample
+    k's plan row is pure arithmetic: dts_ms = k*delta, byte_offset =
+    28 + sum(sizes[:k]) (20-byte ftyp + 8-byte mdat header), is_sync =
+    (k % 2 == 0).  The Spark side builds the real boxes and decodes
+    them back through parse_sample_table; the replica never touches
+    the MP4 layer."""
+    rows = read_table("documents", "doc_id",
+                      f"doc_id % {modulus} = {offset}")
+    out = []
+    for (i,) in rows:
+        i = int(i)
+        n = i % 9 + 2
+        sizes = [(i * 3 + k * 17) % 900 + 40 for k in range(n)]
+        delta = (i % 4 + 1) * 100
+        off = 28
+        for k in range(n):
+            out.append((f"vid://{i}", k, k * delta, off, sizes[k],
+                        k % 2 == 0, True))
+            off += sizes[k]
+    return values_sql(out, ["media_ref", "sample_idx", "dts_ms",
+                            "byte_offset", "byte_size", "is_sync",
+                            "decode_ok"])

@@ -57,3 +57,84 @@ def test_video_kind_through_spark_extract(spark):
     assert (got[0].kind, got[0].media_ref) == (
         "video", "vid://isom/320x240/2500ms")
     assert (got[1].kind, got[1].text) == ("text", "hello video")
+
+
+# ------------------------------------------------- sample-table plan
+
+import numpy as _np  # noqa: F401  (parity with sibling media tests)
+import pytest as _pytest
+
+
+def test_sample_table_plan_byte_exact_multichunk():
+    """stsz/stts/stsc/stco/stss decode to byte ranges that really
+    address the mdat payload — multi-chunk stsc walk included."""
+    from geoparser_spark.operators.video_meta import (
+        make_mini_mp4_samples,
+        parse_sample_table,
+    )
+
+    sizes = [40, 55, 70, 33, 90, 41, 62]
+    blob = make_mini_mp4_samples(sizes, delta_units=40,
+                                 chunk_lens=[3, 2, 2], sync_every=3)
+    plan = parse_sample_table(blob)
+    assert len(plan) == len(sizes)
+    off = 28
+    for k, (idx, dts, o, sz, sync) in enumerate(plan):
+        assert (idx, dts, sz) == (k, k * 40, sizes[k])
+        assert o == off
+        assert sync == (k % 3 == 0)
+        assert blob[o] == (k * 31) % 256      # ranged read lands right
+        assert blob[o + sz - 1] == (k * 31 + sz - 1) % 256
+        off += sizes[k]
+
+
+def test_sample_table_no_stss_means_all_sync():
+    from geoparser_spark.operators.video_meta import (
+        make_mini_mp4_samples,
+        parse_sample_table,
+    )
+
+    plan = parse_sample_table(make_mini_mp4_samples([10, 20, 30]))
+    assert all(sync for *_, sync in plan)
+
+
+def test_sample_table_degrade_contract():
+    from geoparser_spark.operators.video_meta import (
+        make_mini_mp4,
+        make_mini_mp4_samples,
+        parse_sample_table,
+    )
+
+    # metadata-only MP4 (no stbl) is a clean ValueError, not a crash
+    with _pytest.raises(ValueError):
+        parse_sample_table(make_mini_mp4(width=16, height=16,
+                                         duration_ms=1000))
+    blob = make_mini_mp4_samples([10, 20, 30])
+    with _pytest.raises(ValueError):
+        parse_sample_table(blob[: len(blob) - 30])   # truncated stbl
+
+
+def test_plan_video_samples_operator(spark):
+    import pandas as pd
+
+    from geoparser_spark.operators.multimodal import plan_video_samples
+    from geoparser_spark.operators.video_meta import make_mini_mp4_samples
+
+    sizes = [50, 60, 70, 80]
+    good = make_mini_mp4_samples(sizes, delta_units=100, sync_every=2)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"media_ref": ["good", "junk"],
+         "media_bytes": [good, b"\x00" * 40]}))
+    rows = plan_video_samples(df).collect()
+    by = {(r.media_ref, r.sample_idx): r for r in rows}
+    off = 28
+    for k, sz in enumerate(sizes):
+        r = by[("good", k)]
+        assert (r.byte_offset, r.byte_size, r.dts_ms) == (off, sz, k * 100)
+        assert r.is_sync == (k % 2 == 0) and r.decode_ok
+        off += sz
+    assert by[("junk", 0)].decode_ok is False
+    # keyframe-only plan
+    syncs = plan_video_samples(df, sync_only=True).collect()
+    assert {(r.media_ref, r.sample_idx) for r in syncs
+            if r.media_ref == "good"} == {("good", 0), ("good", 2)}
