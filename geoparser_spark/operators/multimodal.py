@@ -291,17 +291,26 @@ def plan_video_samples(media: DataFrame, sync_only: bool = False,
     ranged-read exactly the keyframes it wants (``sync_only=True``)
     from object storage without touching the rest of a multi-GB file.
     The sample DECODE stays the documented codec seam; non-MP4 or
-    damaged payloads degrade to one stub row with decode_ok=False."""
+    damaged payloads degrade to one stub row with decode_ok=False,
+    and a VALID table that yields zero rows (no samples, or no
+    keyframes under ``sync_only``) emits one sample_idx=-1 row with
+    decode_ok=True so row accounting against the input never loses a
+    media_ref."""
     from geoparser_spark.operators import video_meta
 
     def one(ref, b):
         payload = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
-        if payload[4:8] == b"ftyp":
+        # same MP4 sniff as parse_mp4: ftyp found by the box walk, not
+        # required to be the literal first box
+        if (len(payload) >= 8
+                and video_meta._find(payload, 0, len(payload),
+                                     b"ftyp") is not None):
             try:
                 plan = video_meta.parse_sample_table(payload)
-                return [(ref, k, dts, off, sz, sync, True)
+                rows = [(ref, k, dts, off, sz, sync, True)
                         for k, dts, off, sz, sync in plan
                         if sync or not sync_only]
+                return rows or [(ref, -1, 0, 0, 0, False, True)]
             except _DEGRADE_ERRORS:
                 pass
         return [(ref, 0, 0, 0, 0, False, False)]

@@ -191,29 +191,41 @@ def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
 
 
+def _ftyp_box(brand: str = "isom") -> bytes:
+    return _box(b"ftyp", brand.encode("ascii") + b"\x00\x00\x02\x00"
+                + brand.encode("ascii"))
+
+
+def _mvhd_box(timescale: int, duration: int) -> bytes:
+    return _box(b"mvhd", b"\x00\x00\x00\x00"          # version/flags
+                + struct.pack(">II", 0, 0)             # created/modified
+                + struct.pack(">II", timescale, duration)
+                + b"\x00" * 80)                        # rate..next_track
+
+
+def _tkhd_box(width: int, height: int) -> bytes:
+    # v0 body: version/flags(4) + 72 bytes of fields+matrix, then
+    # width/height as 16.16 fixed point (spec offsets, see parser)
+    return _box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+                + struct.pack(">II", width << 16, height << 16))
+
+
+def _hdlr_vide_box() -> bytes:
+    return _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+
+
 def make_mini_mp4(width: int = 0, height: int = 0,
                   duration_ms: int = 0, timescale: int = 1000,
                   brand: str = "isom", titles: list[str] = ()) -> bytes:
     """Deterministic minimal MP4: ftyp + moov(mvhd [+ video trak]
     [+ udta/meta/ilst tags]).  No mdat — metadata-only, which is all
     the parser (and Tika's metadata surface) reads."""
-    ftyp = _box(b"ftyp", brand.encode("ascii") + b"\x00\x00\x02\x00"
-                + brand.encode("ascii"))
-    duration = duration_ms * timescale // 1000
-    mvhd = _box(b"mvhd", b"\x00\x00\x00\x00"           # version/flags
-                + struct.pack(">II", 0, 0)              # created/modified
-                + struct.pack(">II", timescale, duration)
-                + b"\x00" * 80)                         # rate..next_track
+    ftyp = _ftyp_box(brand)
+    mvhd = _mvhd_box(timescale, duration_ms * timescale // 1000)
     children = mvhd
     if width or height:
-        # v0 body: version/flags(4) + 72 bytes of fields+matrix, then
-        # width/height as 16.16 fixed point (spec offsets, see parser)
-        tkhd = _box(b"tkhd", b"\x00\x00\x00\x07"
-                    + b"\x00" * 72
-                    + struct.pack(">II", width << 16, height << 16))
-        hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
-        mdia = _box(b"mdia", hdlr)
-        children += _box(b"trak", tkhd + mdia)
+        mdia = _box(b"mdia", _hdlr_vide_box())
+        children += _box(b"trak", _tkhd_box(width, height) + mdia)
     if titles:
         items = b"".join(
             _box(b"\xa9nam", _box(b"data", b"\x00\x00\x00\x01"
@@ -274,9 +286,8 @@ def parse_sample_table(raw: bytes):
     for t, s, e in _boxes(raw, moov[0], moov[1]):
         if t != b"trak" or not _track_is_video(raw, s, e):
             continue
+        # _track_is_video found mdia+hdlr, so mdia is always present
         mdia = _find(raw, s, e, b"mdia")
-        if not mdia:
-            raise ValueError("video trak missing mdia")
         mdhd = _find(raw, mdia[0], mdia[1], b"mdhd")
         timescale = _mdhd_timescale(raw, *mdhd) if mdhd else None
         if not timescale:
@@ -285,11 +296,12 @@ def parse_sample_table(raw: bytes):
         stbl = _find(raw, minf[0], minf[1], b"stbl") if minf else None
         if not stbl:
             raise ValueError("video trak missing stbl")
-        return _decode_stbl(raw, stbl[0], stbl[1], timescale)
+        return _decode_stbl(raw, stbl[0], stbl[1], timescale, len(raw))
     raise ValueError("no video track")
 
 
-def _decode_stbl(raw: bytes, s: int, e: int, timescale: int):
+def _decode_stbl(raw: bytes, s: int, e: int, timescale: int,
+                 stream_len: int):
     stsz = _find(raw, s, e, b"stsz")
     stts = _find(raw, s, e, b"stts")
     stsc = _find(raw, s, e, b"stsc")
@@ -313,7 +325,9 @@ def _decode_stbl(raw: bytes, s: int, e: int, timescale: int):
         sizes = list(struct.unpack(
             f">{n_samples}I", raw[stsz[0] + 12:stsz[0] + 12 + 4 * n_samples]))
 
-    # stts: run-length (count, delta) pairs -> per-sample dts
+    # stts: run-length (count, delta) pairs -> per-sample dts; the
+    # run total must equal the stsz sample count exactly (14496-12) —
+    # over- OR under-coverage is an inconsistent table, not a clamp
     cnt, p = _full_box_u32s(raw, *stts)
     if stts[1] - p < 8 * cnt:
         raise ValueError("stts truncated")
@@ -322,7 +336,7 @@ def _decode_stbl(raw: bytes, s: int, e: int, timescale: int):
     for k in range(cnt):
         n_run, delta = struct.unpack(">II", raw[p + 8 * k:p + 8 * k + 8])
         if len(dts_units) + n_run > n_samples:
-            n_run = n_samples - len(dts_units)
+            raise ValueError("stts covers more samples than stsz")
         for _ in range(n_run):
             dts_units.append(t_acc)
             t_acc += delta
@@ -373,6 +387,12 @@ def _decode_stbl(raw: bytes, s: int, e: int, timescale: int):
         for _ in range(spc):
             if k >= n_samples:
                 break
+            # the tables must describe byte ranges INSIDE this stream —
+            # a range past EOF (corrupt stsz/stco, or u32/u64 values
+            # that would wrap the signed plan columns) degrades instead
+            # of emitting a poisoned fetch plan
+            if off + sizes[k] > stream_len:
+                raise ValueError("sample byte range past end of stream")
             out.append((k, dts_units[k] * 1000 // timescale, off,
                         sizes[k], sync is None or (k + 1) in sync))
             off += sizes[k]
@@ -395,7 +415,7 @@ def make_mini_mp4_samples(sizes: list[int], delta_units: int = 100,
     chunks (default: one chunk); ``sync_every`` marks samples 1,
     1+n, ... as sync via stss (default: no stss = all sync)."""
     n = len(sizes)
-    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    ftyp = _ftyp_box()
     payload = b"".join(
         bytes((k * 31 + j) % 256 for j in range(sz))
         for k, sz in enumerate(sizes))
@@ -434,13 +454,8 @@ def make_mini_mp4_samples(sizes: list[int], delta_units: int = 100,
     mdhd = _box(b"mdhd", full + struct.pack(">II", 0, 0)
                 + struct.pack(">II", timescale, n * delta_units)
                 + b"\x00" * 4)
-    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
     minf = _box(b"minf", stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
-                + struct.pack(">II", width << 16, height << 16))
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _box(b"mvhd", full + struct.pack(">II", 0, 0)
-                + struct.pack(">II", timescale, n * delta_units)
-                + b"\x00" * 80)
+    mdia = _box(b"mdia", mdhd + _hdlr_vide_box() + minf)
+    trak = _box(b"trak", _tkhd_box(width, height) + mdia)
+    mvhd = _mvhd_box(timescale, n * delta_units)
     return ftyp + mdat + _box(b"moov", mvhd + trak)

@@ -138,3 +138,48 @@ def test_plan_video_samples_operator(spark):
     syncs = plan_video_samples(df, sync_only=True).collect()
     assert {(r.media_ref, r.sample_idx) for r in syncs
             if r.media_ref == "good"} == {("good", 0), ("good", 2)}
+
+
+def test_sample_table_rejects_out_of_stream_ranges_and_bad_stts():
+    """Corrupt tables degrade instead of emitting a poisoned fetch
+    plan: a byte range past EOF and an stts over-covering stsz both
+    raise ValueError."""
+    import struct as st_
+
+    from geoparser_spark.operators.video_meta import (
+        make_mini_mp4_samples,
+        parse_sample_table,
+    )
+
+    blob = bytearray(make_mini_mp4_samples([10, 20, 30]))
+    i = bytes(blob).index(b"stsz")
+    # first per-sample size (after version/flags + sample_size + count)
+    blob[i + 16:i + 20] = st_.pack(">I", 2 ** 31 + 5)
+    with _pytest.raises(ValueError, match="past end of stream"):
+        parse_sample_table(bytes(blob))
+    blob2 = bytearray(make_mini_mp4_samples([10, 20, 30]))
+    j = bytes(blob2).index(b"stts")
+    # body: version/flags(4) entry_count(4) then (n_run, delta) — patch
+    # the run LENGTH to over-cover the 3-sample stsz
+    blob2[j + 12:j + 16] = st_.pack(">I", 99)
+    with _pytest.raises(ValueError, match="more samples"):
+        parse_sample_table(bytes(blob2))
+
+
+def test_plan_operator_empty_plan_keeps_media_ref(spark):
+    """A valid table with zero rows after filtering still yields one
+    accounting row (sample_idx=-1, decode_ok=True)."""
+    import pandas as pd
+
+    from geoparser_spark.operators.multimodal import plan_video_samples
+    from geoparser_spark.operators.video_meta import make_mini_mp4_samples
+
+    # stss marks only sample 1 sync; sync_only over a 1-sample stream
+    # whose single sample IS sync -> row; empty case: zero samples
+    empty = make_mini_mp4_samples([])
+    df = spark.createDataFrame(pd.DataFrame(
+        {"media_ref": ["empty"], "media_bytes": [empty]}))
+    rows = plan_video_samples(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.sample_idx, r.decode_ok) == (-1, True)
