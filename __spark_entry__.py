@@ -3474,12 +3474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty_revenue": _tpch_q17,
         "tpch_q21_waiting_suppliers": _tpch_q21,
         "q9_tile_extents": _tile_extents,
-        "q10_extent_agg": _q10_extent,
+        "multimodal_gif_frames": _mm_gif_frames,
         "q11_viewport_tiles": _viewport_tiles,
         "q13_radius_search": _q13_radius_search,
         "q14_nearest_place": _q14_nearest_place,
         "q15_bm25_search": _q15_bm25_search,
-        "events_windowed_agg": _events_windowed_agg,
+        "multimodal_audio_features": _mm_audio_features,
         "events_sessionize": _events_sessionize,
         "events_asof_state": _events_asof_state,
         "events_interval_join": _events_interval_join,
@@ -3489,7 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_join": _events_salted_join,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
-        "multimodal_frame_plan": _mm_frame_plan,
+        "multimodal_video_samples": _mm_video_samples,
         "multimodal_media_features": _mm_media_features,
         "multimodal_image_meta": _mm_image_meta,
         "multimodal_image_gps": _mm_image_gps,
@@ -3571,9 +3571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_part_promotion": _tpch_q20,
         "tpch_q2_min_cost_supplier": _tpch_q2,
         "tpch_q11_important_parts": _tpch_q11,
-        "multimodal_gif_frames": _mm_gif_frames,
-        "multimodal_audio_features": _mm_audio_features,
-        "multimodal_video_samples": _mm_video_samples,
+        "q10_extent_agg": _q10_extent,
+        "events_windowed_agg": _events_windowed_agg,
+        "multimodal_frame_plan": _mm_frame_plan,
     }
 
 
