@@ -1113,16 +1113,19 @@ def _mm_gif_frames(spark, sf_dir):
 
 
 def _mm_audio_features(spark, sf_dir):
-    """PCM audio feature extraction, REAL end-to-end: each selected
-    doc becomes a PCM WAV with a deterministic sample pattern at a
-    doc_id-rotating bit depth (8/16/24/32 — the pattern is quantized
-    to the 8-bit grid when needed so the encode→decode round-trip is
-    bit-exact), and extract_audio_features decodes the samples back
-    in the production Arrow kernel → integer-exact signal statistics.
-    The pyoracle replica recomputes everything from the PATTERN
-    (testing/pyoracle_queries.audio_features_sql) — it never touches
-    the WAV layer, so any fmt-walk/sample-decode/statistic defect
-    breaks value equality."""
+    """Audio feature extraction, REAL end-to-end: each selected doc
+    becomes a WAV with a deterministic sample pattern at a
+    doc_id-rotating FORMAT — integer PCM 8/16/24/32 (the pattern is
+    quantized to the 8-bit grid when needed so the encode→decode
+    round-trip is bit-exact), IEEE float32/float64 (s/32768.0 is exact
+    both ways), WAVE_FORMAT_EXTENSIBLE-wrapped PCM, and IMA ADPCM
+    (lossy: the oracle replays the encoder+decoder quantizer state
+    machine scalar-for-scalar) — and extract_audio_features decodes
+    the samples back in the production Arrow kernel → integer-exact
+    signal statistics.  The pyoracle replica recomputes everything
+    from the PATTERN (testing/pyoracle_queries.audio_features_sql) —
+    it never touches the WAV layer, so any fmt-walk/sample-decode/
+    statistic defect breaks value equality."""
     from geoparser_spark.operators.multimodal import extract_audio_features
 
     docs = _t(spark, sf_dir, "documents").where(
@@ -1133,7 +1136,11 @@ def _mm_audio_features(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
-        from geoparser_spark.operators.audio_meta import make_wav_pcm
+        from geoparser_spark.operators.audio_meta import (
+            make_wav_adpcm,
+            make_wav_float,
+            make_wav_pcm,
+        )
 
         for pdf in batches:
             refs, blobs = [], []
@@ -1142,16 +1149,27 @@ def _mm_audio_features(spark, sf_dir):
                 n = i % 977 + 100
                 channels = 1 + i % 2
                 rate = 8000 + (i % 5) * 8000
-                bits = (8, 16, 24, 32)[(i // 25) % 4]
+                variant = (8, 16, 24, 32,
+                           "f32", "f64", "x16", "ima")[(i // 25) % 8]
                 k = np.arange(n, dtype=np.int64)
                 s = np.stack([
                     ((i * 7 + k * 13 + ch * 5) % 65536) - 32768
                     for ch in range(channels)
                 ], axis=1)
-                if bits == 8:
+                if variant == 8:
                     s = (s // 256) * 256   # quantize: round-trip exact
+                if variant == "f32":
+                    blob = make_wav_float(s, rate, 32)
+                elif variant == "f64":
+                    blob = make_wav_float(s, rate, 64)
+                elif variant == "x16":
+                    blob = make_wav_pcm(s, rate, 16, extensible=True)
+                elif variant == "ima":
+                    blob = make_wav_adpcm(s, rate)
+                else:
+                    blob = make_wav_pcm(s, rate, variant)
                 refs.append(f"aud://{i}")
-                blobs.append(make_wav_pcm(s, rate, bits))
+                blobs.append(blob)
             yield pd.DataFrame({"media_ref": refs, "media_bytes": blobs})
 
     media = docs.mapInPandas(

@@ -256,52 +256,201 @@ def make_mini_flac(sample_rate: int = 8000, channels: int = 1,
     return out
 
 
-# ----------------------------------------------------------- PCM decode
-# The metadata walk above needs no codec; PCM WAV *samples* decode with
-# pure numpy — the REAL audio-sample path (the lossy-codec/ASR stack
-# stays the documented seam, transcribe_audio above).
+# --------------------------------------------------------- sample decode
+# The metadata walk above needs no codec; WAV *samples* decode with
+# pure numpy for integer PCM, IEEE-float PCM, WAVE_FORMAT_EXTENSIBLE
+# wrappers of either, and IMA ADPCM (all deterministic integer / exact
+# IEEE arithmetic).  The lossy-codec/ASR stack stays the documented
+# seam (transcribe_audio above; MS-ADPCM/MP3/µ-law raise
+# NotImplementedError).
 
 _MAX_SAMPLES = 256_000_000     # bomb guard: total samples per stream
 
+# IMA ADPCM quantizer tables (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", the standard 89-step table).
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
 
-def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
-    """PCM WAV bytes -> (sample_rate, (n_frames, channels) int32 array
-    of 16-BIT-EQUIVALENT samples): 8-bit unsigned recenters and scales
-    by 256 exactly, 16-bit passes through, 24/32-bit keep their top 16
-    bits — one integer domain so a pure-Python replica reproduces every
-    downstream statistic bit-for-bit.  Non-PCM format tags (IEEE float,
-    ADPCM, extensible) raise NotImplementedError (degrade contract);
-    malformed/truncated streams raise ValueError."""
+
+def _decode_pcm_int(data: bytes, bits: int) -> "object":
+    """Integer PCM body -> flat int32 array of 16-bit-equivalent
+    samples (8-bit recenters and scales by 256 exactly; 16 passes
+    through; 24/32 keep their top 16 bits)."""
     import numpy as np
 
+    if bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        return (s - 128) * 256
+    if bits == 16:
+        return np.frombuffer(data, dtype="<i2").astype(np.int32)
+    if bits == 32:
+        return np.frombuffer(data, dtype="<i4").astype(np.int32) >> 16
+    # 24-bit little-endian signed
+    b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    s = (b3[:, 0].astype(np.int32)
+         | (b3[:, 1].astype(np.int32) << 8)
+         | (b3[:, 2].astype(np.int32) << 16))
+    return (s << 8) >> 16                  # sign-extend, keep top 16 bits
+
+
+def _decode_pcm_float(data: bytes, bits: int) -> "object":
+    """IEEE-float PCM body -> flat int32 16-bit-equivalent samples via
+    round-half-even (np.rint) then clip — bit-deterministic, and the
+    exact inverse of make_wav_float for any sample representable in
+    the integer domain.  Non-finite samples raise ValueError (degrade
+    contract): a NaN has no defined integer image."""
+    import numpy as np
+
+    x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+    x = x.astype(np.float64)
+    if x.size and not np.isfinite(x).all():
+        raise ValueError("non-finite float sample")
+    s = np.rint(x * 32768.0)
+    return np.clip(s, -32768, 32767).astype(np.int32)
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int,
+                      spb: int) -> "object":
+    """IMA ADPCM data chunk -> (n_frames, channels) int32 samples.
+
+    Blocks are independent (each carries its own predictor + step
+    index per channel), so the sequential quantizer state machine
+    vectorizes ACROSS blocks: one Python iteration per in-block sample
+    position, numpy over (blocks x channels) — O(samples_per_block)
+    interpreter steps regardless of stream length."""
+    import numpy as np
+
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, channels), dtype=np.int32)
+    blocks = np.frombuffer(
+        data[:n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+    hdr = blocks[:, :4 * channels].reshape(n_blocks, channels, 4)
+    pred = hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8)
+    pred = (pred << 16) >> 16              # sign-extend int16 predictor
+    idx = hdr[:, :, 2].astype(np.int32)
+    if int(idx.max(initial=0)) > 88:
+        raise ValueError("ADPCM step index out of range")
+    body = blocks[:, 4 * channels:]
+    n_words = body.shape[1] // (4 * channels)
+    # channel-interleaved 4-byte words -> (blocks, channels, nibbles)
+    w = body[:, :n_words * 4 * channels].reshape(
+        n_blocks, n_words, channels, 4)
+    nib = np.empty((n_blocks, n_words, channels, 8), dtype=np.uint8)
+    nib[..., 0::2] = w & 0x0F              # low nibble first
+    nib[..., 1::2] = w >> 4
+    nib = nib.transpose(0, 2, 1, 3).reshape(n_blocks, channels, n_words * 8)
+
+    step_tab = np.asarray(_IMA_STEP, dtype=np.int32)
+    adj_tab = np.asarray(_IMA_INDEX_ADJ, dtype=np.int32)
+    out = np.empty((n_blocks, channels, spb), dtype=np.int32)
+    out[:, :, 0] = pred
+    for t in range(spb - 1):
+        n = nib[:, :, t].astype(np.int32)
+        step = step_tab[idx]
+        vp = ((step >> 3)
+              + np.where(n & 4, step, 0)
+              + np.where(n & 2, step >> 1, 0)
+              + np.where(n & 1, step >> 2, 0))
+        pred = np.where(n & 8, pred - vp, pred + vp)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + adj_tab[n & 7], 0, 88)
+        out[:, :, t + 1] = pred
+    return out.transpose(0, 2, 1).reshape(n_blocks * spb, channels)
+
+
+def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
+    """WAV bytes -> (sample_rate, (n_frames, channels) int32 array of
+    16-BIT-EQUIVALENT samples), REAL for four format families:
+
+    - integer PCM (tag 1): 8-bit recenters/scales by 256 exactly,
+      16-bit passes through, 24/32-bit keep their top 16 bits;
+    - IEEE-float PCM (tag 3, 32/64-bit): round-half-even to the same
+      integer domain (exact inverse of make_wav_float);
+    - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): routed by the SubFormat
+      GUID to either of the above (left-justified containers per the
+      wValidBitsPerSample rule, so container-width decode is exact);
+    - IMA ADPCM (tag 0x11): the standard 89-step integer quantizer
+      state machine, block-vectorized, frame count trimmed by the
+      ``fact`` chunk.
+
+    One integer domain so a pure-Python replica reproduces every
+    downstream statistic bit-for-bit.  Remaining tags (MS-ADPCM, MP3,
+    µ-law...) raise NotImplementedError (degrade contract);
+    malformed/truncated streams raise ValueError."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    fmt_tag = channels = bits = block_align = None
-    sample_rate = 0
+    fmt_body = None
     data = None
+    fact_frames = None
     for cid, body, _size, truncated in _iter_riff_chunks(raw):
         if cid == b"fmt ":
-            # the PCM contract needs fmt/data INTACT; trailing metadata
-            # chunks (LIST/INFO etc.) may be truncated without losing a
-            # single sample, so only these two are strict
+            # the sample contract needs fmt/data INTACT; trailing
+            # metadata chunks (LIST/INFO etc.) may be truncated without
+            # losing a single sample, so only these two are strict
             if truncated or len(body) < 16:
                 raise ValueError("fmt chunk truncated")
-            (fmt_tag, channels, sample_rate, _br,
-             block_align, bits) = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             if truncated:
                 raise ValueError("data chunk overruns stream")
             data = body
-    if fmt_tag is None or data is None:
+        elif cid == b"fact" and not truncated and len(body) >= 4:
+            fact_frames = struct.unpack("<I", body[:4])[0]
+    if fmt_body is None or data is None:
         raise ValueError("missing fmt / data chunk")
-    if fmt_tag != 1:
-        raise NotImplementedError(
-            f"WAV format tag {fmt_tag} (PCM only; float/ADPCM are the "
-            "documented codec seam)")
-    if bits not in (8, 16, 24, 32):
-        raise ValueError(f"illegal PCM bit depth {bits}")
+    (fmt_tag, channels, sample_rate, _br,
+     block_align, bits) = struct.unpack("<HHIIHH", fmt_body[:16])
     if channels == 0 or sample_rate == 0:
         raise ValueError("zero channels or sample rate")
+
+    if fmt_tag == 0xFFFE:                  # WAVE_FORMAT_EXTENSIBLE
+        if len(fmt_body) < 40:
+            raise ValueError("extensible fmt chunk truncated")
+        fmt_tag = struct.unpack("<H", fmt_body[24:26])[0]
+        if fmt_tag not in (1, 3):
+            raise NotImplementedError(
+                f"extensible WAV SubFormat {fmt_tag} (PCM/float only)")
+
+    if fmt_tag == 0x11:                    # IMA ADPCM
+        if bits != 4:
+            raise ValueError(f"illegal IMA ADPCM bit depth {bits}")
+        if len(fmt_body) < 20:
+            raise ValueError("IMA fmt chunk missing samples-per-block")
+        spb = struct.unpack("<H", fmt_body[18:20])[0]
+        body_bytes = block_align - 4 * channels
+        if (body_bytes <= 0 or body_bytes % (4 * channels)
+                or spb != body_bytes * 2 // channels + 1):
+            raise ValueError("IMA block layout inconsistent with fmt")
+        n_blocks = len(data) // block_align
+        if n_blocks * spb * channels > _MAX_SAMPLES:
+            raise ValueError("sample count out of range")
+        frames = _decode_ima_adpcm(data, channels, block_align, spb)
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return int(sample_rate), frames
+
+    if fmt_tag == 3:                       # IEEE float
+        if bits not in (32, 64):
+            raise ValueError(f"illegal float bit depth {bits}")
+    elif fmt_tag == 1:
+        if bits not in (8, 16, 24, 32):
+            raise ValueError(f"illegal PCM bit depth {bits}")
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {fmt_tag} (integer/float PCM, extensible "
+            "and IMA ADPCM are real; the rest is the documented codec "
+            "seam)")
     bytes_per = bits // 8
     if block_align != channels * bytes_per:
         raise ValueError("block align inconsistent with fmt")
@@ -309,28 +458,26 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     if n_frames * channels > _MAX_SAMPLES:
         raise ValueError("sample count out of range")
     data = data[:n_frames * block_align]
-    if bits == 8:
-        s = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-        s = (s - 128) * 256
-    elif bits == 16:
-        s = np.frombuffer(data, dtype="<i2").astype(np.int32)
-    elif bits == 32:
-        s = np.frombuffer(data, dtype="<i4").astype(np.int32) >> 16
-    else:                                  # 24-bit little-endian signed
-        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        s = (b3[:, 0].astype(np.int32)
-             | (b3[:, 1].astype(np.int32) << 8)
-             | (b3[:, 2].astype(np.int32) << 16))
-        s = (s << 8) >> 16                 # sign-extend, keep top 16 bits
+    if fmt_tag == 3:
+        s = _decode_pcm_float(data, bits)
+    else:
+        s = _decode_pcm_int(data, bits)
     return int(sample_rate), s.reshape(n_frames, channels)
 
 
+# Subformat GUID tail shared by the PCM and float KSDATAFORMAT GUIDs
+# ({xxxxxxxx-0000-0010-8000-00aa00389b71}).
+_KS_GUID_TAIL = bytes.fromhex("00000010800000aa00389b71")
+
+
 def make_wav_pcm(samples: "object", sample_rate: int = 8000,
-                 bits: int = 16) -> bytes:
+                 bits: int = 16, extensible: bool = False) -> bytes:
     """(n_frames, channels) int array of 16-bit-equivalent samples ->
     PCM WAV bytes at the requested depth (the exact inverse of
     decode_wav_pcm's normalization, so round-trips are bit-exact for
-    samples representable at that depth)."""
+    samples representable at that depth).  ``extensible=True`` wraps
+    the same stream in a WAVE_FORMAT_EXTENSIBLE fmt chunk (tag 0xFFFE
+    + the KSDATAFORMAT_SUBTYPE_PCM GUID)."""
     import numpy as np
 
     s = np.asarray(samples, dtype=np.int64)
@@ -359,9 +506,131 @@ def make_wav_pcm(samples: "object", sample_rate: int = 8000,
     else:
         raise ValueError(f"unsupported bit depth {bits}")
     block_align = channels * (bits // 8)
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+    fmt = struct.pack("<HHIIHH",
+                      0xFFFE if extensible else 1, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
+    if extensible:
+        fmt += struct.pack("<HHI", 22, bits, 0)
+        fmt += struct.pack("<H", 1) + b"\x00\x00" + _KS_GUID_TAIL
     chunks = _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_wav_float(samples: "object", sample_rate: int = 8000,
+                   bits: int = 32) -> bytes:
+    """(n_frames, channels) int array of 16-bit-equivalent samples ->
+    IEEE-float WAV bytes (tag 3) holding s/32768.0 — exact in both
+    float32 and float64 for any 16-bit integer, so
+    decode_wav_pcm(make_wav_float(s)) == s bit-for-bit."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    if s.size and (s.min() < -32768 or s.max() > 32767):
+        raise ValueError("samples out of the 16-bit-equivalent range")
+    x = s.astype(np.float64) / 32768.0
+    if bits == 32:
+        body = x.astype("<f4").tobytes()
+    elif bits == 64:
+        body = x.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"unsupported float bit depth {bits}")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 3, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    chunks = (_riff_chunk(b"fmt ", fmt)
+              + _riff_chunk(b"fact", struct.pack("<I", s.shape[0]))
+              + _riff_chunk(b"data", body))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ima_encode_channel(ch: "object", spb: int) -> tuple[list, list, list]:
+    """One channel of 16-bit samples -> (block predictors, block step
+    indices, nibble lists per block) with the canonical IMA encoder
+    (mirror arithmetic of _decode_ima_adpcm, so encode->decode is the
+    quantizer's own fixpoint).  The step index carries across blocks;
+    each block's first sample is stored verbatim in its header."""
+    idx = 0
+    preds, idxs, nibbles = [], [], []
+    n = len(ch)
+    for start in range(0, n, spb):
+        pred = int(ch[start])
+        preds.append(pred)
+        idxs.append(idx)
+        nibs = []
+        for t in range(1, spb):
+            k = start + t
+            sample = int(ch[k]) if k < n else int(ch[n - 1])  # pad: hold
+            step = _IMA_STEP[idx]
+            diff = sample - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            vp = step >> 3
+            if diff >= step:
+                nib |= 4
+                diff -= step
+                vp += step
+            step >>= 1
+            if diff >= step:
+                nib |= 2
+                diff -= step
+                vp += step
+            step >>= 1
+            if diff >= step:
+                nib |= 1
+                vp += step
+            pred = pred - vp if nib & 8 else pred + vp
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+            nibs.append(nib)
+        nibbles.append(nibs)
+    return preds, idxs, nibbles
+
+
+def make_wav_adpcm(samples: "object", sample_rate: int = 8000,
+                   samples_per_block: int = 129) -> bytes:
+    """(n_frames, channels) int array of 16-bit samples -> IMA ADPCM
+    WAV bytes (tag 0x11): per-block per-channel 4-byte headers, then
+    channel-interleaved 4-byte nibble words, a ``fact`` chunk carrying
+    the true frame count (decode trims the final block's pad to it).
+    samples_per_block - 1 must divide by 8 (word alignment)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, channels = s.shape
+    spb = samples_per_block
+    if n == 0:
+        raise ValueError("ADPCM fixture needs at least one frame")
+    if spb < 9 or (spb - 1) % 8:
+        raise ValueError("samples_per_block - 1 must be a multiple of 8")
+    if s.min() < -32768 or s.max() > 32767:
+        raise ValueError("samples out of the 16-bit range")
+    per_ch = [_ima_encode_channel(s[:, c], spb) for c in range(channels)]
+    n_blocks = len(per_ch[0][0])
+    body = bytearray()
+    for b in range(n_blocks):
+        for c in range(channels):
+            preds, idxs, _ = per_ch[c]
+            body += struct.pack("<hBB", preds[b], idxs[b], 0)
+        nibs = [per_ch[c][2][b] for c in range(channels)]
+        for g in range(0, spb - 1, 8):
+            for c in range(channels):
+                chunk = nibs[c][g:g + 8]
+                for lo, hi in zip(chunk[0::2], chunk[1::2]):
+                    body.append(lo | (hi << 4))
+    block_align = 4 * channels + (spb - 1) // 2 * channels
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, sample_rate,
+                      byte_rate, block_align, 4, 2, spb)
+    chunks = (_riff_chunk(b"fmt ", fmt)
+              + _riff_chunk(b"fact", struct.pack("<I", n))
+              + _riff_chunk(b"data", bytes(body)))
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 

@@ -1278,16 +1278,73 @@ def gif_frames_sql(modulus: int = 25, dim: int = 16,
                             "decode_ok", "f0", "f2", "f10", "f15"])
 
 
+_IMA_STEP_TAB = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+_IMA_ADJ_TAB = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_replay(ch0: list, spb: int = 129) -> list:
+    """Scalar replay of one channel through the IMA ADPCM
+    encode->decode round trip.  The decoder's step update mirrors the
+    encoder's by construction, so the decoded stream IS the encoder's
+    predictor sequence — one state machine, independently checking the
+    production block-vectorized numpy decode byte path."""
+    out = []
+    idx = 0
+    n = len(ch0)
+    for start in range(0, n, spb):
+        pred = ch0[start]
+        out.append(pred)
+        for t in range(1, spb):
+            k = start + t
+            sample = ch0[k] if k < n else ch0[n - 1]
+            step = _IMA_STEP_TAB[idx]
+            diff = sample - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            vp = step >> 3
+            if diff >= step:
+                nib |= 4
+                diff -= step
+                vp += step
+            step >>= 1
+            if diff >= step:
+                nib |= 2
+                diff -= step
+                vp += step
+            step >>= 1
+            if diff >= step:
+                nib |= 1
+                vp += step
+            pred = pred - vp if nib & 8 else pred + vp
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_ADJ_TAB[nib & 7]))
+            out.append(pred)
+    return out[:n]                     # fact-chunk trim of the pad
+
+
 def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
     """Replica of the audio-features driver query: doc_id % modulus ==
-    offset docs become PCM WAVs with n = i%977 + 100 frames,
-    channels = 1 + i%2, rate = 8000 + (i%5)*8000, bit depth rotating
-    (8, 16, 24, 32) by i//modulus, and sample s[k, ch] = ((i*7 + k*13
-    + ch*5) % 65536) - 32768 QUANTIZED to the depth's 16-bit-equivalent
-    grid (8-bit keeps multiples of 256; 16/24/32 are exact) — the
-    replica replays the pattern + audio_meta.pcm_features' integer
-    statistics in pure Python; the Spark side encodes a real WAV and
-    decodes it back through the production Arrow kernel."""
+    offset docs become WAVs with n = i%977 + 100 frames, channels =
+    1 + i%2, rate = 8000 + (i%5)*8000, FORMAT rotating (pcm8, pcm16,
+    pcm24, pcm32, float32, float64, extensible-pcm16, IMA ADPCM) by
+    i//modulus, and sample s[k, ch] = ((i*7 + k*13 + ch*5) % 65536) -
+    32768 QUANTIZED to the 8-bit grid when needed (16/24/32/float/
+    extensible are exact; IMA is lossy so the replica replays the
+    quantizer state machine, _ima_replay) — then audio_meta.
+    pcm_features' integer statistics in pure Python; the Spark side
+    encodes a real WAV and decodes it back through the production
+    Arrow kernel."""
     rows = read_table("documents", "doc_id",
                       f"doc_id % {modulus} = {offset}")
     out = []
@@ -1296,13 +1353,16 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
         n = i % 977 + 100
         channels = 1 + i % 2
         rate = 8000 + (i % 5) * 8000
-        bits = (8, 16, 24, 32)[(i // modulus) % 4]
+        variant = (8, 16, 24, 32,
+                   "f32", "f64", "x16", "ima")[(i // modulus) % 8]
         ch0 = [((i * 7 + k * 13) % 65536) - 32768 for k in range(n)]
-        if bits == 8:
+        if variant == 8:
             # fixture quantizes to the 8-bit grid BEFORE encoding, and
             # decode maps (s//256 + 128) back exactly — floor division
             # mirrors make_wav_pcm
             ch0 = [(s // 256) * 256 for s in ch0]
+        elif variant == "ima":
+            ch0 = _ima_replay(ch0)
         feats = [n / 1048576.0, channels / 16.0, rate / 192000.0]
         sb = sum(ch0)
         qb = sum(s * s for s in ch0)

@@ -165,14 +165,109 @@ def test_wav_pcm_degrade_contract():
     )
 
     blob = bytearray(make_wav_pcm(np.zeros((4, 1), dtype=np.int64), 8000))
-    blob[20:22] = struct.pack("<H", 3)       # IEEE float fmt tag
-    with pytest.raises(NotImplementedError, match="format tag 3"):
+    blob[20:22] = struct.pack("<H", 2)       # MS-ADPCM fmt tag (seam)
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav_pcm(bytes(blob))
+    blob[20:22] = struct.pack("<H", 3)       # float tag with int16 depth
+    with pytest.raises(ValueError, match="float bit depth"):
         decode_wav_pcm(bytes(blob))
     with pytest.raises(ValueError):
         decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVE")   # no fmt/data
     good = make_wav_pcm(np.zeros((64, 1), dtype=np.int64), 8000)
     with pytest.raises(ValueError):
         decode_wav_pcm(good[: len(good) // 2])        # chunk overrun
+
+
+def test_wav_float_roundtrips_exact():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_float,
+    )
+
+    rng = np.random.default_rng(53)
+    s = rng.integers(-32768, 32768, size=(311, 2)).astype(np.int64)
+    for bits in (32, 64):
+        sr, got = decode_wav_pcm(make_wav_float(s, 22050, bits))
+        assert sr == 22050
+        assert np.array_equal(got, s)
+
+
+def test_wav_float_nonfinite_degrades():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_float,
+    )
+
+    blob = bytearray(make_wav_float(np.zeros((8, 1), dtype=np.int64), 8000))
+    # overwrite the last float32 sample (final 4 data bytes) with NaN
+    blob[-4:] = struct.pack("<f", float("nan"))
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav_pcm(bytes(blob))
+    # an out-of-range finite sample clips instead of failing
+    blob[-4:] = struct.pack("<f", 7.5)
+    _, got = decode_wav_pcm(bytes(blob))
+    assert got[-1, 0] == 32767
+
+
+def test_wav_extensible_pcm_roundtrips():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_pcm,
+    )
+
+    rng = np.random.default_rng(59)
+    s = rng.integers(-32768, 32768, size=(129, 2)).astype(np.int64)
+    blob = make_wav_pcm(s, 48000, 16, extensible=True)
+    assert struct.unpack("<H", blob[20:22])[0] == 0xFFFE
+    sr, got = decode_wav_pcm(blob)
+    assert sr == 48000
+    assert np.array_equal(got, s)
+    # unsupported SubFormat GUID stays the documented seam
+    bad = bytearray(blob)
+    # fmt body starts at offset 20; SubFormat tag sits at body[24:26]
+    bad[20 + 24:20 + 26] = struct.pack("<H", 6)       # a-law GUID
+    with pytest.raises(NotImplementedError, match="SubFormat 6"):
+        decode_wav_pcm(bytes(bad))
+
+
+def test_wav_ima_adpcm_matches_scalar_replay():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_adpcm,
+    )
+    from geoparser_spark.testing.pyoracle_queries import _ima_replay
+
+    rng = np.random.default_rng(61)
+    # 2 channels, multiple blocks plus a padded tail (n % 129 != 0)
+    s = rng.integers(-32768, 32768, size=(401, 2)).astype(np.int64)
+    blob = make_wav_adpcm(s, 16000)
+    sr, got = decode_wav_pcm(blob)
+    assert sr == 16000
+    assert got.shape == (401, 2)              # fact chunk trims the pad
+    for c in range(2):
+        assert got[:, c].tolist() == _ima_replay([int(v) for v in s[:, c]])
+    # each block's first frame is stored verbatim in its header
+    assert np.array_equal(got[0::129], s[0::129])
+
+
+def test_wav_ima_adpcm_validation():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_adpcm,
+    )
+
+    s = np.zeros((40, 1), dtype=np.int64)
+    blob = bytearray(make_wav_adpcm(s, 8000))
+    # fmt body starts at offset 20: corrupt wSamplesPerBlock (body[18:20])
+    blob[20 + 18:20 + 20] = struct.pack("<H", 57)
+    with pytest.raises(ValueError, match="block layout"):
+        decode_wav_pcm(bytes(blob))
+    # step index > 88 in the first block header kills the stream
+    blob = bytearray(make_wav_adpcm(s, 8000))
+    data_at = blob.index(b"data") + 8          # first block header
+    blob[data_at + 2] = 97
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_pcm(bytes(blob))
 
 
 def test_extract_audio_features_operator(spark):
