@@ -418,6 +418,10 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
         if len(fmt_body) < 40:
             raise ValueError("extensible fmt chunk truncated")
         fmt_tag = struct.unpack("<H", fmt_body[24:26])[0]
+        if fmt_body[26:40] != b"\x00\x00" + _KS_GUID_TAIL:
+            raise NotImplementedError(
+                "extensible WAV SubFormat outside the KSDATAFORMAT "
+                "namespace (vendor codec GUID — documented seam)")
         if fmt_tag not in (1, 3):
             raise NotImplementedError(
                 f"extensible WAV SubFormat {fmt_tag} (PCM/float only)")
@@ -465,9 +469,11 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     return int(sample_rate), s.reshape(n_frames, channels)
 
 
-# Subformat GUID tail shared by the PCM and float KSDATAFORMAT GUIDs
-# ({xxxxxxxx-0000-0010-8000-00aa00389b71}).
-_KS_GUID_TAIL = bytes.fromhex("00000010800000aa00389b71")
+# SubFormat GUID tail shared by the PCM and float KSDATAFORMAT GUIDs
+# ({xxxxxxxx-0000-0010-8000-00aa00389b71}), serialized bytes_le: Data2
+# and Data3 are little-endian (0x0010 -> "10 00"), Data4 is a byte
+# array.  Follows the tag's 2 LE bytes + the 2 zero bytes of Data1.
+_KS_GUID_TAIL = bytes.fromhex("00001000800000aa00389b71")
 
 
 def make_wav_pcm(samples: "object", sample_rate: int = 8000,

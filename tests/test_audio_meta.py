@@ -219,14 +219,25 @@ def test_wav_extensible_pcm_roundtrips():
     s = rng.integers(-32768, 32768, size=(129, 2)).astype(np.int64)
     blob = make_wav_pcm(s, 48000, 16, extensible=True)
     assert struct.unpack("<H", blob[20:22])[0] == 0xFFFE
+    # the fixture carries the CANONICAL bytes_le KSDATAFORMAT_SUBTYPE_PCM
+    # GUID (Data3 0x0010 little-endian), so external decoders accept it
+    import uuid
+    ks_pcm = uuid.UUID("00000001-0000-0010-8000-00AA00389B71")
+    assert blob[20 + 24:20 + 40] == ks_pcm.bytes_le
     sr, got = decode_wav_pcm(blob)
     assert sr == 48000
     assert np.array_equal(got, s)
-    # unsupported SubFormat GUID stays the documented seam
+    # unsupported SubFormat tag stays the documented seam
     bad = bytearray(blob)
     # fmt body starts at offset 20; SubFormat tag sits at body[24:26]
     bad[20 + 24:20 + 26] = struct.pack("<H", 6)       # a-law GUID
     with pytest.raises(NotImplementedError, match="SubFormat 6"):
+        decode_wav_pcm(bytes(bad))
+    # a vendor GUID that merely STARTS with 01 00 must degrade, not
+    # silently decode as PCM (full 16-byte namespace check)
+    bad = bytearray(blob)
+    bad[20 + 32] = 0x81                               # corrupt Data4
+    with pytest.raises(NotImplementedError, match="KSDATAFORMAT"):
         decode_wav_pcm(bytes(bad))
 
 
