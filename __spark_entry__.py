@@ -1118,9 +1118,11 @@ def _mm_audio_features(spark, sf_dir):
     doc_id-rotating FORMAT — integer PCM 8/16/24/32 (the pattern is
     quantized to the 8-bit grid when needed so the encode→decode
     round-trip is bit-exact), IEEE float32/float64 (s/32768.0 is exact
-    both ways), WAVE_FORMAT_EXTENSIBLE-wrapped PCM, and IMA ADPCM
-    (lossy: the oracle replays the encoder+decoder quantizer state
-    machine scalar-for-scalar) — and extract_audio_features decodes
+    both ways), WAVE_FORMAT_EXTENSIBLE-wrapped PCM, IMA ADPCM (lossy:
+    the oracle replays the encoder+decoder quantizer state machine
+    scalar-for-scalar), and G.711 µ-law/A-law (lossy: nearest-code
+    quantization replayed against the decode table) — and
+    extract_audio_features decodes
     the samples back in the production Arrow kernel → integer-exact
     signal statistics.  The pyoracle replica recomputes everything
     from the PATTERN (testing/pyoracle_queries.audio_features_sql) —
@@ -1139,6 +1141,7 @@ def _mm_audio_features(spark, sf_dir):
         from geoparser_spark.operators.audio_meta import (
             make_wav_adpcm,
             make_wav_float,
+            make_wav_g711,
             make_wav_pcm,
         )
 
@@ -1149,8 +1152,8 @@ def _mm_audio_features(spark, sf_dir):
                 n = i % 977 + 100
                 channels = 1 + i % 2
                 rate = 8000 + (i % 5) * 8000
-                variant = (8, 16, 24, 32,
-                           "f32", "f64", "x16", "ima")[(i // 25) % 8]
+                variant = (8, 16, 24, 32, "f32", "f64", "x16",
+                           "ima", "ulaw", "alaw")[(i // 25) % 10]
                 k = np.arange(n, dtype=np.int64)
                 s = np.stack([
                     ((i * 7 + k * 13 + ch * 5) % 65536) - 32768
@@ -1166,6 +1169,8 @@ def _mm_audio_features(spark, sf_dir):
                     blob = make_wav_pcm(s, rate, 16, extensible=True)
                 elif variant == "ima":
                     blob = make_wav_adpcm(s, rate)
+                elif variant in ("ulaw", "alaw"):
+                    blob = make_wav_g711(s, rate, variant)
                 else:
                     blob = make_wav_pcm(s, rate, variant)
                 refs.append(f"aud://{i}")

@@ -318,6 +318,39 @@ def _decode_pcm_float(data: bytes, bits: int) -> "object":
     return np.clip(s, -32768, 32767).astype(np.int32)
 
 
+def _g711_decode_table(law: str) -> list:
+    """256-entry G.711 code -> 16-bit linear decode table (the
+    canonical segment/mantissa expansion: µ-law biased by 0x84 over 8
+    segments to ±32124; A-law XOR 0x55 with the seg-0/1 special cases
+    to ±32256)."""
+    tab = []
+    for code in range(256):
+        if law == "ulaw":
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            tab.append(0x84 - t if u & 0x80 else t - 0x84)
+        else:                              # alaw
+            a = code ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            tab.append(t if a & 0x80 else -t)
+    return tab
+
+
+def _decode_g711(data: bytes, law: str) -> "object":
+    """G.711 data chunk -> flat int32 16-bit samples (table lookup)."""
+    import numpy as np
+
+    tab = np.asarray(_g711_decode_table(law), dtype=np.int32)
+    return tab[np.frombuffer(data, dtype=np.uint8)]
+
+
 def _decode_ima_adpcm(data: bytes, channels: int, block_align: int,
                       spb: int) -> "object":
     """IMA ADPCM data chunk -> (n_frames, channels) int32 samples.
@@ -447,14 +480,17 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     if fmt_tag == 3:                       # IEEE float
         if bits not in (32, 64):
             raise ValueError(f"illegal float bit depth {bits}")
+    elif fmt_tag in (6, 7):                # G.711 A-law / µ-law
+        if bits != 8:
+            raise ValueError(f"illegal G.711 bit depth {bits}")
     elif fmt_tag == 1:
         if bits not in (8, 16, 24, 32):
             raise ValueError(f"illegal PCM bit depth {bits}")
     else:
         raise NotImplementedError(
-            f"WAV format tag {fmt_tag} (integer/float PCM, extensible "
-            "and IMA ADPCM are real; the rest is the documented codec "
-            "seam)")
+            f"WAV format tag {fmt_tag} (integer/float PCM, extensible, "
+            "IMA ADPCM and G.711 are real; the rest is the documented "
+            "codec seam)")
     bytes_per = bits // 8
     if block_align != channels * bytes_per:
         raise ValueError("block align inconsistent with fmt")
@@ -464,6 +500,8 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     data = data[:n_frames * block_align]
     if fmt_tag == 3:
         s = _decode_pcm_float(data, bits)
+    elif fmt_tag in (6, 7):
+        s = _decode_g711(data, "alaw" if fmt_tag == 6 else "ulaw")
     else:
         s = _decode_pcm_int(data, bits)
     return int(sample_rate), s.reshape(n_frames, channels)
@@ -637,6 +675,36 @@ def make_wav_adpcm(samples: "object", sample_rate: int = 8000,
     chunks = (_riff_chunk(b"fmt ", fmt)
               + _riff_chunk(b"fact", struct.pack("<I", n))
               + _riff_chunk(b"data", bytes(body)))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_wav_g711(samples: "object", sample_rate: int = 8000,
+                  law: str = "ulaw") -> bytes:
+    """(n_frames, channels) int array of 16-bit samples -> G.711 WAV
+    bytes (tag 7 µ-law / 6 A-law).  Each sample quantizes to the code
+    whose decode-table value is NEAREST (ties to the lower code) — a
+    deterministic optimal quantizer, so the scalar replica replays the
+    encode->decode round trip exactly and any spec-conformant external
+    decoder reproduces the same linear stream."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    if s.size and (s.min() < -32768 or s.max() > 32767):
+        raise ValueError("samples out of the 16-bit range")
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"unknown G.711 law {law!r}")
+    tab = np.asarray(_g711_decode_table(law), dtype=np.int64)
+    # argmin returns the FIRST minimal index -> ties break to lower code
+    codes = np.abs(s.reshape(-1)[:, None] - tab[None, :]).argmin(axis=1)
+    body = codes.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 7 if law == "ulaw" else 6, channels,
+                      sample_rate, sample_rate * channels, channels, 8)
+    chunks = (_riff_chunk(b"fmt ", fmt)
+              + _riff_chunk(b"fact", struct.pack("<I", s.shape[0]))
+              + _riff_chunk(b"data", body))
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 

@@ -1333,12 +1333,41 @@ def _ima_replay(ch0: list, spb: int = 129) -> list:
     return out[:n]                     # fact-chunk trim of the pad
 
 
+def _g711_replay(ch0: list, law: str) -> list:
+    """Scalar replay of one channel through the G.711 encode->decode
+    round trip: build the canonical 256-entry decode table, quantize
+    each sample to the nearest table value (ties to the LOWER code —
+    numpy argmin's first-minimum rule), return the decoded stream."""
+    tab = []
+    for code in range(256):
+        if law == "ulaw":
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            tab.append(0x84 - t if u & 0x80 else t - 0x84)
+        else:
+            a = code ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            tab.append(t if a & 0x80 else -t)
+    out = []
+    for s in ch0:
+        best = min(range(256), key=lambda c: (abs(tab[c] - s), c))
+        out.append(tab[best])
+    return out
+
+
 def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
     """Replica of the audio-features driver query: doc_id % modulus ==
     offset docs become WAVs with n = i%977 + 100 frames, channels =
     1 + i%2, rate = 8000 + (i%5)*8000, FORMAT rotating (pcm8, pcm16,
-    pcm24, pcm32, float32, float64, extensible-pcm16, IMA ADPCM) by
-    i//modulus, and sample s[k, ch] = ((i*7 + k*13 + ch*5) % 65536) -
+    pcm24, pcm32, float32, float64, extensible-pcm16, IMA ADPCM,
+    G.711 µ-law, G.711 A-law) by i//modulus, and sample s[k, ch] = ((i*7 + k*13 + ch*5) % 65536) -
     32768 QUANTIZED to the 8-bit grid when needed (16/24/32/float/
     extensible are exact; IMA is lossy so the replica replays the
     quantizer state machine, _ima_replay) — then audio_meta.
@@ -1353,8 +1382,8 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
         n = i % 977 + 100
         channels = 1 + i % 2
         rate = 8000 + (i % 5) * 8000
-        variant = (8, 16, 24, 32,
-                   "f32", "f64", "x16", "ima")[(i // modulus) % 8]
+        variant = (8, 16, 24, 32, "f32", "f64", "x16",
+                   "ima", "ulaw", "alaw")[(i // modulus) % 10]
         ch0 = [((i * 7 + k * 13) % 65536) - 32768 for k in range(n)]
         if variant == 8:
             # fixture quantizes to the 8-bit grid BEFORE encoding, and
@@ -1363,6 +1392,8 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
             ch0 = [(s // 256) * 256 for s in ch0]
         elif variant == "ima":
             ch0 = _ima_replay(ch0)
+        elif variant in ("ulaw", "alaw"):
+            ch0 = _g711_replay(ch0, variant)
         feats = [n / 1048576.0, channels / 16.0, rate / 192000.0]
         sb = sum(ch0)
         qb = sum(s * s for s in ch0)

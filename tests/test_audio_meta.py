@@ -261,6 +261,46 @@ def test_wav_ima_adpcm_matches_scalar_replay():
     assert np.array_equal(got[0::129], s[0::129])
 
 
+def test_wav_g711_decode_table_canonical_points():
+    from geoparser_spark.operators.audio_meta import _g711_decode_table
+
+    u = _g711_decode_table("ulaw")
+    # G.711 µ-law anchors: code 0x00 = -32124, 0x80 = +32124,
+    # both zero codes 0x7F / 0xFF decode to 0
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert u[0x7F] == 0 and u[0xFF] == 0
+    a = _g711_decode_table("alaw")
+    # A-law anchors: 0x55 = -8, 0xD5 = +8, 0x2A = -32256, 0xAA = +32256
+    assert a[0x55] == -8 and a[0xD5] == 8
+    assert a[0x2A] == -32256 and a[0xAA] == 32256
+    # both tables are odd-symmetric over the sign bit
+    assert sorted(u) == sorted(-v for v in u)
+    assert sorted(a) == sorted(-v for v in a)
+
+
+def test_wav_g711_matches_scalar_replay():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_g711,
+    )
+    from geoparser_spark.testing.pyoracle_queries import _g711_replay
+
+    rng = np.random.default_rng(67)
+    s = rng.integers(-32768, 32768, size=(301, 2)).astype(np.int64)
+    for law, tag in (("ulaw", 7), ("alaw", 6)):
+        blob = make_wav_g711(s, 8000, law)
+        assert struct.unpack("<H", blob[20:22])[0] == tag
+        sr, got = decode_wav_pcm(blob)
+        assert sr == 8000 and got.shape == (301, 2)
+        for c in range(2):
+            assert got[:, c].tolist() == _g711_replay(
+                [int(v) for v in s[:, c]], law)
+        # re-encoding the decoded stream is a fixpoint (table values
+        # quantize to themselves)
+        _, again = decode_wav_pcm(make_wav_g711(got, 8000, law))
+        assert np.array_equal(again, got)
+
+
 def test_wav_ima_adpcm_validation():
     from geoparser_spark.operators.audio_meta import (
         decode_wav_pcm,
