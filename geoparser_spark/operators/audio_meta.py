@@ -259,10 +259,10 @@ def make_mini_flac(sample_rate: int = 8000, channels: int = 1,
 # --------------------------------------------------------- sample decode
 # The metadata walk above needs no codec; WAV *samples* decode with
 # pure numpy for integer PCM, IEEE-float PCM, WAVE_FORMAT_EXTENSIBLE
-# wrappers of either, and IMA ADPCM (all deterministic integer / exact
-# IEEE arithmetic).  The lossy-codec/ASR stack stays the documented
-# seam (transcribe_audio above; MS-ADPCM/MP3/µ-law raise
-# NotImplementedError).
+# wrappers of either, IMA ADPCM, and G.711 µ-law/A-law (all
+# deterministic integer / exact IEEE arithmetic).  The lossy-codec/ASR
+# stack stays the documented seam (transcribe_audio above; MS-ADPCM/
+# MP3 raise NotImplementedError).
 
 _MAX_SAMPLES = 256_000_000     # bomb guard: total samples per stream
 
@@ -404,7 +404,7 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int,
 
 def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     """WAV bytes -> (sample_rate, (n_frames, channels) int32 array of
-    16-BIT-EQUIVALENT samples), REAL for four format families:
+    16-BIT-EQUIVALENT samples), REAL for five format families:
 
     - integer PCM (tag 1): 8-bit recenters/scales by 256 exactly,
       16-bit passes through, 24/32-bit keep their top 16 bits;
@@ -415,11 +415,13 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
       wValidBitsPerSample rule, so container-width decode is exact);
     - IMA ADPCM (tag 0x11): the standard 89-step integer quantizer
       state machine, block-vectorized, frame count trimmed by the
-      ``fact`` chunk.
+      ``fact`` chunk;
+    - G.711 µ-law/A-law (tags 7/6): canonical 256-entry decode-table
+      lookup.
 
     One integer domain so a pure-Python replica reproduces every
-    downstream statistic bit-for-bit.  Remaining tags (MS-ADPCM, MP3,
-    µ-law...) raise NotImplementedError (degrade contract);
+    downstream statistic bit-for-bit.  Remaining tags (MS-ADPCM,
+    MP3...) raise NotImplementedError (degrade contract);
     malformed/truncated streams raise ValueError."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")

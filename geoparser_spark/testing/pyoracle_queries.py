@@ -1337,7 +1337,11 @@ def _g711_replay(ch0: list, law: str) -> list:
     """Scalar replay of one channel through the G.711 encode->decode
     round trip: build the canonical 256-entry decode table, quantize
     each sample to the nearest table value (ties to the LOWER code —
-    numpy argmin's first-minimum rule), return the decoded stream."""
+    numpy argmin's first-minimum rule), return the decoded stream.
+    The table arithmetic deliberately restates audio_meta's — the
+    independent leg is the QUANTIZE path (scalar min-key vs numpy
+    argmin over the byte stream); the table itself is double-entry
+    pinned by the ITU anchor-point test, not by duplication."""
     tab = []
     for code in range(256):
         if law == "ulaw":
