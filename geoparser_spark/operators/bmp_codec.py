@@ -8,11 +8,13 @@ dominate real corpora — uncompressed (BI_RGB) 1/4/8-bit palette,
 24-bit BGR and 32-bit BGRX, plus RLE8/RLE4 (BI_RLE8/BI_RLE4 with
 end-of-line, end-of-bitmap and delta escapes; the spec leaves skipped
 pixels undefined, this decoder zero-fills them deterministically),
-bottom-up and top-down row orders, 4-byte row padding.  BI_BITFIELDS,
-16-bit pixels, OS/2 BITMAPCOREHEADER and embedded PNG/JPEG
-(BI_PNG/BI_JPEG) raise NotImplementedError (the documented degrade
-contract); malformed streams raise ValueError — never an unguarded
-numpy/struct error that could kill an Arrow task.
+bottom-up and top-down row orders, 4-byte row padding, and masked
+16/32-bit pixels — BI_RGB 16-bit (implicit 5-5-5) and BI_BITFIELDS /
+BI_ALPHABITFIELDS with contiguous masks, each channel scaled to 8
+bits by integer rounding.  OS/2 BITMAPCOREHEADER and embedded
+PNG/JPEG (BI_PNG/BI_JPEG) raise NotImplementedError (the documented
+degrade contract); malformed streams raise ValueError — never an
+unguarded numpy/struct error that could kill an Arrow task.
 
 Scale note: runs INSIDE Arrow-batched kernels (mapInPandas) —
 embarrassingly parallel per row; the Spark plan around it carries the
@@ -93,6 +95,34 @@ def _rle_decode(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
     raise ValueError("RLE stream ended without end-of-bitmap")
 
 
+def _mask_params(mask: int, bpp: int) -> tuple[int, int]:
+    """Validate one BITFIELDS channel mask -> (shift, max value).
+    Masks must be nonzero, contiguous, and inside the pixel width."""
+    if mask == 0 or mask >> bpp:
+        raise ValueError("BITFIELDS mask outside the pixel width")
+    shift = (mask & -mask).bit_length() - 1
+    maxv = mask >> shift
+    if (maxv + 1) & maxv:
+        raise ValueError("non-contiguous BITFIELDS mask")
+    return shift, maxv
+
+
+def _bitfields_decode(rows: np.ndarray, w: int, h: int, bpp: int,
+                      masks: tuple) -> np.ndarray:
+    """Masked 16/32-bit rows -> (h, w, 3) uint8 RGB.  Each channel
+    extracts via its mask and scales to 8 bits by integer rounding
+    ((v*255 + max//2) // max) — deterministic, exact for 8-bit-wide
+    masks, monotone for narrower ones."""
+    px = rows[:, :w * (bpp // 8)].copy().view(
+        "<u2" if bpp == 16 else "<u4").reshape(h, w).astype(np.uint32)
+    chans = []
+    for mask in masks:
+        shift, maxv = _mask_params(int(mask), bpp)
+        v = (px >> shift) & maxv
+        chans.append(((v * 255 + maxv // 2) // maxv).astype(np.uint8))
+    return np.stack(chans, axis=2)
+
+
 def decode_bmp(raw: bytes) -> np.ndarray:
     """BMP bytes -> (H, W) uint8 grayscale (grey palette) or (H, W, 3)
     uint8 RGB.  See module docstring for coverage; malformed streams
@@ -115,12 +145,22 @@ def decode_bmp(raw: bytes) -> np.ndarray:
         raise ValueError(f"planes must be 1, got {planes}")
     if compression in (4, 5):
         raise NotImplementedError("embedded JPEG/PNG payload (BI_JPEG/PNG)")
-    if compression in (3, 6) or bpp == 16:
-        raise NotImplementedError("BI_(ALPHA)BITFIELDS / 16-bit pixels")
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3, 6):
         raise ValueError(f"unknown compression {compression}")
-    if bpp not in (1, 4, 8, 24, 32):
+    if bpp not in (1, 4, 8, 16, 24, 32):
         raise ValueError(f"illegal bit depth {bpp}")
+    masks = None
+    if compression in (3, 6):                  # BI_(ALPHA)BITFIELDS
+        if bpp not in (16, 32):
+            raise ValueError("BITFIELDS requires 16- or 32-bit pixels")
+        # the three RGB masks sit at absolute offset 54 in both layouts:
+        # appended after a 40-byte BITMAPINFOHEADER, or as the first
+        # mask fields of a V2+/V4/V5 header (header-relative 40)
+        if len(raw) < 66:
+            raise ValueError("BITFIELDS masks past end of stream")
+        masks = struct.unpack("<III", raw[54:66])
+    elif bpp == 16:                            # BI_RGB 16-bit: 5-5-5
+        masks = (0x7C00, 0x03E0, 0x001F)
     if compression == 1 and bpp != 8:
         raise ValueError("BI_RLE8 requires 8-bit pixels")
     if compression == 2 and bpp != 4:
@@ -153,6 +193,8 @@ def decode_bmp(raw: bytes) -> np.ndarray:
             raise ValueError("pixel data truncated")
         rows = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, stride)
         rows = rows if top_down else rows[::-1]
+        if masks is not None:
+            return _bitfields_decode(rows, w, h, bpp, masks)
         if bpp == 24:
             px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1].copy()
             return px
@@ -201,11 +243,14 @@ def _rle8_encode(idx: np.ndarray) -> bytes:
 
 def encode_bmp(img: np.ndarray, bpp: int = 24,
                palette: np.ndarray | None = None,
-               rle: bool = False, top_down: bool = False) -> bytes:
+               rle: bool = False, top_down: bool = False,
+               masks: tuple | None = None) -> bytes:
     """(H, W[, 3]) array -> BMP bytes.  24-bit BGR (3-D input), 32-bit
-    BGRX, or palette 1/4/8-bit (2-D index input + (N, 3) uint8
-    ``palette`` — defaults to the identity grey ramp for 8-bit);
-    ``rle`` emits BI_RLE8 (8-bit only)."""
+    BGRX, 16-bit masked (BI_RGB 5-5-5 by default, or BI_BITFIELDS with
+    explicit ``masks=(r, g, b)`` — each 8-bit channel quantizes by
+    integer rounding (v*max + 127) // 255), or palette 1/4/8-bit (2-D
+    index input + (N, 3) uint8 ``palette`` — defaults to the identity
+    grey ramp for 8-bit); ``rle`` emits BI_RLE8 (8-bit only)."""
     img = np.asarray(img)
     h, w = img.shape[:2]
     if (bpp > 8) != (img.ndim == 3):
@@ -239,6 +284,15 @@ def encode_bmp(img: np.ndarray, bpp: int = 24,
             bgrx = np.zeros((h, w, 4), dtype=np.uint8)
             bgrx[:, :, [2, 1, 0]] = src
             rows[:, :w * 4] = bgrx.reshape(h, w * 4)
+        elif bpp == 16:
+            use = masks or (0x7C00, 0x03E0, 0x001F)
+            px = np.zeros((h, w), dtype=np.uint16)
+            for c, mask in enumerate(use):
+                shift, maxv = _mask_params(int(mask), 16)
+                q = (src[:, :, c].astype(np.uint32) * maxv + 127) // 255
+                px |= (q << shift).astype(np.uint16)
+            rows[:, :w * 2] = px.astype("<u2").view(np.uint8).reshape(
+                h, w * 2)
         elif bpp == 8:
             rows[:, :w] = src
         else:
@@ -249,12 +303,14 @@ def encode_bmp(img: np.ndarray, bpp: int = 24,
                 packed = np.packbits(bitstream, bitorder="big")
                 rows[y, :len(packed)] = packed
         body = rows.tobytes()
-        compression = 0
+        compression = 3 if (masks is not None and bpp == 16) else 0
 
-    data_off = 14 + 40 + len(pal_bytes)
+    mask_bytes = (struct.pack("<III", *masks)
+                  if compression == 3 else b"")
+    data_off = 14 + 40 + len(mask_bytes) + len(pal_bytes)
     info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
                        1, bpp, compression, len(body), 2835, 2835,
                        (1 << bpp) if bpp <= 8 else 0, 0)
     hdr = struct.pack("<2sIHHI", BMP_SIG, data_off + len(body),
                       0, 0, data_off)
-    return hdr + info + pal_bytes + body
+    return hdr + info + mask_bytes + pal_bytes + body

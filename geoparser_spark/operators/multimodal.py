@@ -76,9 +76,9 @@ def decode_image(payload: bytes) -> "object":
     returns an (H, W[, C]) uint8 numpy array; PNG covers every
     spec-legal depth and Adam7; JPEG covers baseline AND progressive
     DCT; TIFF covers baseline chunky strips; operators/bmp_codec
-    covers palette/truecolor/RLE BMP).  Arithmetic-coded/12-bit/
-    hierarchical JPEG, tiled/planar/CCITT TIFF and BITFIELDS/16-bit
-    BMP raise NotImplementedError (degrade contract); other formats
+    covers palette/truecolor/RLE and masked 16/32-bit BITFIELDS BMP).
+    Arithmetic-coded/12-bit/hierarchical JPEG and tiled/planar/CCITT
+    TIFF raise NotImplementedError (degrade contract); other formats
     (WEBP pixels/...) stay the documented decoder seam — WebP DIMS
     parse header-only in operators/image_meta."""
     from geoparser_spark.operators import (bmp_codec, gif_codec,

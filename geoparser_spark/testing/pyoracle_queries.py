@@ -283,11 +283,13 @@ def _emit_feats(feats: list[float], dim: int) -> tuple:
 def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
     """Replica of the media-features query's THREE paths:
 
-    * doc_id % 30 == 0 → PNG: REAL pixel statistics recomputed from
-      the greyscale gradient PATTERN ((i*7 + y*w + x) % 256) with
-      pure-Python integer loops — the Spark side goes pattern →
-      encode_png → Arrow kernel → decode_png → features, so this
-      replica catches any codec defect without sharing a line of it.
+    * doc_id % 30 == 0 → PNG / TIFF / BMP-RLE8 / BMP-16bit rotating
+      by i//30: REAL pixel statistics recomputed from the greyscale
+      gradient PATTERN ((i*7 + y*w + x) % 256) with pure-Python
+      integer loops (the 16-bit masked leg replays the 5-5-5
+      quantize+upscale integer rule) — the Spark side goes pattern →
+      encoder → Arrow kernel → decoder → features, so this replica
+      catches any codec defect without sharing a line of it.
     * doc_id % 30 == 10 → GIF: same discipline over the 16-color
       palette pattern (idx = (i*5 + y*w + x) % 16, palette channel c
       = idx·{37,59,83} mod 256) — the Spark side round-trips a real
@@ -312,8 +314,15 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
             w, h = i % 9 + 4, i % 5 + 3
             n = w * h
             # greyscale: all three channel slots read channel 0
-            chans = [[(i * 7 + y * w + x) % 256
-                      for y in range(h) for x in range(w)]] * 3
+            band = [(i * 7 + y * w + x) % 256
+                    for y in range(h) for x in range(w)]
+            if (i // 30) % 4 == 3:
+                # BMP 16-bit 5-5-5 leg: encode quantizes each channel
+                # by (v*31 + 127)//255 and decode upscales by
+                # (q*255 + 15)//31 — replay the exact integer rule
+                band = [(((p * 31 + 127) // 255) * 255 + 15) // 31
+                        for p in band]
+            chans = [band] * 3
         elif i % 30 == 10:
             w, h = i % 7 + 3, i % 4 + 2
             n = w * h
