@@ -993,6 +993,10 @@ def _mm_media_features(spark, sf_dir):
                     # encodings of the SAME pixels (first three
                     # lossless; the 5-5-5 masked path quantizes by a
                     # fixed integer-rounding rule the oracle replays)
+                    from geoparser_spark.operators.bmp_codec import (
+                        encode_bmp,
+                    )
+
                     r = (i // 30) % 4
                     if r == 0:
                         blobs.append(encode_png(img))
@@ -1004,16 +1008,8 @@ def _mm_media_features(spark, sf_dir):
                         blobs.append(encode_tiff(
                             img, compression=5, predictor=2))
                     elif r == 2:
-                        from geoparser_spark.operators.bmp_codec import (
-                            encode_bmp,
-                        )
-
                         blobs.append(encode_bmp(img, bpp=8, rle=True))
                     else:
-                        from geoparser_spark.operators.bmp_codec import (
-                            encode_bmp,
-                        )
-
                         blobs.append(encode_bmp(
                             np.stack([img] * 3, axis=2), bpp=16))
                 elif i % 30 == 10:

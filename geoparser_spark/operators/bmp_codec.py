@@ -113,8 +113,9 @@ def _bitfields_decode(rows: np.ndarray, w: int, h: int, bpp: int,
     extracts via its mask and scales to 8 bits by integer rounding
     ((v*255 + max//2) // max) — deterministic, exact for 8-bit-wide
     masks, monotone for narrower ones."""
+    # uint64: a 30-bit mask's v*255 would wrap a uint32 accumulator
     px = rows[:, :w * (bpp // 8)].copy().view(
-        "<u2" if bpp == 16 else "<u4").reshape(h, w).astype(np.uint32)
+        "<u2" if bpp == 16 else "<u4").reshape(h, w).astype(np.uint64)
     chans = []
     for mask in masks:
         shift, maxv = _mask_params(int(mask), bpp)
@@ -253,6 +254,9 @@ def encode_bmp(img: np.ndarray, bpp: int = 24,
     grey ramp for 8-bit); ``rle`` emits BI_RLE8 (8-bit only)."""
     img = np.asarray(img)
     h, w = img.shape[:2]
+    if masks is not None and (bpp != 16 or len(masks) != 3):
+        raise ValueError("masks= is the 16-bit BITFIELDS path and "
+                         "needs exactly three RGB masks")
     if (bpp > 8) != (img.ndim == 3):
         raise ValueError("truecolor bpp needs (H, W, 3) input; "
                          "palette bpp needs (H, W) indices")

@@ -178,6 +178,21 @@ def test_bmp16_bitfields_565_and_32bit_masks():
     bad[54:58] = struct.pack("<I", 0xF001)
     with pytest.raises(ValueError, match="non-contiguous"):
         decode_bmp(bytes(bad))
+    # a 30-bit mask must not wrap the scale arithmetic: max raw value
+    # decodes to exactly 255
+    wide = bytearray(bytes(hdr40) + masks + body)
+    wide[54:58] = struct.pack("<I", 0x3FFFFFFF)  # 30-bit red mask
+    wide[58:62] = struct.pack("<I", 0x0000FF00)
+    wide[62:66] = struct.pack("<I", 0x000000FF)
+    px_off = struct.unpack("<I", wide[10:14])[0]
+    wide[px_off:px_off + 4] = struct.pack("<I", 0x3FFFFFFF)
+    out = decode_bmp(bytes(wide))
+    assert out[-1, 0, 0] == 255          # bottom-up: first stored pixel
+    # encoder masks= contract: 16-bit-only, exactly three masks
+    with pytest.raises(ValueError, match="three RGB masks"):
+        encode_bmp(rgb, bpp=32, masks=(0xF800, 0x07E0, 0x001F))
+    with pytest.raises(ValueError, match="three RGB masks"):
+        encode_bmp(rgb, bpp=16, masks=())
 
 
 def test_malformed_streams_valueerror():
