@@ -943,10 +943,10 @@ def _mm_media_features(spark, sf_dir):
     """Multimodal feature extraction with FIVE real pixel paths: the
     selected docs split round-robin into a deterministic greyscale
     gradient — rotating PNG / TIFF(LZW+predictor) / BMP(RLE8) /
-    BMP(16-bit 5-5-5 masked) encodings of the SAME pixels (the first
-    three lossless, the masked path a deterministic integer
-    quantize+upscale the oracle replays; png_codec/tiff_codec/
-    bmp_codec) —, actual
+    BMP(16-bit 5-5-5 masked) / TIFF(tiled, predictor restarting per
+    tile) encodings of the SAME pixels (all lossless except the
+    masked path, a deterministic integer quantize+upscale the oracle
+    replays; png_codec/tiff_codec/bmp_codec) —, actual
     GIFs (deterministic 16-color palette + LZW-compressed index
     pattern, gif_codec) and actual JPEGs — alternating BASELINE and
     PROGRESSIVE encodings of a deterministic coefficient-space pattern
@@ -989,29 +989,33 @@ def _mm_media_features(spark, sf_dir):
                     w, h = i % 9 + 4, i % 5 + 3
                     img = ((i * 7 + np.arange(h)[:, None] * w
                             + np.arange(w)[None, :]) % 256).astype(np.uint8)
-                    # rotate PNG / TIFF / BMP-RLE8 / BMP-16bit
-                    # encodings of the SAME pixels (first three
-                    # lossless; the 5-5-5 masked path quantizes by a
-                    # fixed integer-rounding rule the oracle replays)
+                    # rotate PNG / TIFF / BMP-RLE8 / BMP-16bit /
+                    # TIFF-tiled encodings of the SAME pixels (all
+                    # lossless except the 5-5-5 masked path, which
+                    # quantizes by a fixed integer-rounding rule the
+                    # oracle replays)
                     from geoparser_spark.operators.bmp_codec import (
                         encode_bmp,
                     )
+                    from geoparser_spark.operators.tiff_codec import (
+                        encode_tiff,
+                    )
 
-                    r = (i // 30) % 4
+                    r = (i // 30) % 5
                     if r == 0:
                         blobs.append(encode_png(img))
                     elif r == 1:
-                        from geoparser_spark.operators.tiff_codec import (
-                            encode_tiff,
-                        )
-
                         blobs.append(encode_tiff(
                             img, compression=5, predictor=2))
                     elif r == 2:
                         blobs.append(encode_bmp(img, bpp=8, rle=True))
-                    else:
+                    elif r == 3:
                         blobs.append(encode_bmp(
                             np.stack([img] * 3, axis=2), bpp=16))
+                    else:
+                        blobs.append(encode_tiff(
+                            img, compression=5, predictor=2,
+                            tile=(8, 8)))
                 elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w

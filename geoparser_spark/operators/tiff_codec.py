@@ -10,12 +10,17 @@ uint8 RGB[A] array for baseline chunky-planar TIFFs — grayscale
 rescaled by the exact integer factor 255/(2^d-1)) plus 16 (each
 sample keeps its most-significant byte, honoring the file's byte
 order), palette-color (photometric 3, 16-bit ColorMap entries mapped
-to 8 bits by their high byte) and 8-bit RGB/RGBA.  The FIRST IFD is
-the image (the same first-frame contract decode_gif pins for animated
-GIF); tiled layout, planar configuration 2, CCITT/JPEG-in-TIFF
-compression and YCbCr/CMYK color raise NotImplementedError (the
-documented degrade contract), while malformed streams raise ValueError
-— never an unguarded numpy/struct error that could kill an Arrow task.
+to 8 bits by their high byte) and 8-bit RGB/RGBA.  The TILED layout
+(tags 322-325, edge tiles padded then cropped) and PLANAR
+configuration 2 (plane-major segments) both decode for real at 8 bits
+— in every strip/tile x chunky/planar combination, with the predictor
+restarting at each segment's left edge as the spec requires.  The
+FIRST IFD is the image (the same first-frame contract decode_gif pins
+for animated GIF); sub-byte/16-bit tiled or planar variants,
+CCITT/JPEG-in-TIFF compression and YCbCr/CMYK color raise
+NotImplementedError (the documented degrade contract), while
+malformed streams raise ValueError — never an unguarded numpy/struct
+error that could kill an Arrow task.
 
 TIFF-LZW differs from GIF LZW in exactly two ways, both implemented
 from the 6.0 spec (section 13): codes pack MSB-first (GIF is
@@ -167,17 +172,21 @@ def decode_tiff(raw: bytes) -> np.ndarray:
     e = "<" if raw[:2] == b"II" else ">"
     tags = _read_ifd(raw, e)
 
-    if any(t in tags for t in (322, 323, 324, 325)):
-        raise NotImplementedError("tiled TIFF not supported (strips only)")
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar configuration 2 (separate planes)")
+    tiled = any(t in tags for t in (322, 323, 324, 325))
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"unknown planar configuration {planar}")
 
     try:
         w = tags[256][0]
         h = tags[257][0]
         photometric = tags[262][0]
-        offsets = tags[273]
-        counts = tags[279]
+        if tiled:
+            offsets = tags[324]
+            counts = tags[325]
+        else:
+            offsets = tags[273]
+            counts = tags[279]
     except (KeyError, IndexError):
         raise ValueError("missing required TIFF tag") from None
     if w == 0 or h == 0 or w * h > _MAX_PIXELS:
@@ -210,62 +219,128 @@ def decode_tiff(raw: bytes) -> np.ndarray:
     if predictor not in (1, 2):
         raise ValueError(f"unknown predictor {predictor}")
 
-    row_bytes = (w * bits * spp + 7) // 8
-    n_strips = (h + rps - 1) // rps
-    if len(offsets) < n_strips or len(counts) < n_strips:
-        raise ValueError("strip offset/count arrays shorter than image")
-
-    data = bytearray()
-    for s in range(n_strips):
-        rows = min(rps, h - s * rps)
-        want = rows * row_bytes
-        # some writers pad the LAST strip to full rows_per_strip; accept
-        # up to that (still bomb-capped) and truncate to the image rows
-        cap = min(rps, h) * row_bytes
-        off, cnt = offsets[s], counts[s]
-        if off + cnt > len(raw):
-            raise ValueError("strip data past end of stream")
-        chunk = raw[off:off + cnt]
+    def seg_decode(chunk: bytes, want: int, cap: int, kind: str) -> bytes:
+        """Decompress one strip/tile segment to at least ``want`` bytes
+        (decode capped at ``cap`` — some writers pad the last segment
+        to the full span; still bomb-limited)."""
         if compression == 1:
-            strip = chunk[:want]
+            out = chunk[:cap]
         elif compression == 5:
-            strip = _lzw_decode(chunk, cap)
+            out = _lzw_decode(chunk, cap)
         elif compression == 32773:
-            strip = _packbits_decode(chunk, cap)
+            out = _packbits_decode(chunk, cap)
         elif compression in (8, 32946):
             try:
-                # max_length caps a crafted deflate bomb at the strip size
-                strip = zlib.decompressobj().decompress(chunk, cap)
+                # max_length caps a crafted deflate bomb at the span size
+                out = zlib.decompressobj().decompress(chunk, cap)
             except zlib.error as exc:
-                raise ValueError(f"deflate strip corrupt: {exc}") from None
+                raise ValueError(f"deflate {kind} corrupt: {exc}") from None
         else:
             raise NotImplementedError(
                 f"TIFF compression {compression} not supported "
                 "(none/LZW/PackBits/Deflate only)")
-        if len(strip) < want:
-            raise ValueError("strip decodes short of its row span")
-        data += strip[:want]
+        if len(out) < want:
+            raise ValueError(f"{kind} decodes short of its span")
+        return out
 
-    arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, row_bytes)
+    def seg_bytes(k: int) -> bytes:
+        off, cnt = offsets[k], counts[k]
+        if off + cnt > len(raw):
+            raise ValueError("segment data past end of stream")
+        return raw[off:off + cnt]
 
-    if bits == 16:
-        # keep each sample's most-significant byte (file byte order)
-        msb = 0 if e == ">" else 1
-        px = arr.reshape(h, w, 2)[:, :, msb].copy()
-    elif bits == 8:
-        px = arr.reshape(h, w * spp)
-        if predictor == 2:
-            px = np.cumsum(
-                px.reshape(h, w, spp).astype(np.int64), axis=1) % 256
-            px = px.astype(np.uint8).reshape(h, w * spp)
-        # .copy() so every return is writable (frombuffer views are not)
-        px = (px.reshape(h, w, spp) if spp > 1
-              else px.reshape(h, w)).copy()
+    def undiff(block: np.ndarray) -> np.ndarray:
+        """Invert predictor 2 (per-sample horizontal differencing) over
+        one (rows, w, c) segment — strips, planes and tiles each restart
+        the accumulation at their own left edge."""
+        if predictor != 2:
+            return block
+        return (np.cumsum(block.astype(np.int64), axis=1) % 256).astype(
+            np.uint8)
+
+    if tiled or (planar == 2 and spp > 1):
+        # the separated/tiled matrix is 8-bit in practice; sub-byte or
+        # 16-bit variants of these layouts stay a documented seam
+        if bits != 8:
+            raise NotImplementedError(
+                "tiled / separate-plane TIFF decodes 8-bit samples only")
+
+    if tiled:
+        try:
+            tw, tl = tags[322][0], tags[323][0]
+        except (KeyError, IndexError):
+            raise ValueError("missing tile dimension tag") from None
+        if tw == 0 or tl == 0:
+            raise ValueError("zero tile dimensions")
+        ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+        planes = spp if planar == 2 else 1
+        spp_t = 1 if planar == 2 else spp
+        if ta * tw * td * tl * planes * spp_t > 4 * _MAX_PIXELS:
+            raise ValueError("tile grid out of range")
+        n_tiles = ta * td * planes
+        if len(offsets) < n_tiles or len(counts) < n_tiles:
+            raise ValueError("tile offset/count arrays shorter than image")
+        want = tl * tw * spp_t
+        canvas = np.zeros((planes, td * tl, ta * tw * spp_t), dtype=np.uint8)
+        for p in range(planes):
+            for ty in range(td):
+                for tx in range(ta):
+                    k = (p * td + ty) * ta + tx
+                    seg = seg_decode(seg_bytes(k), want, want, "tile")
+                    tile = undiff(np.frombuffer(
+                        seg[:want], dtype=np.uint8).reshape(tl, tw, spp_t))
+                    canvas[p, ty * tl:(ty + 1) * tl,
+                           tx * tw * spp_t:(tx + 1) * tw * spp_t] = \
+                        tile.reshape(tl, tw * spp_t)
+        if planar == 2 and spp > 1:
+            px = np.stack(
+                [canvas[p, :h, :w] for p in range(spp)], axis=2)
+        else:
+            px = canvas[0, :h, :w * spp].reshape(h, w, spp)
+            px = (px if spp > 1 else px.reshape(h, w)).copy()
+    elif planar == 2 and spp > 1:
+        nspp = (h + rps - 1) // rps          # strips per plane
+        if len(offsets) < spp * nspp or len(counts) < spp * nspp:
+            raise ValueError("strip offset/count arrays shorter than image")
+        planes_px = []
+        for p in range(spp):
+            data = bytearray()
+            for s in range(nspp):
+                rows_n = min(rps, h - s * rps)
+                data += seg_decode(seg_bytes(p * nspp + s), rows_n * w,
+                                   min(rps, h) * w, "strip")[:rows_n * w]
+            planes_px.append(undiff(np.frombuffer(
+                bytes(data), dtype=np.uint8).reshape(h, w, 1))[:, :, 0])
+        px = np.stack(planes_px, axis=2)
     else:
-        unpacked = np.unpackbits(arr, axis=1)[:, :w * bits]
-        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
-        px = (unpacked.reshape(h, w, bits).astype(np.uint16)
-              * weights).sum(axis=2)
+        row_bytes = (w * bits * spp + 7) // 8
+        n_strips = (h + rps - 1) // rps
+        if len(offsets) < n_strips or len(counts) < n_strips:
+            raise ValueError("strip offset/count arrays shorter than image")
+
+        data = bytearray()
+        for s in range(n_strips):
+            rows_n = min(rps, h - s * rps)
+            data += seg_decode(seg_bytes(s), rows_n * row_bytes,
+                               min(rps, h) * row_bytes,
+                               "strip")[:rows_n * row_bytes]
+
+        arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, row_bytes)
+
+        if bits == 16:
+            # keep each sample's most-significant byte (file byte order)
+            msb = 0 if e == ">" else 1
+            px = arr.reshape(h, w, 2)[:, :, msb].copy()
+        elif bits == 8:
+            px = undiff(arr.reshape(h, w, spp))
+            # .copy() so every return is writable (frombuffer views are not)
+            px = (px.reshape(h, w, spp) if spp > 1
+                  else px.reshape(h, w)).copy()
+        else:
+            unpacked = np.unpackbits(arr, axis=1)[:, :w * bits]
+            weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+            px = (unpacked.reshape(h, w, bits).astype(np.uint16)
+                  * weights).sum(axis=2)
 
     if photometric == 3:
         cmap = tags.get(320)
@@ -367,24 +442,67 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                 photometric: int | None = None, bits: int = 8,
                 palette: np.ndarray | None = None,
                 big_endian: bool = False,
-                ascii_tags: dict[int, str] | None = None) -> bytes:
+                ascii_tags: dict[int, str] | None = None,
+                tile: tuple[int, int] | None = None,
+                planar: bool = False) -> bytes:
     """(H, W[, C]) array -> TIFF bytes.  Grayscale at bits 1/2/4/8
     (2-D input holds values < 2^bits) or 16 (2-D uint16 input,
     serialized in the file's byte order), palette (2-D index input +
     (N, 3) uint8 ``palette``), or 8-bit RGB/RGBA (3-D input).
     ``photometric`` defaults to 1 (gray) / 2 (color) / 3 (palette);
     pass 0 for WhiteIsZero fixtures.  ``ascii_tags`` adds ASCII
-    (type 2) entries, e.g. {270: "caption"} for ImageDescription."""
+    (type 2) entries, e.g. {270: "caption"} for ImageDescription.
+    ``tile=(tw, tl)`` writes the tiled layout (tags 322-325, edge
+    tiles zero-padded to full size); ``planar=True`` writes
+    PlanarConfiguration 2 (plane-major segments) — both 8-bit-only,
+    matching the decoder's tiled/separated matrix."""
     img = np.asarray(img)
     e = ">" if big_endian else "<"
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
+    if (tile is not None or planar) and bits != 8:
+        raise ValueError("tiled/planar fixtures are 8-bit only")
+    if planar and spp == 1:
+        raise ValueError("planar=True needs a multi-sample image")
     if palette is not None:
         photometric = 3
     elif photometric is None:
         photometric = 1 if spp == 1 else 2
     rps = rows_per_strip or h
     row_bytes = (w * bits * spp + 7) // 8
+
+    if tile is not None or planar:
+        img3 = img.reshape(h, w, spp).astype(np.uint8)
+
+        def diff(block: np.ndarray) -> np.ndarray:
+            if predictor != 2:
+                return block
+            d = block.astype(np.int64).copy()
+            d[:, 1:, :] -= block.astype(np.int64)[:, :-1, :]
+            return (d % 256).astype(np.uint8)
+
+        segs_raw: list[bytes] = []
+        if tile is not None:
+            tw, tl = tile
+            ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+            for p in (range(spp) if planar else [None]):
+                src = img3[:, :, [p]] if planar else img3
+                c = src.shape[2]
+                for ty in range(td):
+                    for tx in range(ta):
+                        t = np.zeros((tl, tw, c), dtype=np.uint8)
+                        block = src[ty * tl:(ty + 1) * tl,
+                                    tx * tw:(tx + 1) * tw]
+                        t[:block.shape[0], :block.shape[1]] = block
+                        segs_raw.append(diff(t).tobytes())
+        else:
+            for p in range(spp):
+                plane = diff(img3[:, :, [p]])
+                for y0 in range(0, h, rps):
+                    segs_raw.append(plane[y0:y0 + rps].tobytes())
+        return _emit_tiff(segs_raw, e, w, h, spp, bits, compression,
+                          predictor, photometric, palette, ascii_tags,
+                          rps, tile, planar)
 
     if bits == 16:
         raw16 = img.astype(np.uint16).astype(e + "u2").tobytes()
@@ -404,23 +522,36 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
             packed[y] = np.packbits(bitstream, bitorder="big")[:row_bytes]
         rows = packed
 
-    strips = []
-    for y0 in range(0, h, rps):
-        block = rows[y0:y0 + rps].tobytes()
+    segs_raw = [rows[y0:y0 + rps].tobytes() for y0 in range(0, h, rps)]
+    return _emit_tiff(segs_raw, e, w, h, spp, bits, compression,
+                      predictor, photometric, palette, ascii_tags,
+                      rps, None, False)
+
+
+def _emit_tiff(segs_raw: list[bytes], e: str, w: int, h: int, spp: int,
+               bits: int, compression: int, predictor: int,
+               photometric: int, palette, ascii_tags,
+               rps: int, tile: tuple[int, int] | None,
+               planar: bool) -> bytes:
+    """Compress the raw segments and lay out header + data + IFD —
+    the one writer behind every encode_tiff layout (chunky strips,
+    planar strips, chunky/planar tiles)."""
+    segs = []
+    for block in segs_raw:
         if compression == 5:
-            strips.append(_lzw_encode(block))
+            segs.append(_lzw_encode(block))
         elif compression == 32773:
-            strips.append(_packbits_encode(block))
+            segs.append(_packbits_encode(block))
         elif compression in (8, 32946):
-            strips.append(zlib.compress(block))
+            segs.append(zlib.compress(block))
         else:
-            strips.append(block)
+            segs.append(block)
 
     body = bytearray()
-    strip_offsets = []
-    pos = 8                            # strips start right after header
-    for s in strips:
-        strip_offsets.append(pos)
+    seg_offsets = []
+    pos = 8                            # segments start right after header
+    for s in segs:
+        seg_offsets.append(pos)
         body += s
         pos += len(s)
     ifd_off = pos
@@ -440,10 +571,18 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     add(258, 3, [bits] * spp)
     add(259, 3, [compression])
     add(262, 3, [photometric])
-    add(273, 4, strip_offsets)
     add(277, 3, [spp])
-    add(278, 4, [rps])
-    add(279, 4, [len(s) for s in strips])
+    if tile is not None:
+        add(322, 4, [tile[0]])
+        add(323, 4, [tile[1]])
+        add(324, 4, seg_offsets)
+        add(325, 4, [len(s) for s in segs])
+    else:
+        add(273, 4, seg_offsets)
+        add(278, 4, [rps])
+        add(279, 4, [len(s) for s in segs])
+    if planar:
+        add(284, 3, [2])
     if predictor == 2:
         add(317, 3, [predictor])
     if palette is not None:

@@ -283,8 +283,8 @@ def _emit_feats(feats: list[float], dim: int) -> tuple:
 def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
     """Replica of the media-features query's THREE paths:
 
-    * doc_id % 30 == 0 → PNG / TIFF / BMP-RLE8 / BMP-16bit rotating
-      by i//30: REAL pixel statistics recomputed from the greyscale
+    * doc_id % 30 == 0 → PNG / TIFF / BMP-RLE8 / BMP-16bit /
+      TIFF-tiled rotating by i//30 mod 5: REAL pixel statistics recomputed from the greyscale
       gradient PATTERN ((i*7 + y*w + x) % 256) with pure-Python
       integer loops (the 16-bit masked leg replays the 5-5-5
       quantize+upscale integer rule) — the Spark side goes pattern →
@@ -316,7 +316,7 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
             # greyscale: all three channel slots read channel 0
             band = [(i * 7 + y * w + x) % 256
                     for y in range(h) for x in range(w)]
-            if (i // 30) % 4 == 3:
+            if (i // 30) % 5 == 3:
                 # BMP 16-bit 5-5-5 leg: encode quantizes each channel
                 # by (v*31 + 127)//255 and decode upscales by
                 # (q*255 + 15)//31 — replay the exact integer rule

@@ -150,15 +150,70 @@ def test_unsupported_layouts_degrade_not_crash():
             blob[off + 8:off + 10] = struct.pack(e + "H", 4)
     with pytest.raises(NotImplementedError, match="compression 4"):
         decode_tiff(bytes(blob))
-    # tiled layout: inject a TileWidth tag id in place of RowsPerStrip
+    # a TileWidth tag without TileOffsets/ByteCounts is a malformed
+    # tiled file, not a degrade case
     blob2 = bytearray(encode_tiff(img))
     for i in range(n):
         off = ifd_off + 2 + 12 * i
         tag = struct.unpack(e + "H", bytes(blob2[off:off + 2]))[0]
         if tag == 278:
             blob2[off:off + 2] = struct.pack(e + "H", 322)
-    with pytest.raises(NotImplementedError, match="tiled"):
+    with pytest.raises(ValueError, match="missing required"):
         decode_tiff(bytes(blob2))
+
+
+def test_tiff_tiled_roundtrips_and_edge_crop():
+    rng = np.random.default_rng(79)
+    # dimensions NOT multiples of the tile size: edge tiles pad + crop
+    gray = rng.integers(0, 256, size=(13, 21)).astype(np.uint8)
+    for comp in (1, 5, 32773, 8):
+        got = decode_tiff(encode_tiff(gray, compression=comp,
+                                      tile=(8, 8)))
+        assert np.array_equal(got, gray)
+    rgb = rng.integers(0, 256, size=(10, 17, 3)).astype(np.uint8)
+    # chunky tiles with the predictor restarting at each tile edge
+    got = decode_tiff(encode_tiff(rgb, compression=5, predictor=2,
+                                  tile=(16, 8)))
+    assert np.array_equal(got, rgb)
+    # planar tiles
+    got = decode_tiff(encode_tiff(rgb, compression=5, predictor=2,
+                                  tile=(8, 8), planar=True))
+    assert np.array_equal(got, rgb)
+    # tiled palette
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(9, 12)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(idx, palette=pal, tile=(8, 8)))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_tiff_planar_strips_roundtrip():
+    rng = np.random.default_rng(83)
+    rgb = rng.integers(0, 256, size=(11, 6, 3)).astype(np.uint8)
+    for comp, pred in ((1, 1), (5, 2), (32773, 1), (8, 2)):
+        blob = encode_tiff(rgb, compression=comp, predictor=pred,
+                           rows_per_strip=4, planar=True)
+        got = decode_tiff(blob)
+        assert np.array_equal(got, rgb)
+
+
+def test_tiff_tiled_validation():
+    rng = np.random.default_rng(89)
+    gray = rng.integers(0, 256, size=(9, 9)).astype(np.uint8)
+    blob = bytearray(encode_tiff(gray, tile=(8, 8)))
+    e = "<"
+    (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
+        if tag == 322:
+            blob[off + 8:off + 12] = struct.pack(e + "I", 0)
+    with pytest.raises(ValueError, match="zero tile"):
+        decode_tiff(bytes(blob))
+    # truncated tile data
+    blob2 = encode_tiff(gray, compression=5, tile=(8, 8))
+    with pytest.raises(ValueError):
+        decode_tiff(blob2[: len(blob2) // 3])
 
 
 def test_malformed_streams_valueerror():
