@@ -1015,7 +1015,7 @@ def _mm_media_features(spark, sf_dir):
                     else:
                         blobs.append(encode_tiff(
                             img, compression=5, predictor=2,
-                            tile=(8, 8)))
+                            tile=(16, 16)))
                 elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w

@@ -75,10 +75,12 @@ def decode_image(payload: bytes) -> "object":
     strip assembly + PackBits/TIFF-LZW/Deflate + predictor — each
     returns an (H, W[, C]) uint8 numpy array; PNG covers every
     spec-legal depth and Adam7; JPEG covers baseline AND progressive
-    DCT; TIFF covers baseline chunky strips; operators/bmp_codec
+    DCT; TIFF covers chunky strips at every depth plus 8-bit tiled
+    and planar-configuration-2 layouts; operators/bmp_codec
     covers palette/truecolor/RLE and masked 16/32-bit BITFIELDS BMP).
-    Arithmetic-coded/12-bit/hierarchical JPEG and tiled/planar/CCITT
-    TIFF raise NotImplementedError (degrade contract); other formats
+    Arithmetic-coded/12-bit/hierarchical JPEG, sub-byte/16-bit
+    tiled-or-planar TIFF and CCITT/JPEG-in-TIFF raise
+    NotImplementedError (degrade contract); other formats
     (WEBP pixels/...) stay the documented decoder seam — WebP DIMS
     parse header-only in operators/image_meta."""
     from geoparser_spark.operators import (bmp_codec, gif_codec,
@@ -98,7 +100,8 @@ def decode_image(payload: bytes) -> "object":
         if raw.startswith(bmp_codec.BMP_SIG):
             return bmp_codec.decode_bmp(raw)
     raise NotImplementedError(
-        "only PNG/GIF/JPEG (baseline + progressive DCT)/baseline-TIFF/"
+        "only PNG/GIF/JPEG (baseline + progressive DCT)/TIFF (strips "
+        "+ 8-bit tiles/planar)/"
         "BMP pixels decode in-sandbox; other formats are the documented "
         "decoder seam (see module docstring)")
 
@@ -108,7 +111,8 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                            ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
     decode_ok).  Arrow-batched.  PNG, GIF, JPEG (baseline +
-    progressive DCT) and baseline-TIFF payloads
+    progressive DCT) and TIFF (chunky strips at every depth,
+    8-bit tiled/planar) payloads
     decode to REAL pixels and emit real integer-exact pixel statistics
     (png_codec.pixel_features — dims, per-channel mean/variance,
     intensity histogram, each an integer aggregate + one IEEE division
@@ -132,7 +136,7 @@ def extract_media_features(media: DataFrame, dim: int = 16,
             # decode AND featurize inside the guard: a corrupt IDAT
             # raises zlib.error, an out-of-range palette index
             # IndexError, a truncated LZW stream ValueError, an
-            # arithmetic-coded JPEG or tiled TIFF NotImplementedError
+            # arithmetic-coded JPEG or CCITT TIFF NotImplementedError
             # — damaged or unsupported input must degrade to the stub
             # path (decode_ok=False), never kill the Arrow task
             try:

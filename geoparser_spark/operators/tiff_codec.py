@@ -275,28 +275,36 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
         planes = spp if planar == 2 else 1
         spp_t = 1 if planar == 2 else spp
-        if ta * tw * td * tl * planes * spp_t > 4 * _MAX_PIXELS:
-            raise ValueError("tile grid out of range")
+        if tw * tl * spp_t > 4 * _MAX_PIXELS:
+            raise ValueError("tile dimensions out of range")
         n_tiles = ta * td * planes
         if len(offsets) < n_tiles or len(counts) < n_tiles:
             raise ValueError("tile offset/count arrays shorter than image")
         want = tl * tw * spp_t
-        canvas = np.zeros((planes, td * tl, ta * tw * spp_t), dtype=np.uint8)
+        # paste cropped: edge tiles decode at their full padded size,
+        # but only the in-image region lands on the canvas, so any
+        # image inside the w*h bomb cap decodes with memory bounded by
+        # the image itself plus ONE padded tile — the same budget as
+        # the strip path (the old pre-crop canvas rejected legal
+        # in-cap images whose 16-aligned padding overshot the cap)
+        canvas = np.zeros((planes, h, w * spp_t), dtype=np.uint8)
         for p in range(planes):
             for ty in range(td):
+                rows_in = min(tl, h - ty * tl)
                 for tx in range(ta):
                     k = (p * td + ty) * ta + tx
                     seg = seg_decode(seg_bytes(k), want, want, "tile")
                     tile = undiff(np.frombuffer(
                         seg[:want], dtype=np.uint8).reshape(tl, tw, spp_t))
-                    canvas[p, ty * tl:(ty + 1) * tl,
-                           tx * tw * spp_t:(tx + 1) * tw * spp_t] = \
-                        tile.reshape(tl, tw * spp_t)
+                    cols_in = min(tw, w - tx * tw)
+                    canvas[p, ty * tl:ty * tl + rows_in,
+                           tx * tw * spp_t:(tx * tw + cols_in) * spp_t] = \
+                        tile[:rows_in, :cols_in].reshape(
+                            rows_in, cols_in * spp_t)
         if planar == 2 and spp > 1:
-            px = np.stack(
-                [canvas[p, :h, :w] for p in range(spp)], axis=2)
+            px = np.stack([canvas[p] for p in range(spp)], axis=2)
         else:
-            px = canvas[0, :h, :w * spp].reshape(h, w, spp)
+            px = canvas[0].reshape(h, w, spp)
             px = (px if spp > 1 else px.reshape(h, w)).copy()
     elif planar == 2 and spp > 1:
         nspp = (h + rps - 1) // rps          # strips per plane
@@ -412,6 +420,14 @@ def _lzw_encode(data: bytes) -> bytes:
         prev = bytes([b])
     if prev:
         emit(prev[0] if len(prev) == 1 else table[prev], width)
+        # the decoder adds a table entry for this final code too (it
+        # cannot know EOI follows), so if that add lands exactly on the
+        # early-change boundary the decoder reads EOI at the WIDER
+        # width — account for the phantom entry before emitting EOI
+        # (libtiff's LZWPostEncode does the same free-ent bump)
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(257, width)                   # EOI
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -435,6 +451,19 @@ def _packbits_encode(data: bytes) -> bytes:
             i += 1
         out += bytes([i - lit - 1]) + data[lit:i]
     return bytes(out)
+
+
+def _hdiff(block: np.ndarray, predictor: int) -> np.ndarray:
+    """Apply predictor 2 (per-sample horizontal differencing) to one
+    (rows, w, c) segment — the encoder-side inverse of decode_tiff's
+    ``undiff``; the single differencing implementation behind the
+    chunky-strip, planar-strip and tile writers."""
+    if predictor != 2:
+        return block
+    wide = block.astype(np.int64)
+    d = wide.copy()
+    d[:, 1:, :] -= wide[:, :-1, :]
+    return (d % 256).astype(np.uint8)
 
 
 def encode_tiff(img: np.ndarray, compression: int = 1,
@@ -462,6 +491,11 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     spp = 1 if img.ndim == 2 else img.shape[2]
     if (tile is not None or planar) and bits != 8:
         raise ValueError("tiled/planar fixtures are 8-bit only")
+    if tile is not None and (tile[0] % 16 or tile[1] % 16):
+        # TIFF 6.0 p.67: TileWidth and TileLength must each be a
+        # multiple of 16 — refuse to emit nonconforming fixtures (the
+        # decoder stays lenient, like most real readers)
+        raise ValueError("TileWidth/TileLength must be multiples of 16")
     if planar and spp == 1:
         raise ValueError("planar=True needs a multi-sample image")
     if palette is not None:
@@ -473,14 +507,6 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
 
     if tile is not None or planar:
         img3 = img.reshape(h, w, spp).astype(np.uint8)
-
-        def diff(block: np.ndarray) -> np.ndarray:
-            if predictor != 2:
-                return block
-            d = block.astype(np.int64).copy()
-            d[:, 1:, :] -= block.astype(np.int64)[:, :-1, :]
-            return (d % 256).astype(np.uint8)
-
         segs_raw: list[bytes] = []
         if tile is not None:
             tw, tl = tile
@@ -494,10 +520,10 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                         block = src[ty * tl:(ty + 1) * tl,
                                     tx * tw:(tx + 1) * tw]
                         t[:block.shape[0], :block.shape[1]] = block
-                        segs_raw.append(diff(t).tobytes())
+                        segs_raw.append(_hdiff(t, predictor).tobytes())
         else:
             for p in range(spp):
-                plane = diff(img3[:, :, [p]])
+                plane = _hdiff(img3[:, :, [p]], predictor)
                 for y0 in range(0, h, rps):
                     segs_raw.append(plane[y0:y0 + rps].tobytes())
         return _emit_tiff(segs_raw, e, w, h, spp, bits, compression,
@@ -510,9 +536,8 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     else:
         rows = img.reshape(h, w * spp).astype(np.uint8)
     if predictor == 2:
-        d = rows.reshape(h, w, spp).astype(np.int64)
-        d[:, 1:, :] -= d[:, :-1, :].copy()
-        rows = (d % 256).astype(np.uint8).reshape(h, w * spp)
+        rows = _hdiff(rows.reshape(h, w, spp), predictor).reshape(
+            h, w * spp)
     if bits < 8:
         packed = np.zeros((h, row_bytes), dtype=np.uint8)
         for y in range(h):

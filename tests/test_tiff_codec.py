@@ -136,6 +136,21 @@ def test_lzw_and_packbits_roundtrip_property(data):
     assert _packbits_decode(_packbits_encode(data), len(data)) == data
 
 
+def test_lzw_eoi_at_width_boundary_exact():
+    """The decoder adds a table entry for the FINAL data code before it
+    reads EOI, so when that add lands exactly on the early-change
+    boundary EOI must be written at the WIDER width (libtiff's
+    LZWPostEncode bump).  High-entropy streams whose phrase count hits
+    the 9→10 (k=254) and 10→11 (k=766) boundaries caught a real 2-byte
+    overrun in the tiled-TIFF fixtures — sweep every length around the
+    boundaries and require the decode to land on EXACTLY len(data)."""
+    rng = np.random.default_rng(101)
+    for lo, hi in ((246, 266), (756, 780), (1780, 1804)):
+        for n in range(lo, hi):
+            data = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+            assert _lzw_decode(_lzw_encode(data), n) == data
+
+
 def test_unsupported_layouts_degrade_not_crash():
     img = _gray(8, 8)
     blob = bytearray(encode_tiff(img))
@@ -165,25 +180,39 @@ def test_unsupported_layouts_degrade_not_crash():
 def test_tiff_tiled_roundtrips_and_edge_crop():
     rng = np.random.default_rng(79)
     # dimensions NOT multiples of the tile size: edge tiles pad + crop
-    gray = rng.integers(0, 256, size=(13, 21)).astype(np.uint8)
+    # across a multi-tile grid (2x3 tiles of 16x16)
+    gray = rng.integers(0, 256, size=(21, 37)).astype(np.uint8)
     for comp in (1, 5, 32773, 8):
         got = decode_tiff(encode_tiff(gray, compression=comp,
-                                      tile=(8, 8)))
+                                      tile=(16, 16)))
         assert np.array_equal(got, gray)
-    rgb = rng.integers(0, 256, size=(10, 17, 3)).astype(np.uint8)
+    rgb = rng.integers(0, 256, size=(18, 33, 3)).astype(np.uint8)
     # chunky tiles with the predictor restarting at each tile edge
     got = decode_tiff(encode_tiff(rgb, compression=5, predictor=2,
-                                  tile=(16, 8)))
+                                  tile=(16, 16)))
     assert np.array_equal(got, rgb)
     # planar tiles
     got = decode_tiff(encode_tiff(rgb, compression=5, predictor=2,
-                                  tile=(8, 8), planar=True))
+                                  tile=(16, 16), planar=True))
     assert np.array_equal(got, rgb)
     # tiled palette
     pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
-    idx = rng.integers(0, 16, size=(9, 12)).astype(np.uint8)
-    got = decode_tiff(encode_tiff(idx, palette=pal, tile=(8, 8)))
+    idx = rng.integers(0, 16, size=(17, 20)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(idx, palette=pal, tile=(16, 16)))
     assert np.array_equal(got, pal[idx])
+    # TIFF 6.0 p.67: tile dims must be multiples of 16 — the encoder
+    # refuses to emit nonconforming fixtures
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(gray, tile=(8, 8))
+    # ... but the decoder stays lenient: a hand-built 8x8-tile file
+    # (via the internal writer) still decodes
+    from geoparser_spark.operators.tiff_codec import _emit_tiff
+    small = gray[:5, :6]
+    pad = np.zeros((8, 8), dtype=np.uint8)
+    pad[:5, :6] = small
+    blob = _emit_tiff([pad.tobytes()], "<", 6, 5, 1, 8, 1, 1, 1,
+                      None, None, 5, (8, 8), False)
+    assert np.array_equal(decode_tiff(blob), small)
 
 
 def test_tiff_planar_strips_roundtrip():
@@ -199,7 +228,7 @@ def test_tiff_planar_strips_roundtrip():
 def test_tiff_tiled_validation():
     rng = np.random.default_rng(89)
     gray = rng.integers(0, 256, size=(9, 9)).astype(np.uint8)
-    blob = bytearray(encode_tiff(gray, tile=(8, 8)))
+    blob = bytearray(encode_tiff(gray, tile=(16, 16)))
     e = "<"
     (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
     (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
@@ -211,7 +240,7 @@ def test_tiff_tiled_validation():
     with pytest.raises(ValueError, match="zero tile"):
         decode_tiff(bytes(blob))
     # truncated tile data
-    blob2 = encode_tiff(gray, compression=5, tile=(8, 8))
+    blob2 = encode_tiff(gray, compression=5, tile=(16, 16))
     with pytest.raises(ValueError):
         decode_tiff(blob2[: len(blob2) // 3])
 
