@@ -940,13 +940,15 @@ def _mm_frame_plan(spark, sf_dir):
 
 
 def _mm_media_features(spark, sf_dir):
-    """Multimodal feature extraction with FIVE real pixel paths: the
+    """Multimodal feature extraction with SIX real pixel paths: the
     selected docs split round-robin into a deterministic greyscale
     gradient — rotating PNG / TIFF(LZW+predictor) / BMP(RLE8) /
     BMP(16-bit 5-5-5 masked) / TIFF(tiled, predictor restarting per
-    tile) encodings of the SAME pixels (all lossless except the
-    masked path, a deterministic integer quantize+upscale the oracle
-    replays; png_codec/tiff_codec/bmp_codec) —, actual
+    tile) / TIFF(CCITT G4 fax, pattern thresholded to bilevel)
+    encodings of the SAME pixels (all lossless except the masked path,
+    a deterministic integer quantize+upscale, and the bilevel fax
+    threshold — both integer rules the oracle replays;
+    png_codec/tiff_codec/ccitt_codec/bmp_codec) —, actual
     GIFs (deterministic 16-color palette + LZW-compressed index
     pattern, gif_codec) and actual JPEGs — alternating BASELINE and
     PROGRESSIVE encodings of a deterministic coefficient-space pattern
@@ -990,10 +992,10 @@ def _mm_media_features(spark, sf_dir):
                     img = ((i * 7 + np.arange(h)[:, None] * w
                             + np.arange(w)[None, :]) % 256).astype(np.uint8)
                     # rotate PNG / TIFF / BMP-RLE8 / BMP-16bit /
-                    # TIFF-tiled encodings of the SAME pixels (all
-                    # lossless except the 5-5-5 masked path, which
-                    # quantizes by a fixed integer-rounding rule the
-                    # oracle replays)
+                    # TIFF-tiled / TIFF-G4-fax encodings of the SAME
+                    # pixels (all lossless except the 5-5-5 masked
+                    # path and the fax bilevel threshold — both fixed
+                    # integer rules the oracle replays)
                     from geoparser_spark.operators.bmp_codec import (
                         encode_bmp,
                     )
@@ -1001,7 +1003,7 @@ def _mm_media_features(spark, sf_dir):
                         encode_tiff,
                     )
 
-                    r = (i // 30) % 5
+                    r = (i // 30) % 6
                     if r == 0:
                         blobs.append(encode_png(img))
                     elif r == 1:
@@ -1012,10 +1014,17 @@ def _mm_media_features(spark, sf_dir):
                     elif r == 3:
                         blobs.append(encode_bmp(
                             np.stack([img] * 3, axis=2), bpp=16))
-                    else:
+                    elif r == 4:
                         blobs.append(encode_tiff(
                             img, compression=5, predictor=2,
                             tile=(16, 16)))
+                    else:
+                        # CCITT G4 fax leg: threshold to bilevel
+                        # (>=128 -> stored bit 1 = black under
+                        # photometric 0)
+                        blobs.append(encode_tiff(
+                            (img >= 128).astype(np.uint8),
+                            compression=4, photometric=0, bits=1))
                 elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w

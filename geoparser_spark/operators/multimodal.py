@@ -76,10 +76,12 @@ def decode_image(payload: bytes) -> "object":
     returns an (H, W[, C]) uint8 numpy array; PNG covers every
     spec-legal depth and Adam7; JPEG covers baseline AND progressive
     DCT; TIFF covers chunky strips at every depth plus 8-bit tiled
-    and planar-configuration-2 layouts; operators/bmp_codec
+    and planar-configuration-2 layouts AND the three CCITT fax
+    compressions (MH/G3-1D/G4, operators/ccitt_codec);
+    operators/bmp_codec
     covers palette/truecolor/RLE and masked 16/32-bit BITFIELDS BMP).
     Arithmetic-coded/12-bit/hierarchical JPEG, sub-byte/16-bit
-    tiled-or-planar TIFF and CCITT/JPEG-in-TIFF raise
+    tiled-or-planar TIFF, 2-D-extended Group 3 and JPEG-in-TIFF raise
     NotImplementedError (degrade contract); other formats
     (WEBP pixels/...) stay the documented decoder seam — WebP DIMS
     parse header-only in operators/image_meta."""
@@ -112,7 +114,7 @@ def extract_media_features(media: DataFrame, dim: int = 16,
     """media(media_ref, media_bytes, ...) → (media_ref, feature[dim],
     decode_ok).  Arrow-batched.  PNG, GIF, JPEG (baseline +
     progressive DCT) and TIFF (chunky strips at every depth,
-    8-bit tiled/planar) payloads
+    8-bit tiled/planar, CCITT fax) payloads
     decode to REAL pixels and emit real integer-exact pixel statistics
     (png_codec.pixel_features — dims, per-channel mean/variance,
     intensity histogram, each an integer aggregate + one IEEE division
@@ -136,7 +138,7 @@ def extract_media_features(media: DataFrame, dim: int = 16,
             # decode AND featurize inside the guard: a corrupt IDAT
             # raises zlib.error, an out-of-range palette index
             # IndexError, a truncated LZW stream ValueError, an
-            # arithmetic-coded JPEG or CCITT TIFF NotImplementedError
+            # arithmetic-coded JPEG or JPEG-in-TIFF NotImplementedError
             # — damaged or unsupported input must degrade to the stub
             # path (decode_ok=False), never kill the Arrow task
             try:

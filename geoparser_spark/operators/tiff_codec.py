@@ -1,5 +1,6 @@
 """Pure-stdlib TIFF pixel codec (TIFF 6.0 baseline): IFD walk, strip
-assembly, PackBits / TIFF-LZW (early change) / Deflate decompression,
+assembly, PackBits / TIFF-LZW (early change) / Deflate / CCITT fax
+decompression (MH/G3-1D/G4 via operators/ccitt_codec),
 horizontal-differencing predictor.
 
 This is the FOURTH real pixel path in the sandbox (after PNG, GIF and
@@ -16,11 +17,13 @@ configuration 2 (plane-major segments) both decode for real at 8 bits
 — in every strip/tile x chunky/planar combination, with the predictor
 restarting at each segment's left edge as the spec requires.  The
 FIRST IFD is the image (the same first-frame contract decode_gif pins
-for animated GIF); sub-byte/16-bit tiled or planar variants,
-CCITT/JPEG-in-TIFF compression and YCbCr/CMYK color raise
-NotImplementedError (the documented degrade contract), while
-malformed streams raise ValueError — never an unguarded numpy/struct
-error that could kill an Arrow task.
+for animated GIF).  CCITT fax compressions (2 = Modified Huffman, 3 =
+Group 3 1-D, 4 = Group 4 MMR) decode for real on bilevel strips
+through operators/ccitt_codec.  Sub-byte/16-bit tiled or planar
+variants, 2-D-extended Group 3, JPEG-in-TIFF compression and
+YCbCr/CMYK color raise NotImplementedError (the documented degrade
+contract), while malformed streams raise ValueError — never an
+unguarded numpy/struct error that could kill an Arrow task.
 
 TIFF-LZW differs from GIF LZW in exactly two ways, both implemented
 from the 6.0 spec (section 13): codes pack MSB-first (GIF is
@@ -248,6 +251,36 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         if off + cnt > len(raw):
             raise ValueError("segment data past end of stream")
         return raw[off:off + cnt]
+
+    if compression in (2, 3, 4):
+        # CCITT fax (MH / G3-1D / G4 MMR): bits decode straight to
+        # runs, one independent block per strip (fresh G4 reference
+        # line each — TIFF 6.0 §11)
+        from geoparser_spark.operators import ccitt_codec
+
+        if tiled:
+            raise NotImplementedError("tiled CCITT TIFF not supported")
+        if bits != 1 or spp != 1:
+            raise ValueError("CCITT compression requires 1-bit samples")
+        if photometric not in (0, 1):
+            raise ValueError("CCITT TIFF must be bilevel photometric 0/1")
+        if compression == 3 and tags.get(292, [0])[0] & 1:
+            raise NotImplementedError(
+                "2-D-extended Group 3 (T4Options bit 0); G4 covers 2-D")
+        n_strips = (h + rps - 1) // rps
+        if len(offsets) < n_strips or len(counts) < n_strips:
+            raise ValueError("strip offset/count arrays shorter than image")
+        decode = (ccitt_codec.decode_g4 if compression == 4
+                  else ccitt_codec.decode_mh if compression == 2
+                  else ccitt_codec.decode_g3_1d)
+        parts = [decode(seg_bytes(s), w, min(rps, h - s * rps))
+                 for s in range(n_strips)]
+        black = parts[0] if len(parts) == 1 else np.vstack(parts)
+        # CCITT codes carry REAL colors: white -> 255 directly; a
+        # MinIsBlack photometric inverts the stored-bit sense, so the
+        # luminance flips (libtiff's handling)
+        px = np.where(black == 1, 0, 255).astype(np.uint8)
+        return (255 - px) if photometric == 1 else px
 
     def undiff(block: np.ndarray) -> np.ndarray:
         """Invert predictor 2 (per-sample horizontal differencing) over
@@ -504,6 +537,21 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
         photometric = 1 if spp == 1 else 2
     rps = rows_per_strip or h
     row_bytes = (w * bits * spp + 7) // 8
+
+    if compression in (2, 3, 4):           # CCITT fax fixtures
+        from geoparser_spark.operators.ccitt_codec import encode_ccitt
+
+        if bits != 1 or img.ndim != 2 or palette is not None:
+            raise ValueError("CCITT fixtures are 1-bit 2-D grayscale only")
+        if tile is not None or planar or predictor != 1:
+            raise ValueError("CCITT fixtures are plain chunky strips only")
+        # stored value 0 = white run regardless of photometric (the
+        # decoder applies the photometric-1 luminance flip)
+        segs_raw = [encode_ccitt(img[y0:y0 + rps] != 0, compression)
+                    for y0 in range(0, h, rps)]
+        return _emit_tiff(segs_raw, e, w, h, 1, 1, compression,
+                          predictor, photometric, None, ascii_tags,
+                          rps, None, False)
 
     if tile is not None or planar:
         img3 = img.reshape(h, w, spp).astype(np.uint8)

@@ -284,10 +284,12 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
     """Replica of the media-features query's THREE paths:
 
     * doc_id % 30 == 0 → PNG / TIFF / BMP-RLE8 / BMP-16bit /
-      TIFF-tiled rotating by i//30 mod 5: REAL pixel statistics recomputed from the greyscale
-      gradient PATTERN ((i*7 + y*w + x) % 256) with pure-Python
-      integer loops (the 16-bit masked leg replays the 5-5-5
-      quantize+upscale integer rule) — the Spark side goes pattern →
+      TIFF-tiled / TIFF-G4-fax rotating by i//30 mod 6: REAL pixel
+      statistics recomputed from the greyscale gradient PATTERN
+      ((i*7 + y*w + x) % 256) with pure-Python integer loops (the
+      16-bit masked leg replays the 5-5-5 quantize+upscale integer
+      rule; the fax leg the >=128 bilevel threshold to 0/255) — the
+      Spark side goes pattern →
       encoder → Arrow kernel → decoder → features, so this replica
       catches any codec defect without sharing a line of it.
     * doc_id % 30 == 10 → GIF: same discipline over the 16-color
@@ -316,12 +318,17 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
             # greyscale: all three channel slots read channel 0
             band = [(i * 7 + y * w + x) % 256
                     for y in range(h) for x in range(w)]
-            if (i // 30) % 5 == 3:
+            if (i // 30) % 6 == 3:
                 # BMP 16-bit 5-5-5 leg: encode quantizes each channel
                 # by (v*31 + 127)//255 and decode upscales by
                 # (q*255 + 15)//31 — replay the exact integer rule
                 band = [(((p * 31 + 127) // 255) * 255 + 15) // 31
                         for p in band]
+            elif (i // 30) % 6 == 5:
+                # CCITT G4 leg: the pattern thresholds to bilevel
+                # (>=128 -> black, stored bit 1 under photometric 0)
+                # and decodes to 0/255 luminance
+                band = [0 if p >= 128 else 255 for p in band]
             chans = [band] * 3
         elif i % 30 == 10:
             w, h = i % 7 + 3, i % 4 + 2

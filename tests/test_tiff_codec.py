@@ -154,7 +154,7 @@ def test_lzw_eoi_at_width_boundary_exact():
 def test_unsupported_layouts_degrade_not_crash():
     img = _gray(8, 8)
     blob = bytearray(encode_tiff(img))
-    # patch Compression (tag 259) to CCITT Group 4 (4)
+    # patch Compression (tag 259) to JPEG-in-TIFF (7): degrade path
     e = "<"
     (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
     (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
@@ -162,9 +162,18 @@ def test_unsupported_layouts_degrade_not_crash():
         off = ifd_off + 2 + 12 * i
         tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
         if tag == 259:
-            blob[off + 8:off + 10] = struct.pack(e + "H", 4)
-    with pytest.raises(NotImplementedError, match="compression 4"):
+            blob[off + 8:off + 10] = struct.pack(e + "H", 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(blob))
+    # CCITT (now real) on 8-bit samples is a malformed combination
+    blob4 = bytearray(encode_tiff(img))
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(blob4[off:off + 2]))[0]
+        if tag == 259:
+            blob4[off + 8:off + 10] = struct.pack(e + "H", 4)
+    with pytest.raises(ValueError, match="1-bit"):
+        decode_tiff(bytes(blob4))
     # a TileWidth tag without TileOffsets/ByteCounts is a malformed
     # tiled file, not a degrade case
     blob2 = bytearray(encode_tiff(img))
