@@ -170,18 +170,17 @@ class _BitReader:
         return len(self.data) * 8 - self.pos
 
     def peek(self, n: int) -> int:
-        """Next n bits, zero-padded past the end of data."""
-        out = 0
+        """Next n bits, zero-padded past the end of data (byte-wise:
+        one int.from_bytes, not a per-bit loop — this sits on the hot
+        Arrow decode path)."""
         p = self.pos
-        data = self.data
-        size = len(data)
-        for _ in range(n):
-            byte = p >> 3
-            out <<= 1
-            if byte < size:
-                out |= (data[byte] >> (7 - (p & 7))) & 1
-            p += 1
-        return out
+        off = p & 7
+        chunk = self.data[p >> 3:(p + n + 7) >> 3]
+        if not chunk:
+            return 0
+        have = len(chunk) * 8 - off
+        v = int.from_bytes(chunk, "big") & ((1 << have) - 1)
+        return v >> (have - n) if have >= n else v << (n - have)
 
     def skip(self, n: int) -> None:
         self.pos += n
@@ -206,10 +205,11 @@ def _read_run(br: _BitReader, black: bool) -> int:
     while True:
         run = None
         left = br.bits_left()
+        window = br.peek(_MAX_CODE_LEN)    # one peek; slice per length
         for ln in range(2, _MAX_CODE_LEN + 1):
             if ln > left:
                 break
-            cand = table.get((ln, br.peek(ln)))
+            cand = table.get((ln, window >> (_MAX_CODE_LEN - ln)))
             if cand is not None:
                 br.skip(ln)
                 run = cand
@@ -302,21 +302,29 @@ def decode_g3_1d(data: bytes, w: int, nrows: int) -> np.ndarray:
 
 # ----------------------------------------------------------------- T.6
 
-def _find_b1_b2(ref: list[int], a0: int, color: int,
-                w: int) -> tuple[int, int]:
+def _find_b1_b2(ref: list[int], a0: int, color: int, w: int,
+                start: int = 0) -> tuple[int, int, int]:
     """T.6's (b1, b2): the first changing element on the reference line
     strictly right of a0 that changes TO the color opposite ``color``
     (even index = change to black), and the element after it; ``w``
-    substitutes for elements past the end."""
-    i = 0
+    substitutes for elements past the end.
+
+    ``start`` is a resume hint: a0 only moves right within a row, so
+    callers pass the previous call's returned base index and the whole
+    row costs O(changes), not O(changes^2) — without the hint a crafted
+    wide dense row could pin a CPU for hours inside an Arrow kernel
+    (the anti-DoS contract above).  Returns (b1, b2, base) where base
+    is the next call's hint."""
+    i = start
     n = len(ref)
     while i < n and ref[i] <= a0:
         i += 1
+    base = i
     if (i & 1) != color:
         i += 1
     b1 = ref[i] if i < n else w
     b2 = ref[i + 1] if i + 1 < n else w
-    return b1, b2
+    return b1, b2, base
 
 
 _VERTICAL_ENC = {0: (0b1, 1), 1: (0b011, 3), 2: (0b000011, 6),
@@ -337,8 +345,9 @@ def decode_g4(data: bytes, w: int, nrows: int) -> np.ndarray:
         cur: list[int] = []
         a0 = -1
         color = 0
+        hint = 0
         while True:
-            b1, b2 = _find_b1_b2(ref, a0, color, w)
+            b1, b2, hint = _find_b1_b2(ref, a0, color, w, hint)
             if br.read(1) == 1:            # 1 = V0
                 a1 = b1
             else:
@@ -477,9 +486,10 @@ def encode_ccitt(black: np.ndarray, compression: int) -> bytes:
         a0 = -1
         color = 0
         ci = 0                             # index of the next a1 in cur
+        hint = 0
         while a0 < w:
             a1 = cur[ci] if ci < len(cur) else w
-            b1, b2 = _find_b1_b2(ref, a0, color, w)
+            b1, b2, hint = _find_b1_b2(ref, a0, color, w, hint)
             if b2 < a1:                    # pass
                 bw.emit(0b0001, 4)
                 a0 = b2

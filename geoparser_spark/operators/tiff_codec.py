@@ -50,6 +50,9 @@ import numpy as np
 #: little- and big-endian TIFF magic (byte order mark + 42)
 TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
+#: bit-reversal table for FillOrder 2 (lsb-first bytes, TIFF tag 266)
+_BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
 _MAX_PIXELS = 64_000_000          # same bomb cap as gif_codec
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}   # BYTE ASCII SHORT LONG RATIONAL
 
@@ -267,13 +270,29 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         if compression == 3 and tags.get(292, [0])[0] & 1:
             raise NotImplementedError(
                 "2-D-extended Group 3 (T4Options bit 0); G4 covers 2-D")
+        # uncompressed-mode extension (T4Options/T6Options bit 1) is
+        # legal-but-unsupported: degrade, don't misreport as malformed
+        if compression == 3 and tags.get(292, [0])[0] & 2:
+            raise NotImplementedError("G3 uncompressed mode (T4Options)")
+        if compression == 4 and tags.get(293, [0])[0] & 2:
+            raise NotImplementedError("G4 uncompressed mode (T6Options)")
+        fill_order = tags.get(266, [1])[0]
+        if fill_order not in (1, 2):
+            raise ValueError(f"unknown FillOrder {fill_order}")
         n_strips = (h + rps - 1) // rps
         if len(offsets) < n_strips or len(counts) < n_strips:
             raise ValueError("strip offset/count arrays shorter than image")
         decode = (ccitt_codec.decode_g4 if compression == 4
                   else ccitt_codec.decode_mh if compression == 2
                   else ccitt_codec.decode_g3_1d)
-        parts = [decode(seg_bytes(s), w, min(rps, h - s * rps))
+
+        def fax_bytes(s: int) -> bytes:
+            chunk = seg_bytes(s)
+            # FillOrder 2 (lsb-first bytes) is the common real-world
+            # fax byte order: reverse each byte before bit-decode
+            return chunk.translate(_BITREV) if fill_order == 2 else chunk
+
+        parts = [decode(fax_bytes(s), w, min(rps, h - s * rps))
                  for s in range(n_strips)]
         black = parts[0] if len(parts) == 1 else np.vstack(parts)
         # CCITT codes carry REAL colors: white -> 255 directly; a
@@ -281,6 +300,11 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         # luminance flips (libtiff's handling)
         px = np.where(black == 1, 0, 255).astype(np.uint8)
         return (255 - px) if photometric == 1 else px
+
+    if tags.get(266, [1])[0] == 2:
+        # lsb-first byte order outside fax is legal but vanishingly
+        # rare; degrade rather than silently mis-decode
+        raise NotImplementedError("FillOrder 2 outside CCITT fax")
 
     def undiff(block: np.ndarray) -> np.ndarray:
         """Invert predictor 2 (per-sample horizontal differencing) over
@@ -506,7 +530,8 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                 big_endian: bool = False,
                 ascii_tags: dict[int, str] | None = None,
                 tile: tuple[int, int] | None = None,
-                planar: bool = False) -> bytes:
+                planar: bool = False,
+                fill_order: int = 1) -> bytes:
     """(H, W[, C]) array -> TIFF bytes.  Grayscale at bits 1/2/4/8
     (2-D input holds values < 2^bits) or 16 (2-D uint16 input,
     serialized in the file's byte order), palette (2-D index input +
@@ -545,13 +570,19 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
             raise ValueError("CCITT fixtures are 1-bit 2-D grayscale only")
         if tile is not None or planar or predictor != 1:
             raise ValueError("CCITT fixtures are plain chunky strips only")
+        if fill_order not in (1, 2):
+            raise ValueError("fill_order must be 1 or 2")
         # stored value 0 = white run regardless of photometric (the
         # decoder applies the photometric-1 luminance flip)
         segs_raw = [encode_ccitt(img[y0:y0 + rps] != 0, compression)
                     for y0 in range(0, h, rps)]
+        if fill_order == 2:                # lsb-first fax byte order
+            segs_raw = [s.translate(_BITREV) for s in segs_raw]
         return _emit_tiff(segs_raw, e, w, h, 1, 1, compression,
                           predictor, photometric, None, ascii_tags,
-                          rps, None, False)
+                          rps, None, False, fill_order=fill_order)
+    if fill_order != 1:
+        raise ValueError("fill_order 2 is a CCITT-only fixture option")
 
     if tile is not None or planar:
         img3 = img.reshape(h, w, spp).astype(np.uint8)
@@ -605,7 +636,7 @@ def _emit_tiff(segs_raw: list[bytes], e: str, w: int, h: int, spp: int,
                bits: int, compression: int, predictor: int,
                photometric: int, palette, ascii_tags,
                rps: int, tile: tuple[int, int] | None,
-               planar: bool) -> bytes:
+               planar: bool, fill_order: int = 1) -> bytes:
     """Compress the raw segments and lay out header + data + IFD —
     the one writer behind every encode_tiff layout (chunky strips,
     planar strips, chunky/planar tiles)."""
@@ -656,6 +687,8 @@ def _emit_tiff(segs_raw: list[bytes], e: str, w: int, h: int, spp: int,
         add(279, 4, [len(s) for s in segs])
     if planar:
         add(284, 3, [2])
+    if fill_order == 2:
+        add(266, 3, [2])
     if predictor == 2:
         add(317, 3, [predictor])
     if palette is not None:

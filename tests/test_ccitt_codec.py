@@ -178,6 +178,70 @@ def test_roundtrip_property(w, h, seed, comp):
     assert np.array_equal(dec(cc.encode_ccitt(img, comp), w, h), img)
 
 
+def test_fillorder2_roundtrip_and_guards():
+    """FillOrder 2 (lsb-first bytes) is the common real-world fax byte
+    order: decode must bit-reverse before parsing; outside CCITT it
+    degrades."""
+    img = _speckle(14, 37, seed=53)
+    for comp in (2, 3, 4):
+        blob = encode_tiff(img, compression=comp, bits=1, fill_order=2)
+        ref = decode_tiff(encode_tiff(img, compression=1, bits=1))
+        assert np.array_equal(decode_tiff(blob), ref), comp
+    with pytest.raises(ValueError, match="CCITT-only"):
+        encode_tiff(_speckle(8, 8), fill_order=2)
+    # FillOrder 2 patched onto a non-CCITT file degrades cleanly
+    import struct
+    blob = bytearray(encode_tiff(_speckle(8, 8), compression=5))
+    e = "<"
+    (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
+        if tag == 277:                 # reuse SamplesPerPixel slot
+            blob[off:off + 2] = struct.pack(e + "H", 266)
+            blob[off + 8:off + 12] = struct.pack(e + "I", 2)
+    with pytest.raises(NotImplementedError, match="FillOrder 2"):
+        decode_tiff(bytes(blob))
+
+
+def test_uncompressed_mode_options_degrade():
+    """T4Options/T6Options bit 1 (uncompressed-mode extension) is
+    legal-but-unsupported: NotImplementedError, not 'malformed'."""
+    import struct
+    img = _speckle(8, 16, seed=59)
+    for comp, opt_tag in ((3, 292), (4, 293)):
+        blob = bytearray(encode_tiff(img, compression=comp, bits=1))
+        e = "<"
+        (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+        (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
+            if tag == 277:
+                blob[off:off + 2] = struct.pack(e + "H", opt_tag)
+                blob[off + 8:off + 12] = struct.pack(e + "I", 2)
+        with pytest.raises(NotImplementedError, match="uncompressed mode"):
+            decode_tiff(bytes(blob))
+
+
+def test_g4_dense_wide_rows_decode_in_linear_time():
+    """The reference-line search resumes from a per-row hint, so a
+    dense checkerboard (the worst case: one changing element per
+    pixel) must decode in time linear in its pixel count — the
+    pre-fix quadratic scan took >1s for this fixture."""
+    import time
+    w = 8000
+    img = ((np.arange(2)[:, None] + np.arange(w)[None, :]) % 2
+           ).astype(np.uint8)
+    data = cc.encode_ccitt(img, 4)
+    t0 = time.perf_counter()
+    out = cc.decode_g4(data, w, 2)
+    wall = time.perf_counter() - t0
+    assert np.array_equal(out, img)
+    assert wall < 0.5, f"dense G4 row decode took {wall:.2f}s"
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.binary(min_size=1, max_size=512), st.sampled_from([2, 3, 4]))
 def test_fuzz_never_unguarded(data, comp):
