@@ -76,12 +76,14 @@ def decode_image(payload: bytes) -> "object":
     returns an (H, W[, C]) uint8 numpy array; PNG covers every
     spec-legal depth and Adam7; JPEG covers baseline AND progressive
     DCT; TIFF covers chunky strips at every depth plus 8-bit tiled
-    and planar-configuration-2 layouts AND the three CCITT fax
-    compressions (MH/G3-1D/G4, operators/ccitt_codec);
-    operators/bmp_codec
+    and planar-configuration-2 layouts, the three CCITT fax
+    compressions (MH/G3-1D/G4, operators/ccitt_codec, FillOrder 2
+    honored) AND new-style JPEG-in-TIFF (compression 7, JPEGTables
+    merge); operators/bmp_codec
     covers palette/truecolor/RLE and masked 16/32-bit BITFIELDS BMP).
     Arithmetic-coded/12-bit/hierarchical JPEG, sub-byte/16-bit
-    tiled-or-planar TIFF, 2-D-extended Group 3 and JPEG-in-TIFF raise
+    tiled-or-planar TIFF, 2-D-extended Group 3 and old-style
+    JPEG-in-TIFF (compression 6) raise
     NotImplementedError (degrade contract); other formats
     (WEBP pixels/...) stay the documented decoder seam — WebP DIMS
     parse header-only in operators/image_meta."""

@@ -19,11 +19,15 @@ restarting at each segment's left edge as the spec requires.  The
 FIRST IFD is the image (the same first-frame contract decode_gif pins
 for animated GIF).  CCITT fax compressions (2 = Modified Huffman, 3 =
 Group 3 1-D, 4 = Group 4 MMR) decode for real on bilevel strips
-through operators/ccitt_codec.  Sub-byte/16-bit tiled or planar
-variants, 2-D-extended Group 3, JPEG-in-TIFF compression and
-YCbCr/CMYK color raise NotImplementedError (the documented degrade
-contract), while malformed streams raise ValueError — never an
-unguarded numpy/struct error that could kill an Arrow task.
+through operators/ccitt_codec, honoring FillOrder 2.  New-style
+JPEG-in-TIFF (compression 7, TechNote 2) decodes for real through
+operators/jpeg_codec — grayscale or YCbCr strips, with tag 347
+JPEGTables spliced ahead of each strip's SOI the way libtiff merges
+them.  Sub-byte/16-bit tiled or planar variants, 2-D-extended Group
+3, old-style JPEG (compression 6) and CMYK/Lab color raise
+NotImplementedError (the documented degrade contract), while
+malformed streams raise ValueError — never an unguarded numpy/struct
+error that could kill an Arrow task.
 
 TIFF-LZW differs from GIF LZW in exactly two ways, both implemented
 from the 6.0 spec (section 13): codes pack MSB-first (GIF is
@@ -54,7 +58,8 @@ TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 _BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
 
 _MAX_PIXELS = 64_000_000          # same bomb cap as gif_codec
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}   # BYTE ASCII SHORT LONG RATIONAL
+#: BYTE ASCII SHORT LONG RATIONAL UNDEFINED (7 carries JPEGTables)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _read_ifd(raw: bytes, e: str, with_ascii: bool = False):
@@ -91,7 +96,7 @@ def _read_ifd(raw: bytes, e: str, with_ascii: bool = False):
             if with_ascii:
                 ascii_tags[tag] = vbytes
             continue
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(struct.unpack(e + fmt * cnt, vbytes))
     return (tags, ascii_tags) if with_ascii else tags
 
@@ -204,9 +209,12 @@ def decode_tiff(raw: bytes) -> np.ndarray:
     rps = tags.get(278, [2 ** 32 - 1])[0] or h
     predictor = tags.get(317, [1])[0]
 
-    if photometric in (5, 6, 8):
+    if photometric in (5, 6, 8) and not (photometric == 6
+                                         and compression == 7):
+        # photometric 6 + compression 7 is YCbCr JPEG-in-TIFF, which
+        # decode_jpeg hands back as RGB directly (its own color step)
         raise NotImplementedError("CMYK/YCbCr/Lab TIFF not supported")
-    if photometric not in (0, 1, 2, 3):
+    if photometric not in (0, 1, 2, 3, 6):
         raise ValueError(f"unknown photometric interpretation {photometric}")
     if len(set(bits_list)) != 1:
         raise NotImplementedError("mixed per-sample bit depths")
@@ -214,6 +222,10 @@ def decode_tiff(raw: bytes) -> np.ndarray:
     if photometric == 2:
         if spp not in (3, 4) or bits != 8:
             raise NotImplementedError("RGB TIFF must be 8-bit, 3-4 samples")
+    elif photometric == 6:
+        if spp != 3 or bits != 8:
+            raise NotImplementedError(
+                "YCbCr JPEG-in-TIFF must be 8-bit, 3 samples")
     elif spp != 1:
         raise NotImplementedError("multi-sample grayscale/palette TIFF")
     elif bits not in (1, 2, 4, 8, 16):
@@ -305,6 +317,40 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         # lsb-first byte order outside fax is legal but vanishingly
         # rare; degrade rather than silently mis-decode
         raise NotImplementedError("FillOrder 2 outside CCITT fax")
+
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): each strip is a
+        # JPEG stream; tag 347 (JPEGTables) holds an abbreviated
+        # tables-only stream spliced ahead of every strip's SOI,
+        # exactly libtiff's merge
+        from geoparser_spark.operators import jpeg_codec
+
+        if tiled:
+            raise NotImplementedError("tiled JPEG-in-TIFF not supported")
+        if photometric not in (1, 6):
+            raise NotImplementedError(
+                "JPEG-in-TIFF decodes grayscale (photometric 1) or "
+                "YCbCr (6) only")
+        tables = bytes(tags.get(347, []))
+        if tables and (len(tables) < 4 or tables[:2] != b"\xff\xd8"
+                       or tables[-2:] != b"\xff\xd9"):
+            raise ValueError("malformed JPEGTables stream")
+        n_strips = (h + rps - 1) // rps
+        if len(offsets) < n_strips or len(counts) < n_strips:
+            raise ValueError("strip offset/count arrays shorter than image")
+        parts = []
+        for s in range(n_strips):
+            stream = seg_bytes(s)
+            if tables:
+                if stream[:2] != b"\xff\xd8":
+                    raise ValueError("JPEG strip missing SOI")
+                stream = tables[:-2] + stream[2:]
+            strip_px = jpeg_codec.decode_jpeg(stream)
+            rows_n = min(rps, h - s * rps)
+            if strip_px.shape[0] < rows_n or strip_px.shape[1] != w:
+                raise ValueError("JPEG strip dimensions mismatch")
+            parts.append(strip_px[:rows_n])
+        return parts[0] if len(parts) == 1 else np.vstack(parts)
 
     def undiff(block: np.ndarray) -> np.ndarray:
         """Invert predictor 2 (per-sample horizontal differencing) over
@@ -531,7 +577,8 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                 ascii_tags: dict[int, str] | None = None,
                 tile: tuple[int, int] | None = None,
                 planar: bool = False,
-                fill_order: int = 1) -> bytes:
+                fill_order: int = 1,
+                split_jpeg_tables: bool = False) -> bytes:
     """(H, W[, C]) array -> TIFF bytes.  Grayscale at bits 1/2/4/8
     (2-D input holds values < 2^bits) or 16 (2-D uint16 input,
     serialized in the file's byte order), palette (2-D index input +
@@ -584,6 +631,29 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     if fill_order != 1:
         raise ValueError("fill_order 2 is a CCITT-only fixture option")
 
+    if compression == 7:                   # new-style JPEG-in-TIFF
+        from geoparser_spark.operators.jpeg_codec import encode_jpeg_gray
+
+        if bits != 8 or img.ndim != 2 or palette is not None:
+            raise ValueError(
+                "JPEG-in-TIFF fixtures are 8-bit 2-D grayscale only")
+        if tile is not None or planar or predictor != 1:
+            raise ValueError(
+                "JPEG-in-TIFF fixtures are plain chunky strips only")
+        segs_raw = [encode_jpeg_gray(img[y0:y0 + rps].astype(np.uint8))
+                    for y0 in range(0, h, rps)]
+        jpeg_tables = None
+        if split_jpeg_tables:
+            # hoist DQT/DHT out of every strip into tag 347 — the
+            # abbreviated-stream layout most real writers use
+            tabs, segs_raw = _split_jpeg_tables(segs_raw)
+            jpeg_tables = tabs
+        return _emit_tiff(segs_raw, e, w, h, 1, 8, compression,
+                          predictor, photometric, None, ascii_tags,
+                          rps, None, False, jpeg_tables=jpeg_tables)
+    if split_jpeg_tables:
+        raise ValueError("split_jpeg_tables needs compression=7")
+
     if tile is not None or planar:
         img3 = img.reshape(h, w, spp).astype(np.uint8)
         segs_raw: list[bytes] = []
@@ -632,11 +702,46 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                       rps, None, False)
 
 
+def _split_jpeg_tables(streams: list[bytes]) -> tuple[bytes, list[bytes]]:
+    """Hoist DQT/DHT marker segments out of each complete JPEG stream
+    into ONE abbreviated JPEGTables stream (the TIFF TechNote 2 layout
+    real writers use): returns (SOI + table segments + EOI, streams
+    minus their table segments).  Fixture strips all come from the
+    same encoder settings, so the first stream's tables serve as the
+    shared set."""
+    tables = bytearray(b"\xff\xd8")
+    out = []
+    for k, s in enumerate(streams):
+        if s[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG stream")
+        kept = bytearray(b"\xff\xd8")
+        i = 2
+        while i + 2 <= len(s):
+            if s[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = s[i + 1]
+            if marker in (0xD9, 0xDA):     # EOI / SOS: rest stays put
+                kept += s[i:]
+                break
+            (ln,) = struct.unpack(">H", s[i + 2:i + 4])
+            seg = s[i:i + 2 + ln]
+            if marker in (0xDB, 0xC4):     # DQT / DHT -> tag 347
+                if k == 0:
+                    tables += seg
+            else:
+                kept += seg
+            i += 2 + ln
+        out.append(bytes(kept))
+    tables += b"\xff\xd9"
+    return bytes(tables), out
+
+
 def _emit_tiff(segs_raw: list[bytes], e: str, w: int, h: int, spp: int,
                bits: int, compression: int, predictor: int,
                photometric: int, palette, ascii_tags,
                rps: int, tile: tuple[int, int] | None,
-               planar: bool, fill_order: int = 1) -> bytes:
+               planar: bool, fill_order: int = 1,
+               jpeg_tables: bytes | None = None) -> bytes:
     """Compress the raw segments and lay out header + data + IFD —
     the one writer behind every encode_tiff layout (chunky strips,
     planar strips, chunky/planar tiles)."""
@@ -689,6 +794,8 @@ def _emit_tiff(segs_raw: list[bytes], e: str, w: int, h: int, spp: int,
         add(284, 3, [2])
     if fill_order == 2:
         add(266, 3, [2])
+    if jpeg_tables is not None:
+        entries.append((347, 7, len(jpeg_tables), jpeg_tables))
     if predictor == 2:
         add(317, 3, [predictor])
     if palette is not None:

@@ -154,7 +154,7 @@ def test_lzw_eoi_at_width_boundary_exact():
 def test_unsupported_layouts_degrade_not_crash():
     img = _gray(8, 8)
     blob = bytearray(encode_tiff(img))
-    # patch Compression (tag 259) to JPEG-in-TIFF (7): degrade path
+    # patch Compression (tag 259) to JPEG2000-in-TIFF (34712): degrade
     e = "<"
     (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
     (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
@@ -162,8 +162,8 @@ def test_unsupported_layouts_degrade_not_crash():
         off = ifd_off + 2 + 12 * i
         tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
         if tag == 259:
-            blob[off + 8:off + 10] = struct.pack(e + "H", 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
+            blob[off + 8:off + 10] = struct.pack(e + "H", 34712)
+    with pytest.raises(NotImplementedError, match="compression 34712"):
         decode_tiff(bytes(blob))
     # CCITT (now real) on 8-bit samples is a malformed combination
     blob4 = bytearray(encode_tiff(img))
@@ -409,3 +409,55 @@ def test_make_mini_tiff_caption_roundtrip():
     assert got == ("tiff", 4, 2, ["caffé ☕ caption"])
     two = parse_image_meta(make_mini_tiff(3, 3, ["desc", "soft"]))
     assert two == ("tiff", 3, 3, ["desc", "soft"])
+
+
+def test_jpeg_in_tiff_decodes_real_pixels():
+    """New-style JPEG-in-TIFF (compression 7): the TIFF wrapper must
+    land on exactly the pixels decode_jpeg produces for the same
+    streams — single strip, multi strip, and the JPEGTables (tag 347)
+    abbreviated layout."""
+    from geoparser_spark.operators.jpeg_codec import (decode_jpeg,
+                                                      encode_jpeg_gray)
+
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, size=(37, 53)).astype(np.uint8)
+    direct = decode_jpeg(encode_jpeg_gray(img))
+    assert np.array_equal(decode_tiff(encode_tiff(img, compression=7)),
+                          direct)
+    exp = np.vstack([decode_jpeg(encode_jpeg_gray(img[y0:y0 + 16]))
+                     for y0 in range(0, 37, 16)])
+    plain = encode_tiff(img, compression=7, rows_per_strip=16)
+    split = encode_tiff(img, compression=7, rows_per_strip=16,
+                        split_jpeg_tables=True)
+    assert np.array_equal(decode_tiff(plain), exp)
+    assert np.array_equal(decode_tiff(split), exp)
+    assert len(split) < len(plain)      # tables hoisted once, not per strip
+
+
+def test_jpeg_in_tiff_guards():
+    from geoparser_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, size=(12, 20)).astype(np.uint8)
+    blob = encode_tiff(img, compression=7)
+    # routes through the multimodal guard as a real decode
+    assert np.array_equal(decode_image(blob), decode_tiff(blob))
+    # truncated strip data degrades as ValueError
+    with pytest.raises(ValueError):
+        decode_tiff(blob[: len(blob) - 40])
+    # old-style JPEG (compression 6) stays a degrade path
+    e = "<"
+    b = bytearray(blob)
+    (ifd_off,) = struct.unpack(e + "I", bytes(b[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(b[ifd_off:ifd_off + 2]))
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(b[off:off + 2]))[0]
+        if tag == 259:
+            b[off + 8:off + 10] = struct.pack(e + "H", 6)
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        decode_tiff(bytes(b))
+    with pytest.raises(ValueError, match="grayscale only"):
+        encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), compression=7)
+    with pytest.raises(ValueError, match="compression=7"):
+        encode_tiff(img, split_jpeg_tables=True)
