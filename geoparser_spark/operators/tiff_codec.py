@@ -82,6 +82,11 @@ def _read_ifd(raw: bytes, e: str, with_ascii: bool = False):
         size = _TYPE_SIZE.get(typ)
         if size is None or typ == 5 or cnt == 0:   # RATIONAL: not pixel tags
             continue
+        if typ == 7 and tag != 347:
+            # opaque UNDEFINED blobs (ICC profiles, Photoshop
+            # ImageSourceData, EXIF...) are skipped, not parsed: they
+            # can be multi-MB and only JPEGTables is pixel-relevant
+            continue
         total = size * cnt
         if cnt > 1_000_000:
             raise ValueError("IFD value count out of range")
@@ -327,6 +332,11 @@ def decode_tiff(raw: bytes) -> np.ndarray:
 
         if tiled:
             raise NotImplementedError("tiled JPEG-in-TIFF not supported")
+        if planar == 2 and spp > 1:
+            # TechNote 2 allows one single-component JPEG per plane;
+            # reading only the first n_strips would silently return
+            # the Y plane as grayscale — degrade instead
+            raise NotImplementedError("planar JPEG-in-TIFF not supported")
         if photometric not in (1, 6):
             raise NotImplementedError(
                 "JPEG-in-TIFF decodes grayscale (photometric 1) or "
@@ -349,6 +359,10 @@ def decode_tiff(raw: bytes) -> np.ndarray:
             rows_n = min(rps, h - s * rps)
             if strip_px.shape[0] < rows_n or strip_px.shape[1] != w:
                 raise ValueError("JPEG strip dimensions mismatch")
+            # component count must match the declared photometric, or
+            # a gray-striped "color" file would silently change shape
+            if strip_px.ndim != (2 if photometric == 1 else 3):
+                raise ValueError("JPEG strip component count mismatch")
             parts.append(strip_px[:rows_n])
         return parts[0] if len(parts) == 1 else np.vstack(parts)
 
@@ -723,7 +737,11 @@ def _split_jpeg_tables(streams: list[bytes]) -> tuple[bytes, list[bytes]]:
             if marker in (0xD9, 0xDA):     # EOI / SOS: rest stays put
                 kept += s[i:]
                 break
+            if i + 4 > len(s):
+                raise ValueError("JPEG marker segment truncated")
             (ln,) = struct.unpack(">H", s[i + 2:i + 4])
+            if ln < 2 or i + 2 + ln > len(s):
+                raise ValueError("JPEG marker length out of range")
             seg = s[i:i + 2 + ln]
             if marker in (0xDB, 0xC4):     # DQT / DHT -> tag 347
                 if k == 0:

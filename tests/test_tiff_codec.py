@@ -461,3 +461,58 @@ def test_jpeg_in_tiff_guards():
         encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), compression=7)
     with pytest.raises(ValueError, match="compression=7"):
         encode_tiff(img, split_jpeg_tables=True)
+
+
+def test_large_undefined_tags_are_skipped_not_fatal():
+    """Multi-MB UNDEFINED tags (ICC profiles, Photoshop
+    ImageSourceData) must be skipped by the IFD walk, not parsed or
+    rejected — only JPEGTables (347) is pixel-relevant."""
+    img = _gray(9, 11, seed=73)
+    blob = bytearray(encode_tiff(img, compression=5))
+    e = "<"
+    (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+    # rewrite an inessential tag (277 SamplesPerPixel, default 1) into
+    # a type-7 entry with a preposterous count: decode must still work
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(blob[off:off + 2]))[0]
+        if tag == 277:
+            blob[off:off + 8] = struct.pack(e + "HHI", 37724, 7,
+                                            2_000_000)
+    assert np.array_equal(decode_tiff(bytes(blob)), img)
+
+
+def test_jpeg_in_tiff_planar_and_component_guards():
+    from geoparser_spark.operators.tiff_codec import _read_ifd
+
+    rng = np.random.default_rng(83)
+    img = rng.integers(0, 256, size=(16, 32)).astype(np.uint8)
+    blob = bytearray(encode_tiff(img, compression=7))
+    e = "<"
+    (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+
+    def patch(b, tag_from, tag_to, value):
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag = struct.unpack(e + "H", bytes(b[off:off + 2]))[0]
+            if tag == tag_from:
+                b[off:off + 2] = struct.pack(e + "H", tag_to)
+                b[off + 8:off + 12] = struct.pack(e + "I", value)
+
+    # declare photometric 6 / spp 3 over 1-component strips: the
+    # component-count check must reject, not silently return gray
+    b = bytearray(blob)
+    patch(b, 262, 262, 6)
+    patch(b, 277, 277, 3)
+    with pytest.raises(ValueError, match="component count"):
+        decode_tiff(bytes(b))
+    # planar JPEG-in-TIFF degrades (repurpose the RowsPerStrip slot
+    # into PlanarConfiguration=2 — rps then defaults to full height)
+    b = bytearray(blob)
+    patch(b, 262, 262, 6)
+    patch(b, 277, 277, 3)
+    patch(b, 278, 284, 2)
+    with pytest.raises(NotImplementedError, match="planar JPEG"):
+        decode_tiff(bytes(b))
