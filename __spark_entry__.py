@@ -1137,10 +1137,10 @@ def _mm_audio_features(spark, sf_dir):
     doc_id-rotating FORMAT — integer PCM 8/16/24/32 (the pattern is
     quantized to the 8-bit grid when needed so the encode→decode
     round-trip is bit-exact), IEEE float32/float64 (s/32768.0 is exact
-    both ways), WAVE_FORMAT_EXTENSIBLE-wrapped PCM, IMA ADPCM (lossy:
-    the oracle replays the encoder+decoder quantizer state machine
-    scalar-for-scalar), and G.711 µ-law/A-law (lossy: nearest-code
-    quantization replayed against the decode table) — and
+    both ways), WAVE_FORMAT_EXTENSIBLE-wrapped PCM, IMA ADPCM and
+    MS-ADPCM (lossy: the oracle replays each encoder+decoder quantizer
+    state machine scalar-for-scalar), and G.711 µ-law/A-law (lossy:
+    nearest-code quantization replayed against the decode table) — and
     extract_audio_features decodes
     the samples back in the production Arrow kernel → integer-exact
     signal statistics.  The pyoracle replica recomputes everything
@@ -1161,6 +1161,7 @@ def _mm_audio_features(spark, sf_dir):
             make_wav_adpcm,
             make_wav_float,
             make_wav_g711,
+            make_wav_ms_adpcm,
             make_wav_pcm,
         )
 
@@ -1172,7 +1173,7 @@ def _mm_audio_features(spark, sf_dir):
                 channels = 1 + i % 2
                 rate = 8000 + (i % 5) * 8000
                 variant = (8, 16, 24, 32, "f32", "f64", "x16",
-                           "ima", "ulaw", "alaw")[(i // 25) % 10]
+                           "ima", "ms", "ulaw", "alaw")[(i // 25) % 11]
                 k = np.arange(n, dtype=np.int64)
                 s = np.stack([
                     ((i * 7 + k * 13 + ch * 5) % 65536) - 32768
@@ -1188,6 +1189,8 @@ def _mm_audio_features(spark, sf_dir):
                     blob = make_wav_pcm(s, rate, 16, extensible=True)
                 elif variant == "ima":
                     blob = make_wav_adpcm(s, rate)
+                elif variant == "ms":
+                    blob = make_wav_ms_adpcm(s, rate)
                 elif variant in ("ulaw", "alaw"):
                     blob = make_wav_g711(s, rate, variant)
                 else:

@@ -259,10 +259,10 @@ def make_mini_flac(sample_rate: int = 8000, channels: int = 1,
 # --------------------------------------------------------- sample decode
 # The metadata walk above needs no codec; WAV *samples* decode with
 # pure numpy for integer PCM, IEEE-float PCM, WAVE_FORMAT_EXTENSIBLE
-# wrappers of either, IMA ADPCM, and G.711 µ-law/A-law (all
+# wrappers of either, IMA ADPCM, MS-ADPCM, and G.711 µ-law/A-law (all
 # deterministic integer / exact IEEE arithmetic).  The lossy-codec/ASR
-# stack stays the documented seam (transcribe_audio above; MS-ADPCM/
-# MP3 raise NotImplementedError).
+# stack stays the documented seam (transcribe_audio above; MP3 raises
+# NotImplementedError).
 
 _MAX_SAMPLES = 256_000_000     # bomb guard: total samples per stream
 
@@ -279,6 +279,20 @@ _IMA_STEP = [
     27086, 29794, 32767,
 ]
 _IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+# MS-ADPCM tables (Microsoft "Multimedia Programming Interface and
+# Data Specifications" WAVE_FORMAT_ADPCM): 7 standard predictor
+# coefficient pairs and the 16-entry delta adaptation table indexed by
+# the raw 4-bit nibble code.
+_MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+# bomb guard: legitimate encoder deltas stay ~4 decimal digits (the
+# idelta header field is itself an int16); the clamp only stops a
+# crafted stream from overflowing the int64 accumulator via the
+# x3-per-step growth of repeated adapt=768 nibbles
+_MS_DELTA_MAX = 1 << 24
 
 
 def _decode_pcm_int(data: bytes, bits: int) -> "object":
@@ -402,6 +416,65 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int,
     return out.transpose(0, 2, 1).reshape(n_blocks * spb, channels)
 
 
+def _decode_ms_adpcm(data: bytes, channels: int, block_align: int,
+                     spb: int, coef1: "object",
+                     coef2: "object") -> "object":
+    """MS-ADPCM data chunk -> (n_frames, channels) int32 samples.
+
+    Same vectorization strategy as :func:`_decode_ima_adpcm`: blocks
+    are independent (each header carries predictor index, idelta and
+    the two verbatim warm-up samples per channel), so the sequential
+    adaptive-delta state machine runs one Python step per in-block
+    sample position, numpy over (blocks x channels).  Arithmetic is
+    the Microsoft spec's: pred = (s1*coef1 + s2*coef2) >> 8 (arithmetic
+    shift), sample = clamp16(pred + signed_nibble*delta), delta =
+    max(16, (adapt[nibble]*delta) >> 8)."""
+    import numpy as np
+
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, channels), dtype=np.int32)
+    blocks = np.frombuffer(
+        data[:n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+    bpred = blocks[:, :channels].astype(np.int64)
+    if int(bpred.max(initial=0)) >= len(coef1):
+        raise ValueError("MS-ADPCM predictor index out of range")
+    hdr = blocks[:, channels:7 * channels].reshape(
+        n_blocks, 3, channels, 2)
+    vals = (hdr[:, :, :, 0].astype(np.int64)
+            | (hdr[:, :, :, 1].astype(np.int64) << 8))
+    vals = (vals << 48) >> 48              # sign-extend int16 fields
+    delta, s1, s2 = vals[:, 0], vals[:, 1], vals[:, 2]   # each (B, C)
+    c1 = np.asarray(coef1, dtype=np.int64)[bpred]
+    c2 = np.asarray(coef2, dtype=np.int64)[bpred]
+
+    body = blocks[:, 7 * channels:]
+    nib = np.empty((n_blocks, body.shape[1], 2), dtype=np.uint8)
+    nib[:, :, 0] = body >> 4               # high nibble is the earlier
+    nib[:, :, 1] = body & 0x0F
+    # flat nibble sequence interleaves channels sample-by-sample
+    nib = nib.reshape(n_blocks, -1)[:, :(spb - 2) * channels]
+    nib = nib.reshape(n_blocks, spb - 2, channels)
+
+    adapt = np.asarray(_MS_ADAPT, dtype=np.int64)
+    out = np.empty((n_blocks, spb, channels), dtype=np.int32)
+    out[:, 0, :] = s2                      # iSamp2 is the OLDER sample
+    out[:, 1, :] = s1
+    for t in range(spb - 2):
+        n4 = nib[:, t, :].astype(np.int64)
+        signed = n4 - ((n4 & 8) << 1)      # 0..15 -> -8..7
+        pred = (s1 * c1 + s2 * c2) >> 8
+        samp = pred + signed * delta
+        np.clip(samp, -32768, 32767, out=samp)
+        s2 = s1
+        s1 = samp
+        delta = (adapt[n4] * delta) >> 8
+        np.clip(delta, 16, _MS_DELTA_MAX, out=delta)
+        out[:, t + 2, :] = samp
+    return out.reshape(n_blocks * spb, channels)
+
+
 def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     """WAV bytes -> (sample_rate, (n_frames, channels) int32 array of
     16-BIT-EQUIVALENT samples), REAL for five format families:
@@ -416,13 +489,16 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     - IMA ADPCM (tag 0x11): the standard 89-step integer quantizer
       state machine, block-vectorized, frame count trimmed by the
       ``fact`` chunk;
+    - MS-ADPCM (tag 0x02): the Microsoft adaptive-delta predictor
+      (fmt-supplied coefficient pairs, 16-entry adaptation table),
+      block-vectorized the same way;
     - G.711 µ-law/A-law (tags 7/6): canonical 256-entry decode-table
       lookup.
 
     One integer domain so a pure-Python replica reproduces every
-    downstream statistic bit-for-bit.  Remaining tags (MS-ADPCM,
-    MP3...) raise NotImplementedError (degrade contract);
-    malformed/truncated streams raise ValueError."""
+    downstream statistic bit-for-bit.  Remaining tags (MP3...) raise
+    NotImplementedError (degrade contract); malformed/truncated
+    streams raise ValueError."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     fmt_body = None
@@ -461,6 +537,29 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
             raise NotImplementedError(
                 f"extensible WAV SubFormat {fmt_tag} (PCM/float only)")
 
+    if fmt_tag == 0x02:                    # MS-ADPCM
+        if bits != 4:
+            raise ValueError(f"illegal MS-ADPCM bit depth {bits}")
+        if len(fmt_body) < 22:
+            raise ValueError("MS-ADPCM fmt chunk missing coefficients")
+        spb, ncoef = struct.unpack("<HH", fmt_body[18:22])
+        if ncoef < 1 or len(fmt_body) < 22 + 4 * ncoef:
+            raise ValueError("MS-ADPCM coefficient table truncated")
+        pairs = struct.unpack(f"<{2 * ncoef}h", fmt_body[22:22 + 4 * ncoef])
+        coef1, coef2 = list(pairs[0::2]), list(pairs[1::2])
+        body_bytes = block_align - 7 * channels
+        if (body_bytes < 0 or body_bytes * 2 % channels
+                or spb != body_bytes * 2 // channels + 2):
+            raise ValueError("MS-ADPCM block layout inconsistent with fmt")
+        n_blocks = len(data) // block_align
+        if n_blocks * spb * channels > _MAX_SAMPLES:
+            raise ValueError("sample count out of range")
+        frames = _decode_ms_adpcm(data, channels, block_align, spb,
+                                  coef1, coef2)
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return int(sample_rate), frames
+
     if fmt_tag == 0x11:                    # IMA ADPCM
         if bits != 4:
             raise ValueError(f"illegal IMA ADPCM bit depth {bits}")
@@ -491,8 +590,8 @@ def decode_wav_pcm(raw: bytes) -> tuple[int, "object"]:
     else:
         raise NotImplementedError(
             f"WAV format tag {fmt_tag} (integer/float PCM, extensible, "
-            "IMA ADPCM and G.711 are real; the rest is the documented "
-            "codec seam)")
+            "IMA/MS ADPCM and G.711 are real; the rest is the "
+            "documented codec seam)")
     bytes_per = bits // 8
     if block_align != channels * bytes_per:
         raise ValueError("block align inconsistent with fmt")
@@ -674,6 +773,95 @@ def make_wav_adpcm(samples: "object", sample_rate: int = 8000,
     byte_rate = sample_rate * block_align // spb
     fmt = struct.pack("<HHIIHHHH", 0x11, channels, sample_rate,
                       byte_rate, block_align, 4, 2, spb)
+    chunks = (_riff_chunk(b"fmt ", fmt)
+              + _riff_chunk(b"fact", struct.pack("<I", n))
+              + _riff_chunk(b"data", bytes(body)))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ms_encode_channel(ch: "object", spb: int,
+                       pred_of_block: "object") -> tuple:
+    """One channel of 16-bit samples -> (per-block idelta list, nibble
+    lists, reconstructed samples) under the canonical MS-ADPCM encoder
+    (mirror arithmetic of _decode_ms_adpcm, truncating division for
+    the nibble quantizer, so encode->decode is the state machine's own
+    fixpoint).  The delta carries across blocks; each block's first two
+    samples are stored verbatim in its header."""
+    delta = 16
+    deltas, nibbles, recon = [], [], []
+    n = len(ch)
+    for b, start in enumerate(range(0, n, spb)):
+        c1 = _MS_COEF1[pred_of_block(b)]
+        c2 = _MS_COEF2[pred_of_block(b)]
+        s2 = int(ch[start])
+        s1 = int(ch[start + 1]) if start + 1 < n else s2
+        deltas.append(delta)
+        recon.extend((s2, s1))
+        nibs = []
+        for t in range(2, spb):
+            k = start + t
+            sample = int(ch[k]) if k < n else int(ch[n - 1])  # pad: hold
+            pred = (s1 * c1 + s2 * c2) >> 8
+            err = sample - pred
+            q = abs(err) // delta          # C-style truncation
+            nib = max(-8, min(7, q if err >= 0 else -q))
+            samp = max(-32768, min(32767, pred + nib * delta))
+            s2, s1 = s1, samp
+            delta = max(16, (_MS_ADAPT[nib & 0x0F] * delta) >> 8)
+            nibs.append(nib & 0x0F)
+            recon.append(samp)
+        nibbles.append(nibs)
+    return deltas, nibbles, recon
+
+
+def make_wav_ms_adpcm(samples: "object", sample_rate: int = 8000,
+                      samples_per_block: int = 130) -> bytes:
+    """(n_frames, channels) int array of 16-bit samples -> MS-ADPCM
+    WAV bytes (tag 2): per-block headers (predictor byte per channel,
+    then int16 idelta / iSamp1 / iSamp2 per channel), then channel-
+    interleaved 4-bit nibbles high-first, a ``fact`` chunk carrying the
+    true frame count.  The block predictor rotates (block + channel)
+    % 7 so every standard coefficient pair is exercised.
+    (samples_per_block - 2) * channels must be even (whole bytes)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, channels = s.shape
+    spb = samples_per_block
+    if n == 0:
+        raise ValueError("ADPCM fixture needs at least one frame")
+    if spb < 2 or (spb - 2) * channels % 2:
+        raise ValueError("(samples_per_block - 2) * channels must be even")
+    if s.min() < -32768 or s.max() > 32767:
+        raise ValueError("samples out of the 16-bit range")
+    per_ch = [
+        _ms_encode_channel(s[:, c], spb, lambda b, c=c: (b + c) % 7)
+        for c in range(channels)
+    ]
+    n_blocks = (n + spb - 1) // spb
+    body = bytearray()
+    for b in range(n_blocks):
+        start = b * spb
+        for c in range(channels):
+            body.append((b + c) % 7)
+        for c in range(channels):
+            body += struct.pack("<h", per_ch[c][0][b])
+        for c in range(channels):       # iSamp1 = the NEWER warm-up
+            body += struct.pack("<h", per_ch[c][2][start + 1])
+        for c in range(channels):       # iSamp2 = the older one
+            body += struct.pack("<h", per_ch[c][2][start])
+        nibs = [per_ch[c][1][b] for c in range(channels)]
+        flat = [nibs[c][t] for t in range(spb - 2) for c in range(channels)]
+        for hi, lo in zip(flat[0::2], flat[1::2]):
+            body.append((hi << 4) | lo)
+    block_align = 7 * channels + (spb - 2) * channels // 2
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHHH", 0x02, channels, sample_rate,
+                      byte_rate, block_align, 4, 4 + 4 * 7, spb, 7)
+    for c1, c2 in zip(_MS_COEF1, _MS_COEF2):
+        fmt += struct.pack("<hh", c1, c2)
     chunks = (_riff_chunk(b"fmt ", fmt)
               + _riff_chunk(b"fact", struct.pack("<I", n))
               + _riff_chunk(b"data", bytes(body)))

@@ -239,15 +239,15 @@ def extract_audio_features(media: DataFrame, dim: int = 8,
                            ref_col: str = "media_ref") -> DataFrame:
     """media(media_ref, media_bytes) → (media_ref, feature[dim],
     decode_ok) — the AUDIO twin of extract_media_features, REAL for
-    integer PCM, IEEE-float PCM, WAVE_FORMAT_EXTENSIBLE, IMA ADPCM
-    and G.711 µ-law/A-law WAV:
+    integer PCM, IEEE-float PCM, WAVE_FORMAT_EXTENSIBLE, IMA ADPCM,
+    MS-ADPCM and G.711 µ-law/A-law WAV:
     audio_meta.decode_wav_pcm decodes the sample stream to a
     16-bit-equivalent integer domain and pcm_features computes
     integer-exact signal statistics (duration, channels, rate, mean,
     energy, zero-cross ratio, peak, nonzero ratio), so a pure-Python
     pattern replica value-checks the whole path.  Remaining formats
-    (MS-ADPCM/MP3, lossy codecs — the ASR/codec seam) and damaged
-    streams degrade to the stub with decode_ok=False."""
+    (MP3, lossy codecs — the ASR/codec seam) and damaged streams
+    degrade to the stub with decode_ok=False."""
     from geoparser_spark.operators import audio_meta
 
     def one(b, dim=dim):

@@ -1349,6 +1349,43 @@ def _ima_replay(ch0: list, spb: int = 129) -> list:
     return out[:n]                     # fact-chunk trim of the pad
 
 
+_MS_COEF1_TAB = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2_TAB = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT_TAB = [230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_replay(ch0: list, spb: int = 130) -> list:
+    """Scalar replay of channel 0 through the MS-ADPCM encode->decode
+    round trip (fixture encoder: predictor = block % 7 for channel 0,
+    idelta carried across blocks from 16, truncating-division nibble
+    quantizer; decoder arithmetic is the Microsoft spec's).  The
+    decoded stream IS the encoder's reconstruction sequence — one
+    state machine, independently checking the production
+    block-vectorized numpy decode byte path."""
+    out = []
+    delta = 16
+    n = len(ch0)
+    for b, start in enumerate(range(0, n, spb)):
+        c1 = _MS_COEF1_TAB[b % 7]
+        c2 = _MS_COEF2_TAB[b % 7]
+        s2 = ch0[start]
+        s1 = ch0[start + 1] if start + 1 < n else s2
+        out.extend((s2, s1))
+        for t in range(2, spb):
+            k = start + t
+            sample = ch0[k] if k < n else ch0[n - 1]
+            pred = (s1 * c1 + s2 * c2) >> 8
+            err = sample - pred
+            q = abs(err) // delta
+            nib = max(-8, min(7, q if err >= 0 else -q))
+            samp = max(-32768, min(32767, pred + nib * delta))
+            s2, s1 = s1, samp
+            delta = max(16, (_MS_ADAPT_TAB[nib & 0x0F] * delta) >> 8)
+            out.append(samp)
+    return out[:n]                     # fact-chunk trim of the pad
+
+
 def _g711_replay(ch0: list, law: str) -> list:
     """Scalar replay of one channel through the G.711 encode->decode
     round trip: build the canonical 256-entry decode table, quantize
@@ -1387,10 +1424,11 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
     offset docs become WAVs with n = i%977 + 100 frames, channels =
     1 + i%2, rate = 8000 + (i%5)*8000, FORMAT rotating (pcm8, pcm16,
     pcm24, pcm32, float32, float64, extensible-pcm16, IMA ADPCM,
-    G.711 µ-law, G.711 A-law) by i//modulus, and sample s[k, ch] = ((i*7 + k*13 + ch*5) % 65536) -
+    MS-ADPCM, G.711 µ-law, G.711 A-law) by i//modulus, and sample
+    s[k, ch] = ((i*7 + k*13 + ch*5) % 65536) -
     32768 QUANTIZED to the 8-bit grid when needed (16/24/32/float/
-    extensible are exact; IMA is lossy so the replica replays the
-    quantizer state machine, _ima_replay) — then audio_meta.
+    extensible are exact; IMA/MS are lossy so the replica replays each
+    quantizer state machine, _ima_replay/_ms_replay) — then audio_meta.
     pcm_features' integer statistics in pure Python; the Spark side
     encodes a real WAV and decodes it back through the production
     Arrow kernel."""
@@ -1403,7 +1441,7 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
         channels = 1 + i % 2
         rate = 8000 + (i % 5) * 8000
         variant = (8, 16, 24, 32, "f32", "f64", "x16",
-                   "ima", "ulaw", "alaw")[(i // modulus) % 10]
+                   "ima", "ms", "ulaw", "alaw")[(i // modulus) % 11]
         ch0 = [((i * 7 + k * 13) % 65536) - 32768 for k in range(n)]
         if variant == 8:
             # fixture quantizes to the 8-bit grid BEFORE encoding, and
@@ -1412,6 +1450,8 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
             ch0 = [(s // 256) * 256 for s in ch0]
         elif variant == "ima":
             ch0 = _ima_replay(ch0)
+        elif variant == "ms":
+            ch0 = _ms_replay(ch0)
         elif variant in ("ulaw", "alaw"):
             ch0 = _g711_replay(ch0, variant)
         feats = [n / 1048576.0, channels / 16.0, rate / 192000.0]

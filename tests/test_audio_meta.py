@@ -165,8 +165,11 @@ def test_wav_pcm_degrade_contract():
     )
 
     blob = bytearray(make_wav_pcm(np.zeros((4, 1), dtype=np.int64), 8000))
-    blob[20:22] = struct.pack("<H", 2)       # MS-ADPCM fmt tag (seam)
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    blob[20:22] = struct.pack("<H", 0x55)    # MPEG layer 3 tag (seam)
+    with pytest.raises(NotImplementedError, match="format tag 85"):
+        decode_wav_pcm(bytes(blob))
+    blob[20:22] = struct.pack("<H", 2)       # MS-ADPCM tag on a PCM fmt
+    with pytest.raises(ValueError):          # no coefficient table
         decode_wav_pcm(bytes(blob))
     blob[20:22] = struct.pack("<H", 3)       # float tag with int16 depth
     with pytest.raises(ValueError, match="float bit depth"):
@@ -299,6 +302,78 @@ def test_wav_g711_matches_scalar_replay():
         # quantize to themselves)
         _, again = decode_wav_pcm(make_wav_g711(got, 8000, law))
         assert np.array_equal(again, got)
+
+
+def test_wav_ms_adpcm_matches_scalar_replay():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_ms_adpcm,
+    )
+    from geoparser_spark.testing.pyoracle_queries import _ms_replay
+
+    rng = np.random.default_rng(71)
+    # 2 channels, 4 blocks (predictor rotates through 4 coefficient
+    # pairs per channel) plus a padded tail (n % 130 != 0)
+    s = rng.integers(-32768, 32768, size=(417, 2)).astype(np.int64)
+    blob = make_wav_ms_adpcm(s, 22050)
+    sr, got = decode_wav_pcm(blob)
+    assert sr == 22050
+    assert got.shape == (417, 2)              # fact chunk trims the pad
+    # channel 0 against the INDEPENDENT pyoracle replay (predictor b%7)
+    assert got[:, 0].tolist() == _ms_replay([int(v) for v in s[:, 0]])
+    # each block's first two frames are stored verbatim in its header
+    for b in range(4):
+        lo = b * 130
+        assert np.array_equal(got[lo:lo + 2], s[lo:lo + 2])
+    # re-encoding the decoded stream reconstructs a valid stream of
+    # the same shape (not a fixpoint — the quantizer is lossy)
+    _, again = decode_wav_pcm(make_wav_ms_adpcm(got, 22050))
+    assert again.shape == got.shape
+
+
+def test_wav_ms_adpcm_exercises_all_predictors():
+    from geoparser_spark.operators.audio_meta import (
+        _MS_COEF1,
+        decode_wav_pcm,
+        make_wav_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(73)
+    # mono, spb=10 -> 8 blocks over 80 frames: predictors 0..6 all used
+    s = rng.integers(-32768, 32768, size=(80, 1)).astype(np.int64)
+    blob = make_wav_ms_adpcm(s, 8000, samples_per_block=10)
+    data_at = blob.index(b"data") + 8
+    block_align = 7 + (10 - 2) // 2
+    preds = [blob[data_at + b * block_align] for b in range(8)]
+    assert preds == [b % 7 for b in range(8)]
+    assert len(set(preds)) == len(_MS_COEF1)
+    _, got = decode_wav_pcm(blob)
+    assert got.shape == (80, 1)
+
+
+def test_wav_ms_adpcm_validation():
+    from geoparser_spark.operators.audio_meta import (
+        decode_wav_pcm,
+        make_wav_ms_adpcm,
+    )
+
+    s = np.zeros((40, 1), dtype=np.int64)
+    blob = bytearray(make_wav_ms_adpcm(s, 8000))
+    # fmt body starts at offset 20: corrupt wSamplesPerBlock (body[18:20])
+    blob[20 + 18:20 + 20] = struct.pack("<H", 57)
+    with pytest.raises(ValueError, match="block layout"):
+        decode_wav_pcm(bytes(blob))
+    # coefficient count of zero kills the stream
+    blob = bytearray(make_wav_ms_adpcm(s, 8000))
+    blob[20 + 20:20 + 22] = struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="coefficient"):
+        decode_wav_pcm(bytes(blob))
+    # predictor index beyond the coefficient table kills the stream
+    blob = bytearray(make_wav_ms_adpcm(s, 8000))
+    data_at = blob.index(b"data") + 8          # first block header
+    blob[data_at] = 7
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav_pcm(bytes(blob))
 
 
 def test_wav_ima_adpcm_validation():
