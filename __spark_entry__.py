@@ -1139,8 +1139,11 @@ def _mm_audio_features(spark, sf_dir):
     round-trip is bit-exact), IEEE float32/float64 (s/32768.0 is exact
     both ways), WAVE_FORMAT_EXTENSIBLE-wrapped PCM, IMA ADPCM and
     MS-ADPCM (lossy: the oracle replays each encoder+decoder quantizer
-    state machine scalar-for-scalar), and G.711 µ-law/A-law (lossy:
-    nearest-code quantization replayed against the decode table) — and
+    state machine scalar-for-scalar), G.711 µ-law/A-law (lossy:
+    nearest-code quantization replayed against the decode table), and
+    FLAC (real frame decode; lossless, so the oracle uses the raw
+    pattern — subframe strategy and stereo decorrelation rotate by
+    doc_id without changing the decoded samples) — and
     extract_audio_features decodes
     the samples back in the production Arrow kernel → integer-exact
     signal statistics.  The pyoracle replica recomputes everything
@@ -1164,6 +1167,7 @@ def _mm_audio_features(spark, sf_dir):
             make_wav_ms_adpcm,
             make_wav_pcm,
         )
+        from geoparser_spark.operators.flac_codec import make_flac
 
         for pdf in batches:
             refs, blobs = [], []
@@ -1172,8 +1176,8 @@ def _mm_audio_features(spark, sf_dir):
                 n = i % 977 + 100
                 channels = 1 + i % 2
                 rate = 8000 + (i % 5) * 8000
-                variant = (8, 16, 24, 32, "f32", "f64", "x16",
-                           "ima", "ms", "ulaw", "alaw")[(i // 25) % 11]
+                variant = (8, 16, 24, 32, "f32", "f64", "x16", "ima",
+                           "ms", "ulaw", "alaw", "flac")[(i // 25) % 12]
                 k = np.arange(n, dtype=np.int64)
                 s = np.stack([
                     ((i * 7 + k * 13 + ch * 5) % 65536) - 32768
@@ -1191,6 +1195,16 @@ def _mm_audio_features(spark, sf_dir):
                     blob = make_wav_adpcm(s, rate)
                 elif variant == "ms":
                     blob = make_wav_ms_adpcm(s, rate)
+                elif variant == "flac":
+                    # lossless: subframe strategy and stereo
+                    # decorrelation rotate by doc_id, the decoded
+                    # samples are the pattern verbatim either way
+                    blob = make_flac(
+                        s, rate,
+                        mode=("fixed", "lpc", "verbatim")[i % 3],
+                        stereo_mode="independent" if channels == 1
+                        else ("mid_side", "left_side",
+                              "right_side")[i % 3])
                 elif variant in ("ulaw", "alaw"):
                     blob = make_wav_g711(s, rate, variant)
                 else:

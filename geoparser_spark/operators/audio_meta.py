@@ -8,7 +8,9 @@ document field.  This module reproduces that surface from the public
 container specs — WAV (RIFF/WAVE, the Microsoft/IBM multimedia spec:
 ``fmt `` / ``data`` / ``LIST INFO`` chunks) and FLAC (xiph.org format
 spec: STREAMINFO + VORBIS_COMMENT metadata blocks) — with pure stdlib
-parsing.  The PCM/FLAC frame codec itself is NOT needed for any of it.
+parsing.  The PCM/FLAC frame codec itself is NOT needed for any of it
+(WAV samples decode below; FLAC frames decode in
+:mod:`geoparser_spark.operators.flac_codec`).
 
 Span contract for an ``audio_bytes`` input span (base64 payload):
   * one media span ("audio", None, "aud://{fmt}/{rate}Hz/{ch}ch/{ms}ms")

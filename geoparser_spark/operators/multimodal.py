@@ -240,15 +240,16 @@ def extract_audio_features(media: DataFrame, dim: int = 8,
     """media(media_ref, media_bytes) → (media_ref, feature[dim],
     decode_ok) — the AUDIO twin of extract_media_features, REAL for
     integer PCM, IEEE-float PCM, WAVE_FORMAT_EXTENSIBLE, IMA ADPCM,
-    MS-ADPCM and G.711 µ-law/A-law WAV:
-    audio_meta.decode_wav_pcm decodes the sample stream to a
+    MS-ADPCM and G.711 µ-law/A-law WAV, and for FLAC (full baseline
+    frame decode, flac_codec.decode_flac):
+    the sample stream decodes to a
     16-bit-equivalent integer domain and pcm_features computes
     integer-exact signal statistics (duration, channels, rate, mean,
     energy, zero-cross ratio, peak, nonzero ratio), so a pure-Python
     pattern replica value-checks the whole path.  Remaining formats
     (MP3, lossy codecs — the ASR/codec seam) and damaged streams
     degrade to the stub with decode_ok=False."""
-    from geoparser_spark.operators import audio_meta
+    from geoparser_spark.operators import audio_meta, flac_codec
 
     def one(b, dim=dim):
 
@@ -256,6 +257,12 @@ def extract_audio_features(media: DataFrame, dim: int = 8,
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             try:
                 sr, frames = audio_meta.decode_wav_pcm(payload)
+                return audio_meta.pcm_features(sr, frames, dim), True
+            except _DEGRADE_ERRORS:
+                return _stub_feature(payload, dim), False
+        if payload[:4] == b"fLaC":
+            try:
+                sr, frames = flac_codec.decode_flac(payload)
                 return audio_meta.pcm_features(sr, frames, dim), True
             except _DEGRADE_ERRORS:
                 return _stub_feature(payload, dim), False

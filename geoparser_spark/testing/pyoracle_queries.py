@@ -1424,7 +1424,7 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
     offset docs become WAVs with n = i%977 + 100 frames, channels =
     1 + i%2, rate = 8000 + (i%5)*8000, FORMAT rotating (pcm8, pcm16,
     pcm24, pcm32, float32, float64, extensible-pcm16, IMA ADPCM,
-    MS-ADPCM, G.711 µ-law, G.711 A-law) by i//modulus, and sample
+    MS-ADPCM, G.711 µ-law, G.711 A-law, FLAC) by i//modulus, and sample
     s[k, ch] = ((i*7 + k*13 + ch*5) % 65536) -
     32768 QUANTIZED to the 8-bit grid when needed (16/24/32/float/
     extensible are exact; IMA/MS are lossy so the replica replays each
@@ -1440,8 +1440,10 @@ def audio_features_sql(modulus: int = 25, offset: int = 5) -> str:
         n = i % 977 + 100
         channels = 1 + i % 2
         rate = 8000 + (i % 5) * 8000
-        variant = (8, 16, 24, 32, "f32", "f64", "x16",
-                   "ima", "ms", "ulaw", "alaw")[(i // modulus) % 11]
+        variant = (8, 16, 24, 32, "f32", "f64", "x16", "ima",
+                   "ms", "ulaw", "alaw", "flac")[(i // modulus) % 12]
+        # "flac" needs no replay: the codec is lossless, so the decoded
+        # channel 0 IS the raw pattern (like pcm16)
         ch0 = [((i * 7 + k * 13) % 65536) - 32768 for k in range(n)]
         if variant == 8:
             # fixture quantizes to the 8-bit grid BEFORE encoding, and
