@@ -1355,11 +1355,13 @@ def _mm_image_gps(spark, sf_dir):
 
 def _mm_audio_meta(spark, sf_dir):
     """Audio metadata decode, REAL end-to-end (no stub anywhere): each
-    documents row becomes an actual WAV (even doc_id) or FLAC (odd)
-    byte stream with doc_id-derived stream parameters and one embedded
-    tag, and extract_audio_meta parses them back out of the binary
-    column; the oracle recomputes everything from doc_id arithmetic
-    alone (duration is integer floor division on both sides)."""
+    documents row becomes an actual WAV (doc_id % 3 == 0), FLAC (1) or
+    MP3 (2: real MPEG1 Layer III frame headers + an ID3v2 text frame,
+    duration from the exact frame walk) byte stream with doc_id-derived
+    stream parameters and one embedded tag, and extract_audio_meta
+    parses them back out of the binary column; the oracle recomputes
+    everything from doc_id arithmetic alone (duration is integer floor
+    division on both sides)."""
     from geoparser_spark.operators.multimodal import extract_audio_meta
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1370,6 +1372,7 @@ def _mm_audio_meta(spark, sf_dir):
 
         from geoparser_spark.operators.audio_meta import (
             make_mini_flac,
+            make_mini_mp3,
             make_mini_wav,
         )
 
@@ -1377,7 +1380,7 @@ def _mm_audio_meta(spark, sf_dir):
             refs, blobs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(doc_id)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     raw = make_mini_wav(
                         sample_rate=8000 + (i % 5) * 2000,
                         channels=2 if i % 4 == 0 else 1,
@@ -1385,13 +1388,20 @@ def _mm_audio_meta(spark, sf_dir):
                         n_frames=i % 997 + 1,
                         comments=[str(text)[:40]],
                     )
-                else:
+                elif i % 3 == 1:
                     raw = make_mini_flac(
                         sample_rate=16000 + (i % 7) * 1000,
                         channels=i % 8 + 1,
                         bits=16,
                         n_samples=i % 4999 + 1,
                         comments=[str(text)[:40]],
+                    )
+                else:
+                    raw = make_mini_mp3(
+                        n_frames=i % 97 + 2,
+                        sample_rate=(44100, 48000, 32000)[(i // 3) % 3],
+                        stereo=i % 4 != 0,
+                        id3v2_texts=[str(text)[:40]],
                     )
                 refs.append(f"aud://{i}")
                 blobs.append(raw)
@@ -1458,21 +1468,37 @@ def _mm_clip_plan(spark, sf_dir):
 
 
 _MM_AUDIO_META_SQL = """
-SELECT 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref,
-       CASE WHEN doc_id % 2 = 0 THEN 'audio/x-wav' ELSE 'audio/flac' END AS mime,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 2000
-                 ELSE 16000 + (doc_id % 7) * 1000 END AS INT) AS sample_rate,
-       CAST(CASE WHEN doc_id % 2 = 0
-                 THEN CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
-                 ELSE doc_id % 8 + 1 END AS INT) AS channels,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
-       CAST(CASE WHEN doc_id % 2 = 0
-                 THEN ((doc_id % 997 + 1) * 1000) // (8000 + (doc_id % 5) * 2000)
-                 ELSE ((doc_id % 4999 + 1) * 1000) // (16000 + (doc_id % 7) * 1000)
+WITH mp3 AS (
+  SELECT doc_id,
+         CASE ((doc_id // 3) % 3) WHEN 0 THEN 44100
+              WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+         doc_id % 97 + 2 AS nf
+  FROM documents
+)
+SELECT 'aud://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+       CASE d.doc_id % 3 WHEN 0 THEN 'audio/x-wav'
+            WHEN 1 THEN 'audio/flac' ELSE 'audio/mpeg' END AS mime,
+       CAST(CASE d.doc_id % 3
+                 WHEN 0 THEN 8000 + (d.doc_id % 5) * 2000
+                 WHEN 1 THEN 16000 + (d.doc_id % 7) * 1000
+                 ELSE m.rate END AS INT) AS sample_rate,
+       CAST(CASE d.doc_id % 3
+                 WHEN 0 THEN CASE WHEN d.doc_id % 4 = 0 THEN 2 ELSE 1 END
+                 WHEN 1 THEN d.doc_id % 8 + 1
+                 ELSE CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 2 END
+            END AS INT) AS channels,
+       CAST(CASE d.doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+            ELSE 0 END AS INT) AS bits,
+       CAST(CASE d.doc_id % 3
+                 WHEN 0 THEN ((d.doc_id % 997 + 1) * 1000)
+                             // (8000 + (d.doc_id % 5) * 2000)
+                 WHEN 1 THEN ((d.doc_id % 4999 + 1) * 1000)
+                             // (16000 + (d.doc_id % 7) * 1000)
+                 ELSE (m.nf * 1152 * 1000) // m.rate
             END AS BIGINT) AS duration_ms,
        CAST(1 AS INT) AS n_texts,
        TRUE AS decode_ok
-FROM documents
+FROM documents d JOIN mp3 m ON d.doc_id = m.doc_id
 """
 
 

@@ -6,8 +6,9 @@ containers Tika surfaces stream metadata (sample rate, channels,
 duration) and embedded tags, which flow into the index like any other
 document field.  This module reproduces that surface from the public
 container specs — WAV (RIFF/WAVE, the Microsoft/IBM multimedia spec:
-``fmt `` / ``data`` / ``LIST INFO`` chunks) and FLAC (xiph.org format
-spec: STREAMINFO + VORBIS_COMMENT metadata blocks) — with pure stdlib
+``fmt `` / ``data`` / ``LIST INFO`` chunks), FLAC (xiph.org format
+spec: STREAMINFO + VORBIS_COMMENT metadata blocks) and MP3 (ISO/IEC
+11172-3 / 13818-3 frame headers, ID3v1/ID3v2 tags) — with pure stdlib
 parsing.  The PCM/FLAC frame codec itself is NOT needed for any of it
 (WAV samples decode below; FLAC frames decode in
 :mod:`geoparser_spark.operators.flac_codec`).
@@ -16,7 +17,8 @@ Span contract for an ``audio_bytes`` input span (base64 payload):
   * one media span ("audio", None, "aud://{fmt}/{rate}Hz/{ch}ch/{ms}ms")
     carrying the parsed stream parameters in the media_ref, then
   * one text span per embedded tag value, in byte order: WAV LIST-INFO
-    values (INAM/IART/ICMT/...), FLAC Vorbis-comment values.  This is
+    values (INAM/IART/ICMT/...), FLAC Vorbis-comment values, MP3
+    ID3v2 text frames + ID3v1 TAG fields.  This is
     the channel a production transcription stage (the audio analogue of
     OCR) would also write into — see :func:`transcribe_audio`.
 Degrade contract: unrecognized or truncated payloads yield [] — never
@@ -148,12 +150,161 @@ def parse_flac(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
     return int(sr), int(ch), int(bits), int(duration_ms), texts
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3).
+# Bitrates in kbps by [table][index]; index 0 = free format (not
+# walked), 15 = invalid.  Tables: MPEG1 L1 / L2 / L3; MPEG2(.5) L1 /
+# L2+L3.
+_MP3_BITRATES = {
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224,
+             256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112,
+             128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96,
+             112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112,
+             128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56,
+             64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000],      # version code 3 = MPEG1
+              2: [22050, 24000, 16000],      # 2 = MPEG2
+              0: [11025, 12000, 8000]}       # 0 = MPEG2.5
+
+
+def _mp3_frame(raw: bytes, i: int) -> tuple[int, int, int, int] | None:
+    """Parse an MPEG audio frame header at byte offset i ->
+    (frame_bytes, sample_rate, samples_per_frame, channels), or None
+    if the 4 bytes are not a valid non-free-format header."""
+    if i + 4 > len(raw):
+        return None
+    h = int.from_bytes(raw[i:i + 4], "big")
+    if h >> 21 != 0x7FF:
+        return None
+    ver = (h >> 19) & 3                    # 3=MPEG1 2=MPEG2 0=MPEG2.5
+    layer = 4 - ((h >> 17) & 3)            # 1..3; code 0 reserved
+    if ver == 1 or layer == 4:
+        return None
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    pad = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    v = 1 if ver == 3 else 2
+    table = (v, layer) if (v, layer) in _MP3_BITRATES else (2, 2)
+    bitrate = _MP3_BITRATES[table][br_idx] * 1000
+    rate = _MP3_RATES[ver][sr_idx]
+    if layer == 1:
+        spf = 384
+        size = (bitrate * 12 // rate + pad) * 4
+    else:
+        spf = 1152 if (v == 1 or layer == 2) else 576
+        size = bitrate * (spf // 8) // rate + pad
+    if size < 4:
+        return None
+    return size, rate, spf, 1 if mode == 3 else 2
+
+
+def _id3v2_texts(raw: bytes) -> tuple[int, list[str]]:
+    """ID3v2 header at offset 0 -> (tag_total_bytes, text frame
+    values) — (0, []) when absent.  Handles v2.3 (plain frame sizes)
+    and v2.4 (synchsafe); text encodings 0-3."""
+    if raw[:3] != b"ID3" or len(raw) < 10:
+        return 0, []
+    major = raw[3]
+    size = ((raw[6] & 0x7F) << 21 | (raw[7] & 0x7F) << 14
+            | (raw[8] & 0x7F) << 7 | (raw[9] & 0x7F))
+    end = min(10 + size, len(raw))
+    texts = []
+    j = 10
+    while j + 10 <= end:
+        fid = raw[j:j + 4]
+        if not fid.strip(b"\x00"):
+            break                          # padding reached
+        if major >= 4:
+            fsz = ((raw[j + 4] & 0x7F) << 21 | (raw[j + 5] & 0x7F) << 14
+                   | (raw[j + 6] & 0x7F) << 7 | (raw[j + 7] & 0x7F))
+        else:
+            fsz = int.from_bytes(raw[j + 4:j + 8], "big")
+        body = raw[j + 10:j + 10 + fsz]
+        j += 10 + fsz
+        if len(body) < 2 or not fid.startswith(b"T"):
+            continue
+        enc, payload = body[0], body[1:]
+        codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                 3: "utf-8"}.get(enc)
+        if codec is None:
+            continue
+        t = payload.decode(codec, "replace").strip("\x00")
+        if t:
+            texts.append(t)
+    return 10 + size, texts
+
+
+def parse_mp3(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
+    """MPEG audio (MP3) metadata walk → (sample_rate, channels, bits,
+    duration_ms, texts) or None.
+
+    The Tika-parity surface: ID3v2 text-frame values and the trailing
+    ID3v1 TAG fields become texts; duration comes from walking EVERY
+    frame header (exact for CBR and VBR alike — no Xing estimate
+    needed), sample rate / channel mode from the first frame.  bits is
+    0: MPEG audio has no integer sample container width.  The sample
+    DECODE (hybrid filterbank / IMDCT) is the documented lossy-codec
+    seam — decode_wav_pcm and decode_flac are the real sample paths."""
+    texts: list[str] = []
+    pos, id3_texts = _id3v2_texts(raw)
+    texts.extend(id3_texts)
+    body_end = len(raw)
+    if body_end - pos >= 128 and raw[body_end - 128:body_end - 125] == b"TAG":
+        v1 = raw[body_end - 128:]
+        for lo, hi in ((3, 33), (33, 63), (63, 93), (97, 125)):
+            t = v1[lo:hi].split(b"\x00")[0].decode("latin-1").strip()
+            if t:
+                texts.append(t)
+        body_end -= 128
+    # scan forward (bounded) to the first valid frame header
+    first = None
+    for i in range(pos, min(pos + 4096, body_end)):
+        if raw[i:i + 1] == b"\xff" and _mp3_frame(raw, i):
+            first = i
+            break
+    if first is None:
+        return None
+    rate = channels = None
+    total_samples = 0
+    i = first
+    n_frames = 0
+    while i + 4 <= body_end:
+        got = _mp3_frame(raw, i)
+        if got is None:
+            break
+        size, frate, spf, ch = got
+        if i + size > body_end:
+            break                          # truncated final frame
+        if rate is None:
+            rate, channels = frate, ch
+        total_samples += spf
+        n_frames += 1
+        i += size
+    if not n_frames or rate is None:
+        return None
+    if n_frames < 2 and i != body_end:
+        # a lone "frame" followed by non-frame bytes is a sync false
+        # positive, not an MP3 (real sniffers require 2+ consecutive
+        # frames; a single-frame stream must end exactly at the frame)
+        return None
+    duration_ms = total_samples * 1000 // rate
+    return int(rate), int(channels), 0, int(duration_ms), texts
+
+
 def parse_audio_meta(
     raw: bytes,
 ) -> tuple[str, int, int, int, int, list[str]] | None:
     """(format, sample_rate, channels, bits, duration_ms, texts) or
     None if the stream is not a recognized audio container."""
-    for fmt, parser in (("wav", parse_wav), ("flac", parse_flac)):
+    for fmt, parser in (("wav", parse_wav), ("flac", parse_flac),
+                        ("mp3", parse_mp3)):
         try:
             got = parser(raw)
         except (struct.error, IndexError):
@@ -226,6 +377,64 @@ def make_mini_wav(sample_rate: int = 8000, channels: int = 1,
         chunks += _riff_chunk(b"LIST", b"INFO" + info)
     chunks += _riff_chunk(b"data", b"\x00" * (n_frames * block_align))
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_mini_mp3(n_frames: int = 10, sample_rate: int = 44100,
+                  bitrate_kbps: int = 128, stereo: bool = True,
+                  id3v2_texts: list | None = None,
+                  id3v1: tuple | None = None,
+                  layer: int = 3, mpeg2: bool = False) -> bytes:
+    """Deterministic MPEG-audio fixture: n_frames valid frame headers
+    with zero-filled payloads (the metadata walk never reads payload
+    bits), optional ID3v2.3 text frames ahead and an ID3v1 TAG block
+    behind — mirroring how tag readers treat MP3s.  Supports layers
+    1-3 and MPEG1/MPEG2 so every table row is reachable."""
+    v = 2 if mpeg2 else 1
+    table = (v, layer) if (v, layer) in _MP3_BITRATES else (2, 2)
+    try:
+        br_idx = _MP3_BITRATES[table].index(bitrate_kbps)
+    except ValueError:
+        raise ValueError(f"bitrate {bitrate_kbps} not in table {table}")
+    ver_code = 3 if v == 1 else 2
+    rates = _MP3_RATES[ver_code]
+    if sample_rate not in rates:
+        raise ValueError(f"sample rate {sample_rate} not valid for "
+                         f"MPEG{v}")
+    sr_idx = rates.index(sample_rate)
+    h = (0x7FF << 21 | ver_code << 19 | (4 - layer) << 17 | 1 << 16
+         | br_idx << 12 | sr_idx << 10
+         | (0 if stereo else 3) << 6)
+    hdr = h.to_bytes(4, "big")
+    bitrate = bitrate_kbps * 1000
+    if layer == 1:
+        size = bitrate * 12 // sample_rate * 4
+    else:
+        spf = 1152 if (v == 1 or layer == 2) else 576
+        size = bitrate * (spf // 8) // sample_rate
+    frame = hdr + b"\x00" * (size - 4)
+    out = bytearray()
+    if id3v2_texts:
+        frames = bytearray()
+        for k, text in enumerate(id3v2_texts):
+            body = b"\x03" + text.encode("utf-8")
+            fid = (b"TIT2", b"TPE1", b"TALB", b"TCON")[k % 4]
+            frames += fid + len(body).to_bytes(4, "big") + b"\x00\x00"
+            frames += body
+        sz = len(frames)
+        synch = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                       (sz >> 7) & 0x7F, sz & 0x7F])
+        out += b"ID3\x03\x00\x00" + synch + frames
+    out += frame * n_frames
+    if id3v1:
+        title, artist, album, comment = (list(id3v1) + [""] * 4)[:4]
+        tag = bytearray(128)
+        tag[0:3] = b"TAG"
+        tag[3:33] = title.encode("latin-1")[:30].ljust(30, b"\x00")
+        tag[33:63] = artist.encode("latin-1")[:30].ljust(30, b"\x00")
+        tag[63:93] = album.encode("latin-1")[:30].ljust(30, b"\x00")
+        tag[97:125] = comment.encode("latin-1")[:28].ljust(28, b"\x00")
+        out += bytes(tag)
+    return bytes(out)
 
 
 def _flac_block(btype: int, body: bytes, last: bool) -> bytes:

@@ -575,7 +575,9 @@ def extract_audio_meta(media: DataFrame,
                     ok.append(False)
                 else:
                     fmt, sr, ch, bits, ms, texts = meta
-                    mimes.append("audio/x-wav" if fmt == "wav" else "audio/flac")
+                    mimes.append({"wav": "audio/x-wav",
+                                  "flac": "audio/flac",
+                                  "mp3": "audio/mpeg"}[fmt])
                     srs.append(sr); chs.append(ch); bts.append(bits)
                     durs.append(ms); nt.append(len(texts)); ok.append(True)
             yield pd.DataFrame(

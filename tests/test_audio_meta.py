@@ -304,6 +304,62 @@ def test_wav_g711_matches_scalar_replay():
         assert np.array_equal(again, got)
 
 
+def test_mp3_frame_walk_duration_and_params():
+    from geoparser_spark.operators.audio_meta import make_mini_mp3, parse_mp3
+
+    got = parse_mp3(make_mini_mp3(10))
+    assert got == (44100, 2, 0, 10 * 1152 * 1000 // 44100, [])
+    # layer/version table coverage: L1 (384 spf), L2, MPEG2 L3 (576)
+    for layer, mpeg2, rate, br, spf in [(1, False, 48000, 224, 384),
+                                        (2, False, 44100, 160, 1152),
+                                        (3, True, 16000, 64, 576)]:
+        got = parse_mp3(make_mini_mp3(5, rate, br, layer=layer,
+                                      mpeg2=mpeg2))
+        assert got is not None and got[0] == rate
+        assert got[3] == 5 * spf * 1000 // rate
+    # mono channel mode
+    assert parse_mp3(make_mini_mp3(3, stereo=False))[1] == 1
+
+
+def test_mp3_id3_tags_in_byte_order():
+    from geoparser_spark.operators.audio_meta import (
+        extract_audio_spans,
+        make_mini_mp3,
+        parse_audio_meta,
+        parse_mp3,
+    )
+
+    blob = make_mini_mp3(7, 32000, 192, stereo=False,
+                         id3v2_texts=["Sol Invictus", "Unit Artist"],
+                         id3v1=("T1", "A1", "", "c0mment"))
+    got = parse_mp3(blob)
+    assert got[0] == 32000 and got[1] == 1
+    assert got[4] == ["Sol Invictus", "Unit Artist", "T1", "A1",
+                      "c0mment"]
+    # dispatch + span contract
+    assert parse_audio_meta(blob)[0] == "mp3"
+    spans = extract_audio_spans(make_mini_mp3(4, id3v2_texts=["X"]))
+    assert spans[0][2].startswith("aud://mp3/44100Hz/2ch/")
+    assert ("text", "X", None) in spans
+
+
+def test_mp3_sync_false_positive_guard():
+    from geoparser_spark.operators.audio_meta import make_mini_mp3, parse_mp3
+
+    rng = np.random.default_rng(83)
+    hits = sum(
+        parse_mp3(bytes([0xFF])
+                  + rng.integers(0, 256, size=50,
+                                 dtype=np.uint8).tobytes()) is not None
+        for _ in range(300))
+    assert hits == 0
+    # a single frame that ends exactly at EOF is still accepted
+    one = make_mini_mp3(1)
+    assert parse_mp3(one) is not None
+    # ...but a single frame followed by junk is rejected
+    assert parse_mp3(one + b"junk") is None
+
+
 def test_wav_ms_adpcm_matches_scalar_replay():
     from geoparser_spark.operators.audio_meta import (
         decode_wav_pcm,
