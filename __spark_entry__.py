@@ -944,7 +944,8 @@ def _mm_media_features(spark, sf_dir):
     selected docs split round-robin into a deterministic greyscale
     gradient — rotating PNG / TIFF(LZW+predictor) / BMP(RLE8) /
     BMP(16-bit 5-5-5 masked) / TIFF(tiled, predictor restarting per
-    tile) / TIFF(CCITT G4 fax, pattern thresholded to bilevel)
+    tile) / TIFF(CCITT G4 fax, pattern thresholded to bilevel) /
+    BMP(OS/2 1.x core header, RGBTRIPLE palette)
     encodings of the SAME pixels (all lossless except the masked path,
     a deterministic integer quantize+upscale, and the bilevel fax
     threshold — both integer rules the oracle replays;
@@ -1003,7 +1004,7 @@ def _mm_media_features(spark, sf_dir):
                         encode_tiff,
                     )
 
-                    r = (i // 30) % 6
+                    r = (i // 30) % 7
                     if r == 0:
                         blobs.append(encode_png(img))
                     elif r == 1:
@@ -1018,13 +1019,18 @@ def _mm_media_features(spark, sf_dir):
                         blobs.append(encode_tiff(
                             img, compression=5, predictor=2,
                             tile=(16, 16)))
-                    else:
+                    elif r == 5:
                         # CCITT G4 fax leg: threshold to bilevel
                         # (>=128 -> stored bit 1 = black under
                         # photometric 0)
                         blobs.append(encode_tiff(
                             (img >= 128).astype(np.uint8),
                             compression=4, photometric=0, bits=1))
+                    else:
+                        # OS/2 1.x core-header BMP (RGBTRIPLE palette,
+                        # lossless grey ramp)
+                        blobs.append(encode_bmp(
+                            img, bpp=8, core_header=True))
                 elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w

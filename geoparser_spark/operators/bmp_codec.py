@@ -11,10 +11,12 @@ pixels undefined, this decoder zero-fills them deterministically),
 bottom-up and top-down row orders, 4-byte row padding, and masked
 16/32-bit pixels — BI_RGB 16-bit (implicit 5-5-5) and BI_BITFIELDS /
 BI_ALPHABITFIELDS with contiguous masks, each channel scaled to 8
-bits by integer rounding.  OS/2 BITMAPCOREHEADER and embedded
-PNG/JPEG (BI_PNG/BI_JPEG) raise NotImplementedError (the documented
-degrade contract); malformed streams raise ValueError — never an
-unguarded numpy/struct error that could kill an Arrow task.
+bits by integer rounding — plus the OS/2 1.x BITMAPCOREHEADER layout
+(12-byte header, RGBTRIPLE palette, always bottom-up BI_RGB).  The
+OS/2 2.x header family and embedded PNG/JPEG (BI_PNG/BI_JPEG) raise
+NotImplementedError (the documented degrade contract); malformed
+streams raise ValueError — never an unguarded numpy/struct error
+that could kill an Arrow task.
 
 Scale note: runs INSIDE Arrow-batched kernels (mapInPandas) —
 embarrassingly parallel per row; the Spark plan around it carries the
@@ -128,18 +130,38 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     """BMP bytes -> (H, W) uint8 grayscale (grey palette) or (H, W, 3)
     uint8 RGB.  See module docstring for coverage; malformed streams
     raise ValueError, unsupported-but-legal layouts NotImplementedError."""
-    if raw[:2] != BMP_SIG or len(raw) < 54:
+    if raw[:2] != BMP_SIG or len(raw) < 26:
         raise ValueError("not a BMP stream")
     (data_off,) = struct.unpack("<I", raw[10:14])
     (hdr_size,) = struct.unpack("<I", raw[14:18])
-    if hdr_size < 40:
-        raise NotImplementedError("OS/2 BITMAPCOREHEADER")
-    w, h_signed = struct.unpack("<ii", raw[18:26])
-    planes, bpp = struct.unpack("<HH", raw[26:30])
-    (compression,) = struct.unpack("<I", raw[30:34])
-    n_colors = struct.unpack("<I", raw[46:50])[0]
-    top_down = h_signed < 0
-    h = -h_signed if top_down else h_signed
+    core = hdr_size == 12
+    if core:                               # OS/2 1.x BITMAPCOREHEADER
+        w, h, planes, bpp = struct.unpack("<HHHH", raw[18:26])
+        # core bitmaps are always bottom-up BI_RGB with a 1/4/8/24
+        # depth and RGBTRIPLE palette entries
+        top_down = False
+        compression = 0
+        n_colors = 0
+        if bpp not in (1, 4, 8, 24):
+            raise ValueError(f"illegal OS/2 core bit depth {bpp}")
+    elif hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} (OS/2 2.x family)")
+    else:
+        if len(raw) < 54:
+            raise ValueError("BMP info header past end of stream")
+        w, h_signed = struct.unpack("<ii", raw[18:26])
+        planes, bpp = struct.unpack("<HH", raw[26:30])
+        (compression,) = struct.unpack("<I", raw[30:34])
+        n_colors = struct.unpack("<I", raw[46:50])[0]
+        top_down = h_signed < 0
+        h = -h_signed if top_down else h_signed
+        if hdr_size == 64 and compression >= 3:
+            # the 64-byte OS/2 2.x header shares BITMAPINFOHEADER's
+            # first 40 bytes, but its compression codes 3/4 mean
+            # Huffman-1D / RLE24, not BITFIELDS
+            raise NotImplementedError(
+                "OS/2 2.x Huffman-1D / RLE24 compression")
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         raise ValueError("image dimensions out of range")
     if planes != 1:
@@ -173,12 +195,13 @@ def decode_bmp(raw: bytes) -> np.ndarray:
         if n_colors > (1 << bpp):
             raise ValueError("palette larger than the depth allows")
         pal_off = 14 + hdr_size
-        if pal_off + 4 * n_colors > len(raw):
+        entry = 3 if core else 4           # RGBTRIPLE vs RGBQUAD
+        if pal_off + entry * n_colors > len(raw):
             raise ValueError("palette past end of stream")
         quads = np.frombuffer(
-            raw[pal_off:pal_off + 4 * n_colors], dtype=np.uint8
-        ).reshape(n_colors, 4)
-        palette = quads[:, [2, 1, 0]].copy()   # BGRX -> RGB
+            raw[pal_off:pal_off + entry * n_colors], dtype=np.uint8
+        ).reshape(n_colors, entry)
+        palette = quads[:, [2, 1, 0]].copy()   # BGR(X) -> RGB
 
     if data_off > len(raw):
         raise ValueError("pixel data offset past end of stream")
@@ -245,18 +268,25 @@ def _rle8_encode(idx: np.ndarray) -> bytes:
 def encode_bmp(img: np.ndarray, bpp: int = 24,
                palette: np.ndarray | None = None,
                rle: bool = False, top_down: bool = False,
-               masks: tuple | None = None) -> bytes:
+               masks: tuple | None = None,
+               core_header: bool = False) -> bytes:
     """(H, W[, 3]) array -> BMP bytes.  24-bit BGR (3-D input), 32-bit
     BGRX, 16-bit masked (BI_RGB 5-5-5 by default, or BI_BITFIELDS with
     explicit ``masks=(r, g, b)`` — each 8-bit channel quantizes by
     integer rounding (v*max + 127) // 255), or palette 1/4/8-bit (2-D
     index input + (N, 3) uint8 ``palette`` — defaults to the identity
-    grey ramp for 8-bit); ``rle`` emits BI_RLE8 (8-bit only)."""
+    grey ramp for 8-bit); ``rle`` emits BI_RLE8 (8-bit only);
+    ``core_header`` emits the OS/2 1.x BITMAPCOREHEADER layout
+    (bottom-up BI_RGB 1/4/8/24 with RGBTRIPLE palette entries)."""
     img = np.asarray(img)
     h, w = img.shape[:2]
     if masks is not None and (bpp != 16 or len(masks) != 3):
         raise ValueError("masks= is the 16-bit BITFIELDS path and "
                          "needs exactly three RGB masks")
+    if core_header and (rle or top_down or masks is not None
+                        or bpp not in (1, 4, 8, 24)):
+        raise ValueError("OS/2 core header is bottom-up BI_RGB "
+                         "1/4/8/24 only")
     if (bpp > 8) != (img.ndim == 3):
         raise ValueError("truecolor bpp needs (H, W, 3) input; "
                          "palette bpp needs (H, W) indices")
@@ -266,7 +296,8 @@ def encode_bmp(img: np.ndarray, bpp: int = 24,
                                axis=1) if bpp == 8 else None
         if palette is None:
             raise ValueError("sub-8-bit BMP needs an explicit palette")
-        quads = np.zeros((1 << bpp, 4), dtype=np.uint8)
+        entry = 3 if core_header else 4
+        quads = np.zeros((1 << bpp, entry), dtype=np.uint8)
         quads[:len(palette), [2, 1, 0]] = palette
         pal_bytes = quads.tobytes()
     else:
@@ -311,10 +342,14 @@ def encode_bmp(img: np.ndarray, bpp: int = 24,
 
     mask_bytes = (struct.pack("<III", *masks)
                   if compression == 3 else b"")
-    data_off = 14 + 40 + len(mask_bytes) + len(pal_bytes)
-    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
-                       1, bpp, compression, len(body), 2835, 2835,
-                       (1 << bpp) if bpp <= 8 else 0, 0)
+    if core_header:
+        data_off = 14 + 12 + len(pal_bytes)
+        info = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+    else:
+        data_off = 14 + 40 + len(mask_bytes) + len(pal_bytes)
+        info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                           1, bpp, compression, len(body), 2835, 2835,
+                           (1 << bpp) if bpp <= 8 else 0, 0)
     hdr = struct.pack("<2sIHHI", BMP_SIG, data_off + len(body),
                       0, 0, data_off)
     return hdr + info + mask_bytes + pal_bytes + body

@@ -127,9 +127,40 @@ def test_unsupported_layouts_degrade_not_crash():
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_bmp(bytes(blob2))
     blob3 = bytearray(encode_bmp(img, bpp=8))
-    blob3[14:18] = struct.pack("<I", 12)   # BITMAPCOREHEADER
-    with pytest.raises(NotImplementedError, match="CORE"):
+    blob3[14:18] = struct.pack("<I", 16)   # OS/2 2.x short header
+    with pytest.raises(NotImplementedError, match="OS/2"):
         decode_bmp(bytes(blob3))
+    # 64-byte OS/2 2.x: layout-compatible for BI_RGB, but its
+    # compression code 3 means Huffman-1D, not BITFIELDS
+    rgb = np.dstack([_gray(4, 4)] * 3)
+    blob4 = bytearray(encode_bmp(rgb, bpp=24))
+    blob4[14:18] = struct.pack("<I", 64)
+    assert np.array_equal(decode_bmp(bytes(blob4)), rgb)
+    blob4[30:34] = struct.pack("<I", 3)
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        decode_bmp(bytes(blob4))
+
+
+def test_os2_core_header_roundtrips():
+    rng = np.random.default_rng(79)
+    img = rng.integers(0, 256, size=(13, 17, 3)).astype(np.uint8)
+    got = decode_bmp(encode_bmp(img, 24, core_header=True))
+    assert np.array_equal(got, img)
+    g = rng.integers(0, 256, size=(9, 21)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(g, 8, core_header=True)), g)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(7, 11)).astype(np.uint8)
+    got = decode_bmp(encode_bmp(idx, 4, palette=pal, core_header=True))
+    assert np.array_equal(got, pal[idx])
+    # the 12-byte header + RGBTRIPLE palette make the stream smaller
+    # than the INFO-header equivalent
+    assert len(encode_bmp(idx, 4, palette=pal, core_header=True)) < \
+        len(encode_bmp(idx, 4, palette=pal))
+    # core header cannot carry RLE / top-down / masks / 16-bit
+    with pytest.raises(ValueError, match="core header"):
+        encode_bmp(g, 8, rle=True, core_header=True)
+    with pytest.raises(ValueError, match="core header"):
+        encode_bmp(img, 16, core_header=True)
 
 
 def _scale_roundtrip(v: int, maxv: int) -> int:
