@@ -945,7 +945,8 @@ def _mm_media_features(spark, sf_dir):
     gradient — rotating PNG / TIFF(LZW+predictor) / BMP(RLE8) /
     BMP(16-bit 5-5-5 masked) / TIFF(tiled, predictor restarting per
     tile) / TIFF(CCITT G4 fax, pattern thresholded to bilevel) /
-    BMP(OS/2 1.x core header, RGBTRIPLE palette)
+    BMP(OS/2 1.x core header, RGBTRIPLE palette) / TIFF(16-bit tiled,
+    pattern << 8 so the decode-kept MSB is the pattern)
     encodings of the SAME pixels (all lossless except the masked path,
     a deterministic integer quantize+upscale, and the bilevel fax
     threshold — both integer rules the oracle replays;
@@ -1004,7 +1005,7 @@ def _mm_media_features(spark, sf_dir):
                         encode_tiff,
                     )
 
-                    r = (i // 30) % 7
+                    r = (i // 30) % 8
                     if r == 0:
                         blobs.append(encode_png(img))
                     elif r == 1:
@@ -1026,11 +1027,18 @@ def _mm_media_features(spark, sf_dir):
                         blobs.append(encode_tiff(
                             (img >= 128).astype(np.uint8),
                             compression=4, photometric=0, bits=1))
-                    else:
+                    elif r == 6:
                         # OS/2 1.x core-header BMP (RGBTRIPLE palette,
                         # lossless grey ramp)
                         blobs.append(encode_bmp(
                             img, bpp=8, core_header=True))
+                    else:
+                        # 16-bit TILED TIFF: pattern << 8 stores each
+                        # sample's MSB = the pattern, so decode (which
+                        # keeps the MSB) is lossless for the oracle
+                        blobs.append(encode_tiff(
+                            img.astype(np.uint16) << 8, bits=16,
+                            compression=5, tile=(16, 16)))
                 elif i % 30 == 10:
                     w, h = i % 7 + 3, i % 4 + 2
                     idx = ((i * 5 + np.arange(h)[:, None] * w

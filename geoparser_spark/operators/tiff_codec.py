@@ -12,10 +12,12 @@ rescaled by the exact integer factor 255/(2^d-1)) plus 16 (each
 sample keeps its most-significant byte, honoring the file's byte
 order), palette-color (photometric 3, 16-bit ColorMap entries mapped
 to 8 bits by their high byte) and 8-bit RGB/RGBA.  The TILED layout
-(tags 322-325, edge tiles padded then cropped) and PLANAR
-configuration 2 (plane-major segments) both decode for real at 8 bits
-— in every strip/tile x chunky/planar combination, with the predictor
-restarting at each segment's left edge as the spec requires.  The
+(tags 322-325, edge tiles padded then cropped) decodes at EVERY
+supported depth (1/2/4/8/16, same per-row bit packing and MSB rules
+as strips) and PLANAR configuration 2 (plane-major segments) decodes
+for real — in every strip/tile x chunky/planar combination, with the
+predictor restarting at each segment's left edge as the spec
+requires.  The
 FIRST IFD is the image (the same first-frame contract decode_gif pins
 for animated GIF).  CCITT fax compressions (2 = Modified Huffman, 3 =
 Group 3 1-D, 4 = Group 4 MMR) decode for real on bilevel strips
@@ -23,7 +25,7 @@ through operators/ccitt_codec, honoring FillOrder 2.  New-style
 JPEG-in-TIFF (compression 7, TechNote 2) decodes for real through
 operators/jpeg_codec — grayscale or YCbCr strips, with tag 347
 JPEGTables spliced ahead of each strip's SOI the way libtiff merges
-them.  Sub-byte/16-bit tiled or planar variants, 2-D-extended Group
+them.  2-D-extended Group
 3, old-style JPEG (compression 6) and CMYK/Lab color raise
 NotImplementedError (the documented degrade contract), while
 malformed streams raise ValueError — never an unguarded numpy/struct
@@ -375,12 +377,34 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         return (np.cumsum(block.astype(np.int64), axis=1) % 256).astype(
             np.uint8)
 
-    if tiled or (planar == 2 and spp > 1):
-        # the separated/tiled matrix is 8-bit in practice; sub-byte or
-        # 16-bit variants of these layouts stay a documented seam
-        if bits != 8:
-            raise NotImplementedError(
-                "tiled / separate-plane TIFF decodes 8-bit samples only")
+    # depth helpers shared by the tiled path (the separate-plane path
+    # is always 8-bit: RGB requires bits=8 and multi-sample
+    # grayscale/palette is rejected above)
+    msb16 = 0 if e == ">" else 1
+
+    def seg_samples(seg: bytes, rows: int, cols: int) -> "np.ndarray":
+        """Decoded segment bytes -> (rows, cols) uint8 SAMPLE array
+        (cols counts samples, not pixels): 16-bit keeps each sample's
+        MSB in the file's byte order, sub-byte rows unpack MSB-first
+        with per-row byte padding — the same depth rules as the chunky
+        strip path below."""
+        if bits == 8:
+            return np.frombuffer(
+                seg[:rows * cols], dtype=np.uint8).reshape(rows, cols)
+        if bits == 16:
+            return np.frombuffer(
+                seg[:rows * cols * 2], dtype=np.uint8
+            ).reshape(rows, cols, 2)[:, :, msb16]
+        rb = (cols * bits + 7) // 8
+        arr = np.frombuffer(
+            seg[:rows * rb], dtype=np.uint8).reshape(rows, rb)
+        unpacked = np.unpackbits(arr, axis=1)[:, :cols * bits]
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+        return (unpacked.reshape(rows, cols, bits).astype(np.uint16)
+                * weights).sum(axis=2).astype(np.uint8)
+
+    def seg_row_bytes(cols: int) -> int:
+        return cols * 2 if bits == 16 else (cols * bits + 7) // 8
 
     if tiled:
         try:
@@ -397,7 +421,7 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         n_tiles = ta * td * planes
         if len(offsets) < n_tiles or len(counts) < n_tiles:
             raise ValueError("tile offset/count arrays shorter than image")
-        want = tl * tw * spp_t
+        want = tl * seg_row_bytes(tw * spp_t)
         # paste cropped: edge tiles decode at their full padded size,
         # but only the in-image region lands on the canvas, so any
         # image inside the w*h bomb cap decodes with memory bounded by
@@ -411,8 +435,8 @@ def decode_tiff(raw: bytes) -> np.ndarray:
                 for tx in range(ta):
                     k = (p * td + ty) * ta + tx
                     seg = seg_decode(seg_bytes(k), want, want, "tile")
-                    tile = undiff(np.frombuffer(
-                        seg[:want], dtype=np.uint8).reshape(tl, tw, spp_t))
+                    tile = undiff(seg_samples(
+                        seg, tl, tw * spp_t).reshape(tl, tw, spp_t))
                     cols_in = min(tw, w - tx * tw)
                     canvas[p, ty * tl:ty * tl + rows_in,
                            tx * tw * spp_t:(tx * tw + cols_in) * spp_t] = \
@@ -570,6 +594,20 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _pack_rows(block: np.ndarray, bits: int, e: str) -> bytes:
+    """(rows, cols) single-sample block -> serialized segment bytes at
+    the given depth: 16-bit in the file's byte order, sub-byte rows
+    MSB-first packed with per-row byte padding (mirror of the
+    decoder's seg_samples)."""
+    if bits == 16:
+        return block.astype(np.uint16).astype(e + "u2").tobytes()
+    rows, cols = block.shape
+    bitstream = np.zeros((rows, cols * bits), dtype=np.uint8)
+    for k in range(bits):
+        bitstream[:, k::bits] = (block >> (bits - 1 - k)) & 1
+    return np.packbits(bitstream, axis=1).tobytes()
+
+
 def _hdiff(block: np.ndarray, predictor: int) -> np.ndarray:
     """Apply predictor 2 (per-sample horizontal differencing) to one
     (rows, w, c) segment — the encoder-side inverse of decode_tiff's
@@ -601,15 +639,20 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     pass 0 for WhiteIsZero fixtures.  ``ascii_tags`` adds ASCII
     (type 2) entries, e.g. {270: "caption"} for ImageDescription.
     ``tile=(tw, tl)`` writes the tiled layout (tags 322-325, edge
-    tiles zero-padded to full size); ``planar=True`` writes
-    PlanarConfiguration 2 (plane-major segments) — both 8-bit-only,
+    tiles zero-padded to full size) at any supported depth
+    (single-sample, predictor 1 when not 8-bit); ``planar=True``
+    writes PlanarConfiguration 2 (plane-major segments, 8-bit),
     matching the decoder's tiled/separated matrix."""
     img = np.asarray(img)
     e = ">" if big_endian else "<"
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
-    if (tile is not None or planar) and bits != 8:
-        raise ValueError("tiled/planar fixtures are 8-bit only")
+    if planar and bits != 8:
+        raise ValueError("planar fixtures are 8-bit only")
+    if tile is not None and bits != 8 and (img.ndim != 2
+                                           or predictor != 1):
+        raise ValueError("non-8-bit tiled fixtures are single-sample "
+                         "predictor-1 only")
     if tile is not None and (tile[0] % 16 or tile[1] % 16):
         # TIFF 6.0 p.67: TileWidth and TileLength must each be a
         # multiple of 16 — refuse to emit nonconforming fixtures (the
@@ -669,7 +712,9 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
         raise ValueError("split_jpeg_tables needs compression=7")
 
     if tile is not None or planar:
-        img3 = img.reshape(h, w, spp).astype(np.uint8)
+        img3 = img.reshape(h, w, spp)
+        if bits == 8:
+            img3 = img3.astype(np.uint8)
         segs_raw: list[bytes] = []
         if tile is not None:
             tw, tl = tile
@@ -679,11 +724,14 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
                 c = src.shape[2]
                 for ty in range(td):
                     for tx in range(ta):
-                        t = np.zeros((tl, tw, c), dtype=np.uint8)
+                        t = np.zeros((tl, tw, c), dtype=img3.dtype)
                         block = src[ty * tl:(ty + 1) * tl,
                                     tx * tw:(tx + 1) * tw]
                         t[:block.shape[0], :block.shape[1]] = block
-                        segs_raw.append(_hdiff(t, predictor).tobytes())
+                        if bits == 8:
+                            segs_raw.append(_hdiff(t, predictor).tobytes())
+                        else:
+                            segs_raw.append(_pack_rows(t[:, :, 0], bits, e))
         else:
             for p in range(spp):
                 plane = _hdiff(img3[:, :, [p]], predictor)

@@ -318,19 +318,20 @@ def media_features_sql(modulus: int = 10, dim: int = 16) -> str:
             # greyscale: all three channel slots read channel 0
             band = [(i * 7 + y * w + x) % 256
                     for y in range(h) for x in range(w)]
-            if (i // 30) % 7 == 3:
+            if (i // 30) % 8 == 3:
                 # BMP 16-bit 5-5-5 leg: encode quantizes each channel
                 # by (v*31 + 127)//255 and decode upscales by
                 # (q*255 + 15)//31 — replay the exact integer rule
                 band = [(((p * 31 + 127) // 255) * 255 + 15) // 31
                         for p in band]
-            elif (i // 30) % 7 == 5:
+            elif (i // 30) % 8 == 5:
                 # CCITT G4 leg: the pattern thresholds to bilevel
                 # (>=128 -> black, stored bit 1 under photometric 0)
                 # and decodes to 0/255 luminance
                 band = [0 if p >= 128 else 255 for p in band]
-            # legs 0/1/2/4 and 6 (OS/2 core BMP) are lossless: the
-            # pattern passes through unchanged
+            # legs 0/1/2/4, 6 (OS/2 core BMP) and 7 (16-bit tiled
+            # TIFF, pattern << 8 so the kept MSB IS the pattern) are
+            # lossless: the pattern passes through unchanged
             chans = [band] * 3
         elif i % 30 == 10:
             w, h = i % 7 + 3, i % 4 + 2

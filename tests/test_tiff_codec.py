@@ -234,6 +234,46 @@ def test_tiff_planar_strips_roundtrip():
         assert np.array_equal(got, rgb)
 
 
+def test_tiff_tiled_subbyte_and_16bit_roundtrip():
+    rng = np.random.default_rng(83)
+    for bits in (1, 2, 4, 16):
+        hi = 1 << bits
+        for comp in (1, 5, 8, 32773):
+            for (h, w) in [(5, 7), (16, 16), (20, 37)]:
+                img = rng.integers(0, min(hi, 65536), size=(h, w))
+                img = img.astype(np.uint16 if bits == 16 else np.uint8)
+                for be in (False, True):
+                    blob = encode_tiff(img, compression=comp, bits=bits,
+                                       tile=(16, 16), big_endian=be)
+                    got = decode_tiff(blob)
+                    if bits == 16:
+                        exp = (img >> 8).astype(np.uint8)
+                    else:
+                        exp = (img.astype(np.uint32) * 255
+                               // (hi - 1)).astype(np.uint8)
+                    assert np.array_equal(got, exp), (bits, comp, h, w, be)
+
+
+def test_tiff_tiled_palette_and_whitezero_depths():
+    rng = np.random.default_rng(87)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(18, 21)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(idx, compression=5, bits=4,
+                                  tile=(16, 16), palette=pal))
+    assert np.array_equal(got, pal[idx])
+    img = rng.integers(0, 4, size=(9, 9)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(img, bits=2, tile=(16, 16),
+                                  photometric=0))
+    exp = 255 - (img.astype(np.uint32) * 255 // 3)
+    assert np.array_equal(got, exp.astype(np.uint8))
+    # non-8-bit tiled fixtures reject multi-sample / predictor-2 input
+    rgb = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="single-sample"):
+        encode_tiff(rgb, bits=4, tile=(16, 16))
+    with pytest.raises(ValueError, match="single-sample"):
+        encode_tiff(img, bits=2, tile=(16, 16), predictor=2)
+
+
 def test_tiff_tiled_validation():
     rng = np.random.default_rng(89)
     gray = rng.integers(0, 256, size=(9, 9)).astype(np.uint8)
