@@ -25,8 +25,11 @@ through operators/ccitt_codec, honoring FillOrder 2.  New-style
 JPEG-in-TIFF (compression 7, TechNote 2) decodes for real through
 operators/jpeg_codec — grayscale or YCbCr strips, with tag 347
 JPEGTables spliced ahead of each strip's SOI the way libtiff merges
-them.  2-D-extended Group
-3, old-style JPEG (compression 6) and CMYK/Lab color raise
+them.  Old-style JPEG (compression 6, the withdrawn TIFF 6.0 §22)
+decodes the one layout real files carry — tags 513/514 framing a
+complete interchange JPEG stream, as libtiff reads it; the withdrawn
+per-strip JPEGQTables layout degrades.  2-D-extended Group
+3 and CMYK/Lab color raise
 NotImplementedError (the documented degrade contract), while
 malformed streams raise ValueError — never an unguarded numpy/struct
 error that could kill an Arrow task.
@@ -324,6 +327,33 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         # lsb-first byte order outside fax is legal but vanishingly
         # rare; degrade rather than silently mis-decode
         raise NotImplementedError("FillOrder 2 outside CCITT fax")
+
+    if compression == 6:
+        # old-style JPEG-in-TIFF (TIFF 6.0 §22, withdrawn by TechNote
+        # 2): the only §22 layout surviving in real files is the one
+        # libtiff reads — tags 513/514 framing ONE complete
+        # interchange JPEG stream.  The withdrawn per-strip
+        # JPEGQTables/JPEGDCTables layout degrades.
+        from geoparser_spark.operators import jpeg_codec
+
+        if photometric not in (1, 6):
+            raise NotImplementedError(
+                "old-style JPEG decodes grayscale (photometric 1) or "
+                "YCbCr (6) only")
+        off_t, len_t = tags.get(513), tags.get(514)
+        if not off_t or not len_t:
+            raise NotImplementedError(
+                "old-style JPEG without a JPEGInterchangeFormat "
+                "stream (withdrawn per-strip §22 layout)")
+        off, cnt = off_t[0], len_t[0]
+        if cnt < 4 or off + cnt > len(raw):
+            raise ValueError("JPEG interchange stream past end of stream")
+        px = jpeg_codec.decode_jpeg(raw[off:off + cnt])
+        if px.ndim != (2 if photometric == 1 else 3):
+            raise ValueError("JPEG component count mismatch")
+        if px.shape[0] < h or px.shape[1] < w:
+            raise ValueError("JPEG interchange dimensions mismatch")
+        return px[:h, :w]
 
     if compression == 7:
         # new-style JPEG-in-TIFF (TIFF TechNote 2): each strip is a
@@ -711,6 +741,21 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     if split_jpeg_tables:
         raise ValueError("split_jpeg_tables needs compression=7")
 
+    if compression == 6:                   # old-style JPEG-in-TIFF
+        from geoparser_spark.operators.jpeg_codec import encode_jpeg_gray
+
+        if bits != 8 or img.ndim != 2 or palette is not None:
+            raise ValueError(
+                "old-style JPEG fixtures are 8-bit 2-D grayscale only")
+        if tile is not None or planar or predictor != 1:
+            raise ValueError(
+                "old-style JPEG fixtures are one chunky interchange "
+                "stream only")
+        stream = encode_jpeg_gray(img.astype(np.uint8))
+        return _emit_tiff([stream], e, w, h, 1, 8, compression,
+                          predictor, photometric, None, ascii_tags,
+                          h, None, False, old_jpeg=True)
+
     if tile is not None or planar:
         img3 = img.reshape(h, w, spp)
         if bits == 8:
@@ -807,7 +852,8 @@ def _emit_tiff(segs_raw: list[bytes], e: str, w: int, h: int, spp: int,
                photometric: int, palette, ascii_tags,
                rps: int, tile: tuple[int, int] | None,
                planar: bool, fill_order: int = 1,
-               jpeg_tables: bytes | None = None) -> bytes:
+               jpeg_tables: bytes | None = None,
+               old_jpeg: bool = False) -> bytes:
     """Compress the raw segments and lay out header + data + IFD —
     the one writer behind every encode_tiff layout (chunky strips,
     planar strips, chunky/planar tiles)."""
@@ -858,6 +904,11 @@ def _emit_tiff(segs_raw: list[bytes], e: str, w: int, h: int, spp: int,
         add(279, 4, [len(s) for s in segs])
     if planar:
         add(284, 3, [2])
+    if old_jpeg:
+        # TIFF 6.0 §22 interchange framing: the first (only) segment
+        # IS the complete JPEG stream
+        add(513, 4, [seg_offsets[0]])
+        add(514, 4, [len(segs[0])])
     if fill_order == 2:
         add(266, 3, [2])
     if jpeg_tables is not None:

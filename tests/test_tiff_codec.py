@@ -485,7 +485,8 @@ def test_jpeg_in_tiff_guards():
     # truncated strip data degrades as ValueError
     with pytest.raises(ValueError):
         decode_tiff(blob[: len(blob) - 40])
-    # old-style JPEG (compression 6) stays a degrade path
+    # compression 6 WITHOUT an interchange stream (no tags 513/514)
+    # degrades as the withdrawn per-strip layout
     e = "<"
     b = bytearray(blob)
     (ifd_off,) = struct.unpack(e + "I", bytes(b[4:8]))
@@ -495,12 +496,59 @@ def test_jpeg_in_tiff_guards():
         tag = struct.unpack(e + "H", bytes(b[off:off + 2]))[0]
         if tag == 259:
             b[off + 8:off + 10] = struct.pack(e + "H", 6)
-    with pytest.raises(NotImplementedError, match="compression 6"):
+    with pytest.raises(NotImplementedError, match="withdrawn"):
         decode_tiff(bytes(b))
     with pytest.raises(ValueError, match="grayscale only"):
         encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), compression=7)
     with pytest.raises(ValueError, match="compression=7"):
         encode_tiff(img, split_jpeg_tables=True)
+
+
+def test_old_style_jpeg_interchange_decodes():
+    from geoparser_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(97)
+    for (h, w) in [(8, 8), (13, 21), (32, 17)]:
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        got = decode_tiff(encode_tiff(img, compression=6))
+        # pinned against decode_jpeg of the identical stream
+        exp = decode_jpeg(encode_jpeg_gray(img))[:h, :w]
+        assert got.shape == (h, w)
+        assert np.array_equal(got, exp)
+
+
+def test_old_style_jpeg_guards():
+    rng = np.random.default_rng(101)
+    img = rng.integers(0, 256, size=(9, 9)).astype(np.uint8)
+    blob = bytearray(encode_tiff(img, compression=6))
+    # strip tag 513 away: the withdrawn per-strip layout degrades
+    e = "<"
+    (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack(e + "H", bytes(blob[off:off + 2]))[0] == 513:
+            blob[off:off + 2] = struct.pack(e + "H", 50000)
+    with pytest.raises(NotImplementedError, match="withdrawn"):
+        decode_tiff(bytes(blob))
+    # interchange length overrunning the stream is a ValueError
+    blob = bytearray(encode_tiff(img, compression=6))
+    (ifd_off,) = struct.unpack(e + "I", bytes(blob[4:8]))
+    (n,) = struct.unpack(e + "H", bytes(blob[ifd_off:ifd_off + 2]))
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack(e + "H", bytes(blob[off:off + 2]))[0] == 514:
+            blob[off + 8:off + 12] = struct.pack(e + "I", 1 << 24)
+    with pytest.raises(ValueError, match="past end"):
+        decode_tiff(bytes(blob))
+    # fixture encoder is single-stream grayscale only
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), compression=6)
+    with pytest.raises(ValueError, match="interchange"):
+        encode_tiff(img, compression=6, tile=(16, 16))
 
 
 def test_large_undefined_tags_are_skipped_not_fatal():
