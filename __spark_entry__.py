@@ -1300,6 +1300,7 @@ def _mm_image_meta(spark, sf_dir):
         import pandas as pd
 
         from geoparser_spark.operators.image_meta import (
+            make_exif_tags_app1,
             make_mini_gif,
             make_mini_jpeg,
             make_mini_png,
@@ -1308,12 +1309,22 @@ def _mm_image_meta(spark, sf_dir):
         for pdf in batches:
             refs, blobs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 3
-                w, h = int(doc_id) % 7 + 1, int(doc_id) % 4 + 1
+                i = int(doc_id)
+                m = i % 3
+                w, h = i % 7 + 1, i % 4 + 1
                 if m == 0:
                     raw = make_mini_png(w, h, [text])
                 elif m == 1:
-                    raw = make_mini_jpeg(w, h, [text])
+                    if i % 6 == 4:
+                        # EXIF-bearing JPEG: Make/Model ASCII fields
+                        # surface as two extra texts ahead of the COM
+                        app1 = make_exif_tags_app1(
+                            {"make": f"Make {i % 11}",
+                             "model": f"Model {i % 13}"},
+                            orientation=i % 8 + 1)
+                        raw = make_mini_jpeg(w, h, [text], app1=app1)
+                    else:
+                        raw = make_mini_jpeg(w, h, [text])
                 else:
                     raw = make_mini_gif(w, h, [text])
                 refs.append(f"img://{doc_id}")
@@ -1570,7 +1581,7 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
                        ELSE 'image/gif' END AS mime,
        CAST(doc_id % 7 + 1 AS INT) AS width,
        CAST(doc_id % 4 + 1 AS INT) AS height,
-       CAST(1 AS INT) AS n_texts,
+       CAST(CASE WHEN doc_id % 6 = 4 THEN 3 ELSE 1 END AS INT) AS n_texts,
        TRUE AS decode_ok
 FROM documents
 """

@@ -106,7 +106,9 @@ def parse_jpeg(raw: bytes) -> tuple[int, int, list[str]] | None:
         i += seglen
     if w is None:
         return None
-    return int(w), int(h), texts
+    # EXIF ASCII fields surface ahead of COM texts (APP1 precedes COM
+    # in byte order; canonical field order within the segment)
+    return int(w), int(h), exif_texts(raw) + texts
 
 
 def parse_gif(raw: bytes) -> tuple[int, int, list[str]] | None:
@@ -318,7 +320,8 @@ def make_mini_png(width: int, height: int, texts: list[str] = ()) -> bytes:
 
 
 def make_mini_jpeg(width: int, height: int, comments: list[str] = (),
-                   gps: tuple | None = None) -> bytes:
+                   gps: tuple | None = None,
+                   app1: bytes | None = None) -> bytes:
     """Minimal JPEG header stream: SOI, JFIF APP0, COM per comment,
     SOF0 frame header, EOI.  Header-complete (dims + comments parse);
     carries no entropy-coded scan, which header consumers never read.
@@ -332,7 +335,7 @@ def make_mini_jpeg(width: int, height: int, comments: list[str] = (),
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    app1 = b""
+    app1 = app1 or b""
     if gps is not None:
         lat_dms, lon_dms, south, west = gps
         app1 = make_exif_gps_app1(lat_dms, lon_dms, south, west)
@@ -445,6 +448,158 @@ def parse_exif_gps(raw: bytes) -> tuple[float, float] | None:
         return lat_sign * lat, lon_sign * lon
     except (struct.error, IndexError):
         return None
+
+
+# canonical order in which EXIF ASCII values surface as texts (the
+# Tika metadata fields a photo upload carries)
+_EXIF_ASCII_IFD0 = ((0x010E, "description"), (0x010F, "make"),
+                    (0x0110, "model"), (0x0131, "software"),
+                    (0x013B, "artist"), (0x8298, "copyright"),
+                    (0x0132, "datetime"))
+
+
+def _find_exif_tiff(raw: bytes) -> bytes | None:
+    """JPEG marker walk -> the first APP1 'Exif\\0\\0' TIFF body."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(raw)
+    while i + 4 <= n:
+        if raw[i] != 0xFF:
+            break
+        marker = raw[i + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        (seglen,) = struct.unpack(">H", raw[i + 2:i + 4])
+        if marker == 0xE1 and raw[i + 4:i + 10] == b"Exif\x00\x00":
+            return raw[i + 10:i + 2 + seglen]
+        i += 2 + seglen
+    return None
+
+
+def _exif_ascii(tiff: bytes, ei: int, e: str) -> str | None:
+    """One IFD entry -> decoded ASCII value, or None if not type 2."""
+    typ = _exif_u16(tiff, ei + 2, e)
+    cnt = _exif_u32(tiff, ei + 4, e)
+    if typ != 2 or cnt == 0 or cnt > 4096:
+        return None
+    off = ei + 8 if cnt <= 4 else _exif_u32(tiff, ei + 8, e)
+    b = tiff[off:off + cnt]
+    if len(b) < cnt:
+        return None
+    t = b.split(b"\x00")[0].decode("utf-8", "replace").strip()
+    return t or None
+
+
+def parse_exif_tags(raw: bytes) -> dict:
+    """JPEG EXIF 2.x tag surface → dict (empty when absent/malformed).
+
+    The non-GPS metadata Tika reports for every photo upload
+    (reference: any image through Tika auto-detect,
+    /root/reference/geoparser_app/views.py:125): IFD0's Orientation
+    (0x0112, int 1-8), ImageDescription / Make / Model / Software /
+    Artist / Copyright / DateTime (ASCII), and the Exif sub-IFD's
+    DateTimeOriginal (0x9003).  Same degrade discipline as
+    parse_exif_gps: anything malformed yields what parsed so far or
+    {}."""
+    tiff = _find_exif_tiff(raw)
+    if tiff is None:
+        return {}
+    out: dict = {}
+    try:
+        e = {"II": "<", "MM": ">"}.get(tiff[:2].decode("ascii", "replace"))
+        if e is None or _exif_u16(tiff, 2, e) != 42:
+            return {}
+        ascii_of = dict(_EXIF_ASCII_IFD0)
+        ifd0 = _exif_u32(tiff, 4, e)
+        exif_ptr = None
+        cnt = _exif_u16(tiff, ifd0, e)
+        for k in range(cnt):
+            ei = ifd0 + 2 + 12 * k
+            tag = _exif_u16(tiff, ei, e)
+            if tag == 0x0112 and _exif_u16(tiff, ei + 2, e) == 3:
+                v = _exif_u16(tiff, ei + 8, e)
+                if 1 <= v <= 8:
+                    out["orientation"] = v
+            elif tag == 0x8769:
+                exif_ptr = _exif_u32(tiff, ei + 8, e)
+            elif tag in ascii_of:
+                v = _exif_ascii(tiff, ei, e)
+                if v is not None:
+                    out[ascii_of[tag]] = v
+        if exif_ptr is not None:
+            cnt = _exif_u16(tiff, exif_ptr, e)
+            for k in range(cnt):
+                ei = exif_ptr + 2 + 12 * k
+                if _exif_u16(tiff, ei, e) == 0x9003:
+                    v = _exif_ascii(tiff, ei, e)
+                    if v is not None:
+                        out["datetime_original"] = v
+    except (struct.error, IndexError):
+        pass
+    return out
+
+
+def exif_texts(raw: bytes) -> list[str]:
+    """EXIF ASCII values in canonical field order — the text-span
+    channel of the photo-metadata surface."""
+    tags = parse_exif_tags(raw)
+    order = [key for _, key in _EXIF_ASCII_IFD0] + ["datetime_original"]
+    return [tags[k] for k in order if k in tags]
+
+
+def make_exif_tags_app1(fields: dict, orientation: int | None = None,
+                        datetime_original: str | None = None) -> bytes:
+    """Spec-shaped APP1 segment: Exif TIFF (big-endian) IFD0 with the
+    given ASCII fields (keys from _EXIF_ASCII_IFD0 values), optional
+    Orientation SHORT, and — when datetime_original is given — an Exif
+    sub-IFD carrying DateTimeOriginal."""
+    name_to_tag = {name: tag for tag, name in _EXIF_ASCII_IFD0}
+    entries = []                           # (tag, typ, cnt, inline|bytes)
+    extra_vals = []
+    for name, value in fields.items():
+        enc = value.encode("utf-8") + b"\x00"
+        entries.append((name_to_tag[name], 2, len(enc), enc))
+    if orientation is not None:
+        entries.append((0x0112, 3, 1,
+                        struct.pack(">HH", orientation, 0)))
+    sub = b""
+    if datetime_original is not None:
+        enc = datetime_original.encode("utf-8") + b"\x00"
+        sub_entries = [(0x9003, 2, len(enc), enc)]
+        entries.append((0x8769, 4, 1, None))   # pointer patched below
+    n = len(entries)
+    ifd0_off = 8
+    extra_base = ifd0_off + 2 + 12 * n + 4
+    extra = bytearray()
+    body = bytearray(struct.pack(">H", n))
+    for tag, typ, cnt, payload in sorted(entries):
+        body += struct.pack(">HHI", tag, typ, cnt)
+        if tag == 0x8769:
+            # the Exif sub-IFD lands after the ASCII extra area
+            body += b"\x00\x00\x00\x00"    # patched below
+        elif payload is not None and len(payload) <= 4:
+            body += payload.ljust(4, b"\x00")
+        else:
+            body += struct.pack(">I", extra_base + len(extra))
+            extra += payload
+    body += struct.pack(">I", 0)
+    if datetime_original is not None:
+        sub_off = extra_base + len(extra)
+        # patch the 0x8769 pointer (find its entry in the sorted IFD)
+        for k in range(n):
+            at = 2 + 12 * k
+            if struct.unpack(">H", body[at:at + 2])[0] == 0x8769:
+                body[at + 8:at + 12] = struct.pack(">I", sub_off)
+        tag, typ, cnt, enc = sub_entries[0]
+        sub = bytearray(struct.pack(">H", 1))
+        val_off = sub_off + 2 + 12 + 4
+        sub += struct.pack(">HHII", tag, typ, cnt, val_off)
+        sub += struct.pack(">I", 0)
+        sub += enc
+    tiff = (b"MM\x00\x2a" + struct.pack(">I", ifd0_off)
+            + bytes(body) + bytes(extra) + bytes(sub))
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
 
 
 def make_exif_gps_app1(lat_dms: tuple[int, int, float],

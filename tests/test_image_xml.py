@@ -247,6 +247,68 @@ def test_csv_writer_reader_roundtrip(rows, delim):
     assert extract_csv_text_blocks(make_mini_csv(rows, delim)) == expect
 
 
+# ------------------------------------------------------------ exif tags
+
+def test_exif_tags_full_surface():
+    from geoparser_spark.operators.image_meta import (
+        make_exif_tags_app1,
+        make_mini_jpeg,
+        parse_exif_tags,
+        parse_jpeg,
+    )
+
+    app1 = make_exif_tags_app1(
+        {"make": "ACME", "model": "Cam 9000",
+         "description": "Harbor at dawn", "artist": "J. Doe",
+         "software": "darkroom 1.2", "copyright": "(c) 2021",
+         "datetime": "2021:03:04 05:06:07"},
+        orientation=6, datetime_original="2021:03:04 05:06:00")
+    blob = make_mini_jpeg(40, 30, comments=["a comment"], app1=app1)
+    tags = parse_exif_tags(blob)
+    assert tags == {"description": "Harbor at dawn", "make": "ACME",
+                    "model": "Cam 9000", "software": "darkroom 1.2",
+                    "artist": "J. Doe", "copyright": "(c) 2021",
+                    "datetime": "2021:03:04 05:06:07", "orientation": 6,
+                    "datetime_original": "2021:03:04 05:06:00"}
+    # EXIF texts surface ahead of COM, in canonical field order
+    w, h, texts = parse_jpeg(blob)
+    assert (w, h) == (40, 30)
+    assert texts == ["Harbor at dawn", "ACME", "Cam 9000",
+                     "darkroom 1.2", "J. Doe", "(c) 2021",
+                     "2021:03:04 05:06:07", "2021:03:04 05:06:00",
+                     "a comment"]
+
+
+def test_exif_tags_degrade_and_absence():
+    from geoparser_spark.operators.image_meta import (
+        make_exif_tags_app1,
+        make_mini_jpeg,
+        parse_exif_gps,
+        parse_exif_tags,
+        parse_jpeg,
+    )
+
+    # no APP1 -> {} and COM-only texts (pre-EXIF behavior unchanged)
+    assert parse_exif_tags(make_mini_jpeg(8, 8)) == {}
+    assert parse_jpeg(make_mini_jpeg(8, 8, comments=["x"]))[2] == ["x"]
+    # a GPS-only APP1 yields no ASCII fields but still resolves GPS
+    gps_blob = make_mini_jpeg(
+        8, 8, gps=((12, 30, 7.5), (4, 0, 0.0), False, True))
+    assert parse_exif_tags(gps_blob) == {}
+    assert parse_exif_gps(gps_blob) is not None
+    # truncation anywhere degrades to partial/{} without raising
+    app1 = make_exif_tags_app1({"make": "M"}, orientation=3)
+    blob = make_mini_jpeg(8, 8, app1=app1)
+    for cut in range(4, len(blob), 5):
+        parse_exif_tags(blob[:cut] + b"\xff\xd9")
+    # out-of-range orientation is dropped
+    bad = bytearray(app1)
+    at = bad.index((0x0112).to_bytes(2, "big"))
+    bad[at + 8:at + 10] = (9).to_bytes(2, "big")
+    tags = parse_exif_tags(make_mini_jpeg(8, 8, app1=bytes(bad)))
+    assert "orientation" not in tags and tags["make"] == "M"
+
+
 # ------------------------------------------------------------- exif gps
 
 def test_exif_gps_round_trip_all_hemispheres():
