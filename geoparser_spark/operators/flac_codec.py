@@ -341,6 +341,12 @@ def decode_flac(raw: bytes) -> tuple[int, "object"]:
             bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
             if bps is None:
                 raise ValueError("reserved sample size code")
+            if bps != bps_si:
+                # the final 16-bit-equivalent mapping scales by the
+                # STREAMINFO depth; a disagreeing frame would decode
+                # its bits correctly but mis-scale downstream
+                raise ValueError(
+                    "frame sample size differs from STREAMINFO")
 
         bits.align()
         hdr_end = bits.bytepos()

@@ -135,6 +135,24 @@ def test_flac_truncation_and_garbage_degrade():
             decode_flac(b"fLaC" + raw)
 
 
+def test_flac_frame_bps_mismatch_guard():
+    # a frame claiming a different sample size than STREAMINFO would
+    # decode its bits but mis-scale the 16-bit-equivalent mapping —
+    # the decoder refuses instead
+    from geoparser_spark.operators.flac_codec import _crc8
+
+    s = np.arange(-40, 40, dtype=np.int64)[:, None]
+    blob = bytearray(make_flac(s, 8000, bps=8))
+    fh = 42                               # fLaC(4) + hdr(4) + STREAMINFO(34)
+    assert blob[fh] == 0xFF
+    b3 = blob[fh + 3]
+    assert (b3 >> 1) & 7 == 1             # ss_code for bps 8
+    blob[fh + 3] = (b3 & ~0x0E) | (4 << 1)   # claim bps 16
+    blob[fh + 9] = _crc8(bytes(blob[fh:fh + 9]))  # keep CRC-8 valid
+    with pytest.raises(ValueError, match="differs from STREAMINFO"):
+        decode_flac(bytes(blob))
+
+
 def test_flac_fixture_validation():
     s = np.zeros((10, 1), dtype=np.int64)
     with pytest.raises(ValueError, match="bits per sample"):
