@@ -207,30 +207,59 @@ def _mp3_frame(raw: bytes, i: int) -> tuple[int, int, int, int] | None:
 
 def _id3v2_texts(raw: bytes) -> tuple[int, list[str]]:
     """ID3v2 header at offset 0 -> (tag_total_bytes, text frame
-    values) — (0, []) when absent.  Handles v2.3 (plain frame sizes)
-    and v2.4 (synchsafe); text encodings 0-3."""
+    values) — (0, []) when absent.  Handles v2.2 (6-byte frame
+    headers: 3-char IDs + 3-byte sizes), v2.3 (plain 4-byte frame
+    sizes, tag-level unsynchronisation de-stuffed) and v2.4
+    (synchsafe frame sizes, per-frame unsync flag, optional footer);
+    text encodings 0-3."""
     if raw[:3] != b"ID3" or len(raw) < 10:
         return 0, []
-    major = raw[3]
+    major, flags = raw[3], raw[5]
     size = ((raw[6] & 0x7F) << 21 | (raw[7] & 0x7F) << 14
             | (raw[8] & 0x7F) << 7 | (raw[9] & 0x7F))
-    end = min(10 + size, len(raw))
+    total = 10 + size + (10 if major >= 4 and flags & 0x10 else 0)
+    body = raw[10:min(10 + size, len(raw))]
+    if flags & 0x80 and major <= 3:
+        # v2.2/v2.3 unsynchronisation applies to the WHOLE tag body:
+        # every 0xFF 0x00 pair was stuffed; undo before walking
+        body = body.replace(b"\xff\x00", b"\xff")
+    if flags & 0x40 and major >= 3:
+        # skip the extended header (v2.3: plain size; v2.4: synchsafe)
+        if len(body) >= 4:
+            if major >= 4:
+                ehsz = ((body[0] & 0x7F) << 21 | (body[1] & 0x7F) << 14
+                        | (body[2] & 0x7F) << 7 | (body[3] & 0x7F))
+            else:
+                ehsz = int.from_bytes(body[0:4], "big") + 4
+            body = body[ehsz:]
+    hdr_len = 6 if major == 2 else 10
     texts = []
-    j = 10
-    while j + 10 <= end:
-        fid = raw[j:j + 4]
+    j = 0
+    while j + hdr_len <= len(body):
+        if major == 2:
+            fid = body[j:j + 3]
+            fsz = int.from_bytes(body[j + 3:j + 6], "big")
+            fflags = 0
+        else:
+            fid = body[j:j + 4]
+            if major >= 4:
+                fsz = ((body[j + 4] & 0x7F) << 21
+                       | (body[j + 5] & 0x7F) << 14
+                       | (body[j + 6] & 0x7F) << 7
+                       | (body[j + 7] & 0x7F))
+            else:
+                fsz = int.from_bytes(body[j + 4:j + 8], "big")
+            fflags = body[j + 9]
         if not fid.strip(b"\x00"):
             break                          # padding reached
-        if major >= 4:
-            fsz = ((raw[j + 4] & 0x7F) << 21 | (raw[j + 5] & 0x7F) << 14
-                   | (raw[j + 6] & 0x7F) << 7 | (raw[j + 7] & 0x7F))
-        else:
-            fsz = int.from_bytes(raw[j + 4:j + 8], "big")
-        body = raw[j + 10:j + 10 + fsz]
-        j += 10 + fsz
-        if len(body) < 2 or not fid.startswith(b"T"):
+        frame = body[j + hdr_len:j + hdr_len + fsz]
+        j += hdr_len + fsz
+        if major >= 4 and fflags & 0x02:
+            # v2.4 per-frame unsynchronisation
+            frame = frame.replace(b"\xff\x00", b"\xff")
+        if len(frame) < 2 or not fid.startswith(b"T"):
             continue
-        enc, payload = body[0], body[1:]
+        enc, payload = frame[0], frame[1:]
         codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
                  3: "utf-8"}.get(enc)
         if codec is None:
@@ -238,7 +267,7 @@ def _id3v2_texts(raw: bytes) -> tuple[int, list[str]]:
         t = payload.decode(codec, "replace").strip("\x00")
         if t:
             texts.append(t)
-    return 10 + size, texts
+    return total, texts
 
 
 def parse_mp3(raw: bytes) -> tuple[int, int, int, int, list[str]] | None:
@@ -637,9 +666,13 @@ def _decode_ms_adpcm(data: bytes, channels: int, block_align: int,
     the two verbatim warm-up samples per channel), so the sequential
     adaptive-delta state machine runs one Python step per in-block
     sample position, numpy over (blocks x channels).  Arithmetic is
-    the Microsoft spec's: pred = (s1*coef1 + s2*coef2) >> 8 (arithmetic
-    shift), sample = clamp16(pred + signed_nibble*delta), delta =
-    max(16, (adapt[nibble]*delta) >> 8)."""
+    the Microsoft spec's C pseudocode: pred = (s1*coef1 + s2*coef2)
+    / 256 with C integer division (TRUNCATION toward zero for
+    negative sums — ffmpeg/sox agree; an arithmetic shift would floor
+    and diverge one LSB on negative non-multiples, feeding back
+    through the whole rest of the block), sample = clamp16(pred +
+    signed_nibble*delta), delta = max(16, (adapt[nibble]*delta)/256 —
+    both operands positive, so shift and division agree there)."""
     import numpy as np
 
     n_blocks = len(data) // block_align
@@ -675,7 +708,8 @@ def _decode_ms_adpcm(data: bytes, channels: int, block_align: int,
     for t in range(spb - 2):
         n4 = nib[:, t, :].astype(np.int64)
         signed = n4 - ((n4 & 8) << 1)      # 0..15 -> -8..7
-        pred = (s1 * c1 + s2 * c2) >> 8
+        acc = s1 * c1 + s2 * c2
+        pred = np.where(acc >= 0, acc >> 8, -((-acc) >> 8))  # C trunc
         samp = pred + signed * delta
         np.clip(samp, -32768, 32767, out=samp)
         s2 = s1
@@ -1012,7 +1046,8 @@ def _ms_encode_channel(ch: "object", spb: int,
         for t in range(2, spb):
             k = start + t
             sample = int(ch[k]) if k < n else int(ch[n - 1])  # pad: hold
-            pred = (s1 * c1 + s2 * c2) >> 8
+            acc = s1 * c1 + s2 * c2
+            pred = acc // 256 if acc >= 0 else -((-acc) // 256)  # C trunc
             err = sample - pred
             q = abs(err) // delta          # C-style truncation
             nib = max(-8, min(7, q if err >= 0 else -q))

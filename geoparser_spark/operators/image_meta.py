@@ -71,10 +71,13 @@ def parse_png(raw: bytes) -> tuple[int, int, list[str]] | None:
 
 
 def parse_jpeg(raw: bytes) -> tuple[int, int, list[str]] | None:
-    """JPEG marker walk: first SOFn dims + COM comment segments."""
+    """JPEG marker walk: first SOFn dims + EXIF ASCII fields + COM
+    comment segments (the APP1 Exif body is captured during this same
+    walk — no second pass over the stream)."""
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
         return None
     w = h = None
+    exif_tiff = b""
     texts: list[str] = []
     i = 2
     n = len(raw)
@@ -99,6 +102,9 @@ def parse_jpeg(raw: bytes) -> tuple[int, int, list[str]] | None:
         seg = raw[i + 2:i + seglen]
         if marker == 0xFE:  # COM
             texts.append(seg.decode("utf-8", "replace"))
+        elif (marker == 0xE1 and not exif_tiff
+                and seg[:6] == b"Exif\x00\x00"):
+            exif_tiff = seg[6:]
         elif marker in _JPEG_SOF and len(seg) >= 5:
             h, w = struct.unpack(">HH", seg[1:5])
         if marker == 0xDA:  # SOS: entropy-coded data follows, stop
@@ -108,7 +114,7 @@ def parse_jpeg(raw: bytes) -> tuple[int, int, list[str]] | None:
         return None
     # EXIF ASCII fields surface ahead of COM texts (APP1 precedes COM
     # in byte order; canonical field order within the segment)
-    return int(w), int(h), exif_texts(raw) + texts
+    return int(w), int(h), exif_texts(raw, _tiff=exif_tiff) + texts
 
 
 def parse_gif(raw: bytes) -> tuple[int, int, list[str]] | None:
@@ -490,7 +496,7 @@ def _exif_ascii(tiff: bytes, ei: int, e: str) -> str | None:
     return t or None
 
 
-def parse_exif_tags(raw: bytes) -> dict:
+def parse_exif_tags(raw: bytes, _tiff: bytes | None = None) -> dict:
     """JPEG EXIF 2.x tag surface → dict (empty when absent/malformed).
 
     The non-GPS metadata Tika reports for every photo upload
@@ -500,9 +506,10 @@ def parse_exif_tags(raw: bytes) -> dict:
     Artist / Copyright / DateTime (ASCII), and the Exif sub-IFD's
     DateTimeOriginal (0x9003).  Same degrade discipline as
     parse_exif_gps: anything malformed yields what parsed so far or
-    {}."""
-    tiff = _find_exif_tiff(raw)
-    if tiff is None:
+    {}.  ``_tiff`` lets a caller that already walked the markers hand
+    in the APP1 body (b"" = known absent) and skip the second pass."""
+    tiff = _tiff if _tiff is not None else _find_exif_tiff(raw)
+    if not tiff:
         return {}
     out: dict = {}
     try:
@@ -539,10 +546,10 @@ def parse_exif_tags(raw: bytes) -> dict:
     return out
 
 
-def exif_texts(raw: bytes) -> list[str]:
+def exif_texts(raw: bytes, _tiff: bytes | None = None) -> list[str]:
     """EXIF ASCII values in canonical field order — the text-span
     channel of the photo-metadata surface."""
-    tags = parse_exif_tags(raw)
+    tags = parse_exif_tags(raw, _tiff=_tiff)
     order = [key for _, key in _EXIF_ASCII_IFD0] + ["datetime_original"]
     return [tags[k] for k in order if k in tags]
 

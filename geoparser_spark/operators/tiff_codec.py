@@ -220,9 +220,10 @@ def decode_tiff(raw: bytes) -> np.ndarray:
     predictor = tags.get(317, [1])[0]
 
     if photometric in (5, 6, 8) and not (photometric == 6
-                                         and compression == 7):
-        # photometric 6 + compression 7 is YCbCr JPEG-in-TIFF, which
-        # decode_jpeg hands back as RGB directly (its own color step)
+                                         and compression in (6, 7)):
+        # photometric 6 + compression 6/7 is YCbCr JPEG-in-TIFF
+        # (old- or new-style), which decode_jpeg hands back as RGB
+        # directly (its own color step)
         raise NotImplementedError("CMYK/YCbCr/Lab TIFF not supported")
     if photometric not in (0, 1, 2, 3, 6):
         raise ValueError(f"unknown photometric interpretation {photometric}")
@@ -504,22 +505,16 @@ def decode_tiff(raw: bytes) -> np.ndarray:
                                min(rps, h) * row_bytes,
                                "strip")[:rows_n * row_bytes]
 
-        arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, row_bytes)
-
-        if bits == 16:
-            # keep each sample's most-significant byte (file byte order)
-            msb = 0 if e == ">" else 1
-            px = arr.reshape(h, w, 2)[:, :, msb].copy()
-        elif bits == 8:
-            px = undiff(arr.reshape(h, w, spp))
-            # .copy() so every return is writable (frombuffer views are not)
+        # one depth helper for strips and tiles alike
+        px = seg_samples(bytes(data), h, w * spp)
+        if bits == 8:
+            px = undiff(px.reshape(h, w, spp))
+            # .copy() so every return is writable (frombuffer views
+            # are not)
             px = (px.reshape(h, w, spp) if spp > 1
                   else px.reshape(h, w)).copy()
         else:
-            unpacked = np.unpackbits(arr, axis=1)[:, :w * bits]
-            weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
-            px = (unpacked.reshape(h, w, bits).astype(np.uint16)
-                  * weights).sum(axis=2)
+            px = px.copy()
 
     if photometric == 3:
         cmap = tags.get(320)
@@ -795,13 +790,8 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
         rows = _hdiff(rows.reshape(h, w, spp), predictor).reshape(
             h, w * spp)
     if bits < 8:
-        packed = np.zeros((h, row_bytes), dtype=np.uint8)
-        for y in range(h):
-            bitstream = np.zeros(w * bits, dtype=np.uint8)
-            for k in range(bits):
-                bitstream[k::bits] = (rows[y] >> (bits - 1 - k)) & 1
-            packed[y] = np.packbits(bitstream, bitorder="big")[:row_bytes]
-        rows = packed
+        rows = np.frombuffer(_pack_rows(rows, bits, e),
+                             dtype=np.uint8).reshape(h, row_bytes)
 
     segs_raw = [rows[y0:y0 + rps].tobytes() for y0 in range(0, h, rps)]
     return _emit_tiff(segs_raw, e, w, h, spp, bits, compression,

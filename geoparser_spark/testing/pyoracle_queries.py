@@ -1378,7 +1378,8 @@ def _ms_replay(ch0: list, spb: int = 130) -> list:
         for t in range(2, spb):
             k = start + t
             sample = ch0[k] if k < n else ch0[n - 1]
-            pred = (s1 * c1 + s2 * c2) >> 8
+            acc = s1 * c1 + s2 * c2
+            pred = acc // 256 if acc >= 0 else -((-acc) // 256)  # C trunc
             err = sample - pred
             q = abs(err) // delta
             nib = max(-8, min(7, q if err >= 0 else -q))

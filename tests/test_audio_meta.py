@@ -343,6 +343,58 @@ def test_mp3_id3_tags_in_byte_order():
     assert ("text", "X", None) in spans
 
 
+def test_mp3_id3v22_and_unsync_tags():
+    from geoparser_spark.operators.audio_meta import (
+        _id3v2_texts,
+        make_mini_mp3,
+        parse_mp3,
+    )
+
+    def synchsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+
+    # ID3v2.2: 6-byte frame headers, 3-char IDs
+    f1 = b"TT2" + (6).to_bytes(3, "big") + b"\x00Title"
+    f2 = b"TP1" + (7).to_bytes(3, "big") + b"\x00Artist"
+    body = f1 + f2
+    tag = b"ID3\x02\x00\x00" + synchsafe(len(body)) + body
+    total, texts = _id3v2_texts(tag + b"rest")
+    assert total == 10 + len(body)
+    assert texts == ["Title", "Artist"]
+    # a full v2.2-tagged stream parses end-to-end
+    frames = make_mini_mp3(3)
+    got = parse_mp3(tag + frames)
+    assert got is not None and got[4] == ["Title", "Artist"]
+
+    # v2.3 whole-tag unsynchronisation: UTF-16 text (BOM FF FE gets
+    # FF 00-stuffed) must decode after de-stuffing
+    text_utf16 = "café".encode("utf-16")    # starts FF FE
+    frame = (b"TIT2" + len(text_utf16 + b"\x01").to_bytes(4, "big")
+             + b"\x00\x00\x01" + text_utf16)
+    stuffed = frame.replace(b"\xff", b"\xff\x00")
+    tag = b"ID3\x03\x00\x80" + synchsafe(len(stuffed)) + stuffed
+    total, texts = _id3v2_texts(tag)
+    assert texts == ["café"], texts
+
+    # v2.4 per-frame unsync flag (format flag 0x02)
+    frame_body = b"\x01" + text_utf16
+    unsynced = frame_body.replace(b"\xff", b"\xff\x00")
+    frame = (b"TIT2" + synchsafe(len(unsynced)) + b"\x00\x02"
+             + unsynced)
+    tag = b"ID3\x04\x00\x00" + synchsafe(len(frame)) + frame
+    total, texts = _id3v2_texts(tag)
+    assert texts == ["café"], texts
+
+    # v2.3 extended header is skipped, not misread as a frame
+    ext = (10).to_bytes(4, "big") + b"\x00" * 10
+    frame = b"TALB" + (6).to_bytes(4, "big") + b"\x00\x00" + b"\x00Album"
+    tag = (b"ID3\x03\x00\x40" + synchsafe(len(ext + frame))
+           + ext + frame)
+    total, texts = _id3v2_texts(tag)
+    assert texts == ["Album"], texts
+
+
 def test_mp3_sync_false_positive_guard():
     from geoparser_spark.operators.audio_meta import make_mini_mp3, parse_mp3
 
@@ -405,6 +457,32 @@ def test_wav_ms_adpcm_exercises_all_predictors():
     assert len(set(preds)) == len(_MS_COEF1)
     _, got = decode_wav_pcm(blob)
     assert got.shape == (80, 1)
+
+
+def test_wav_ms_adpcm_prediction_truncates_toward_zero():
+    # Microsoft's pseudocode divides the predictor sum by 256 with C
+    # integer division (truncation toward zero); an arithmetic shift
+    # would floor.  Craft a block whose sum is negative and not a
+    # multiple of 256: predictor 3 (coef 192/64), s1=-101, s2=-3 ->
+    # acc=-19584, trunc(-76.5)=-76 (floor would give -77).
+    from geoparser_spark.operators.audio_meta import decode_wav_pcm
+
+    spb, channels, block_align = 4, 1, 8
+    body = struct.pack("<Bhhh", 3, 16, -101, -3) + b"\x00"  # nibbles 0,0
+    fmt = struct.pack("<HHIIHHHHH", 0x02, channels, 8000,
+                      8000 * block_align // spb, block_align, 4,
+                      4 + 28, spb, 7)
+    for c1, c2 in zip([256, 512, 0, 192, 240, 460, 392],
+                      [0, -256, 0, 64, 0, -208, -232]):
+        fmt += struct.pack("<hh", c1, c2)
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+    chunks = chunk(b"fmt ", fmt) + chunk(b"data", body)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    _, got = decode_wav_pcm(blob)
+    # frame order: s2, s1, then the two predicted samples
+    assert got[:, 0].tolist()[:3] == [-3, -101, -76]
 
 
 def test_wav_ms_adpcm_validation():

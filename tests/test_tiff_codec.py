@@ -520,6 +520,29 @@ def test_old_style_jpeg_interchange_decodes():
         assert np.array_equal(got, exp)
 
 
+def test_old_style_jpeg_ycbcr_interchange_decodes():
+    # photometric 6 must reach the compression-6 branch (review
+    # finding: the CMYK/YCbCr guard used to exempt photometric 6 only
+    # for compression 7, making this path unreachable)
+    from geoparser_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_coeffs,
+    )
+    from geoparser_spark.operators.tiff_codec import _emit_tiff
+
+    rng = np.random.default_rng(103)
+    h, w = 14, 22
+    grids = [rng.integers(-4, 5, size=(2, 3, 8, 8)).astype(np.int64)
+             for _ in range(3)]
+    stream = encode_jpeg_coeffs(grids, h, w)
+    blob = _emit_tiff([stream], "<", w, h, 3, 8, 6, 1, 6, None, None,
+                      h, None, False, old_jpeg=True)
+    got = decode_tiff(blob)
+    exp = decode_jpeg(stream)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, exp[:h, :w])
+
+
 def test_old_style_jpeg_guards():
     rng = np.random.default_rng(101)
     img = rng.integers(0, 256, size=(9, 9)).astype(np.uint8)
