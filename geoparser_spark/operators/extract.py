@@ -46,6 +46,11 @@ from geoparser_spark.operators.video_meta import extract_video_b64_spans
 from geoparser_spark.operators.image_meta import extract_image_b64_spans
 from geoparser_spark.operators.pdf_text import extract_pdf_b64_spans
 from geoparser_spark.operators.xml_text import extract_xml_text_blocks
+from geoparser_spark.operators.archive_text import (
+    extract_gz_b64_spans,
+    extract_tar_b64_spans,
+    extract_zip_b64_spans,
+)
 from geoparser_spark.schemas import EXTRACTED
 
 MEDIA_KINDS = frozenset({"image", "video", "audio", "table"})
@@ -86,6 +91,11 @@ _SPAN_EXTRACTORS: dict = {
     "audio_bytes": extract_audio_b64_spans,  # media span + embedded tags
     "video_bytes": extract_video_b64_spans,  # media span + embedded tags
     "markdown": extract_markdown_spans,  # text blocks + image-link media spans
+    # archive containers recurse into the same leaf extractors per
+    # entry (Tika's RecursiveParserWrapper role) — see archive_text.py
+    "zip_bytes": extract_zip_b64_spans,
+    "tar_bytes": extract_tar_b64_spans,  # tar and tar.gz (r:* sniffs)
+    "gz_bytes": extract_gz_b64_spans,
 }
 
 
